@@ -1,0 +1,29 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Local testing runs `local[32]`; the same settings are what we would ship
+  * on a real cluster (AQE on, sensible shuffle parallelism, UTC).
+  */
+object GraftSession {
+
+  /** Apply graft's standard config to a builder. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // the driver's events.parquet carries TIMESTAMP(NANOS) (not legal in
+      // Spark's reader): surface it as long nanoseconds instead of failing
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def local(threads: Int = 32): SparkSession = {
+    val s = configure(SparkSession.builder().master(s"local[$threads]").appName("graft"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.functions.expressions._
+
+/** Column-level API over the codegen vector kernels, plus interpreted
+  * higher-order-function twins used as oracles in tests (the analogue of the
+  * reference's scalar-vs-SIMD A/B switch, `src/simd_dot.cpp:14-16`).
+  */
+object VectorFunctions {
+
+  private def col1(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    Bridge.column(e)
+  private def ex(c: Column) = Bridge.expression(c)
+
+  // ---- codegen kernels (the fast path) ----
+
+  def dot(a: Column, b: Column): Column = col1(DotF32(ex(a), ex(b)))
+  def l2Sq(a: Column, b: Column): Column = col1(L2SqF32(ex(a), ex(b)))
+  def cosine(a: Column, b: Column): Column = col1(CosineF32(ex(a), ex(b)))
+  def norm2(a: Column): Column = col1(NormL2(ex(a)))
+  def dotI8(q: Column, codes: Column, scale: Column): Column =
+    col1(DotI8Scale(ex(q), ex(codes), ex(scale)))
+  def dotHalf(q: Column, bits: Column): Column = col1(DotHalf(ex(q), ex(bits)))
+  def halfEncode(v: Column): Column = col1(HalfEncode(ex(v)))
+  def halfDecode(v: Column): Column = col1(HalfDecode(ex(v)))
+  def quantizeI8(v: Column): Column = col1(QuantizeI8(ex(v)))
+
+  // ---- interpreted oracles built from Spark higher-order builtins ----
+
+  /** Same semantics as [[dot]], via zip_with + aggregate (slow, trusted). */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2SqHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2Hof(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Per-row finiteness check (`apps/nvdb_sanity.cpp:7-19`). */
+  def allFinite(a: Column): Column =
+    !exists(a, x => isnan(x) || x === Float.PositiveInfinity || x === Float.NegativeInfinity)
+
+  /** Register SQL names for ad-hoc `spark.sql` use. */
+  def register(spark: SparkSession): Unit = {
+    val reg = Bridge.functionRegistry(spark)
+    reg.createOrReplaceTempFunction("graft_dot", es => DotF32(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_l2sq", es => L2SqF32(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine", es => CosineF32(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_norm2", es => NormL2(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot_i8", es => DotI8Scale(es.head, es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot_half", es => DotHalf(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_half_encode", es => HalfEncode(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_half_decode", es => HalfDecode(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_quantize_i8", es => QuantizeI8(es.head), "built-in")
+  }
+}

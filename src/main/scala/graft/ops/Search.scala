@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Similarity metric for vector search. Dot and Cosine rank descending;
+  * L2 ranks ascending. On L2-normalized vectors Dot-ranking == L2-ranking
+  * (`/root/reference/apps/nvdb_gt_build.cpp:27-29`).
+  */
+sealed trait Metric { def larger: Boolean }
+object Metric {
+  case object Dot extends Metric { val larger = true }
+  case object Cosine extends Metric { val larger = true }
+  case object L2 extends Metric { val larger = false }
+}
+
+/** Exact and candidate-based vector search — the reference's flagship
+  * pipelines (`apps/nvdb_bench.cpp`, `apps/nvdb_gt_build.cpp`,
+  * `apps/nvdb_ivf_eval.cpp:278-307`) re-expressed as Spark plans.
+  *
+  * Scale shape: queries are the small side and are ALWAYS broadcast; the
+  * base table streams through executors exactly once per job (no shuffle of
+  * the base), and per-query top-k state reduces map-side, so the only data
+  * movement is Q×k buffers per partition — the same
+  * "threads share the scan, merge at the end" design as the reference.
+  */
+object Search {
+
+  private def scoreCol(metric: Metric, vec: String, qvec: String) = metric match {
+    case Metric.Dot    => VectorFunctions.dot(col(vec), col(qvec))
+    case Metric.Cosine => VectorFunctions.cosine(col(vec), col(qvec))
+    case Metric.L2     => VectorFunctions.l2Sq(col(vec), col(qvec))
+  }
+
+  /** Exact flat-scan top-k for every query: broadcast nested-loop join of
+    * base × queries + codegen score + map-side-combining top-k.
+    *
+    * base: (idCol, vecCol); queries: (qidCol, qvecCol).
+    * Returns (qid, id, score, rank).
+    */
+  def exactTopK(base: DataFrame, queries: DataFrame, k: Int, metric: Metric = Metric.Dot,
+                idCol: String = "id", vecCol: String = "vec",
+                qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val scored = base
+      .crossJoin(broadcast(queries))
+      .select(col(qidCol).as("qid"), col(idCol).as("gid"),
+        scoreCol(metric, vecCol, qvecCol).as("score"))
+    TopK.perGroup(scored, "qid", "gid", "score", k, metric.larger)
+      .withColumnRenamed("qid", qidCol)
+  }
+
+  /** Exact ground truth build (`apps/nvdb_gt_build.cpp:74-104`):
+    * top-k ids per query as an ordered array → (qid, gt_ids).
+    */
+  def groundTruth(base: DataFrame, queries: DataFrame, k: Int,
+                  metric: Metric = Metric.Dot): DataFrame =
+    exactTopK(base, queries, k, metric)
+      .groupBy("qid")
+      .agg(sort_array(collect_list(struct(col("rank"), col("id")))).as("ranked"))
+      .select(col("qid"), expr("transform(ranked, r -> r.id)").as("gt_ids"))
+
+  /** Candidate re-rank (refine) join (`apps/nvdb_ivf_eval.cpp:278-307`):
+    * exact-L2 re-rank of per-query candidate id lists against the base.
+    *
+    * candidates: (qid, qvec, cand_ids: array<long>). The explode + equi-join
+    * on base id shuffles only Q×R candidate rows, not the base: at scale the
+    * base side is bucketed by id so this is a co-located hash join.
+    */
+  def refine(base: DataFrame, candidates: DataFrame, k: Int,
+             idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val cand = candidates.select(col("qid"), col("qvec"),
+      explode(col("cand_ids")).as("cand_id"))
+    val scored = cand
+      .join(base.select(col(idCol).as("cand_id"), col(vecCol).as("base_vec")), Seq("cand_id"))
+      .select(col("qid"), col("cand_id"),
+        VectorFunctions.l2Sq(col("base_vec"), col("qvec")).as("dist"))
+    TopK.perGroup(scored, "qid", "cand_id", "dist", k, larger = false)
+  }
+
+  /** Recall@k vs ground truth (`apps/nvdb_ivf_eval.cpp:190-219,593`):
+    * mean |GT ∩ predicted| / k over queries.
+    *
+    * pred: (qid, pred_ids); gt: (qid, gt_ids). Returns 1 row (mean_recall).
+    */
+  def recallAtK(pred: DataFrame, gt: DataFrame, k: Int): DataFrame =
+    pred.join(gt, Seq("qid"))
+      .select((size(array_intersect(col("pred_ids"), col("gt_ids"))) / k.toDouble).as("recall"))
+      .agg(avg("recall").as("mean_recall"))
+}
