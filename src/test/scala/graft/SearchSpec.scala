@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.functions.VectorFunctions
+import graft.ops.{Metric, Search, TopK}
+
+/** End-to-end invariants of the search pipeline on the sf0.001 fixtures:
+  * codegen kernels vs interpreted HOF oracles, aggregator vs window top-k,
+  * self-match-at-rank-1 (queries drawn from the base must retrieve
+  * themselves — the reference's free invariant, `tools/nvdb_make_query.cpp`),
+  * and dot-vs-L2 rank equivalence on normalized vectors
+  * (`apps/nvdb_gt_build.cpp:27-29`).
+  */
+class SearchSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  private def base = Tables.embeddings(spark, dir)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+  private def queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("codegen dot/l2/norm match HOF oracles") {
+    val df = base.crossJoin(queries.limit(3))
+      .select(
+        VectorFunctions.dot(col("vec"), col("qvec")).as("d1"),
+        VectorFunctions.dotHof(col("vec"), col("qvec")).as("d2"),
+        VectorFunctions.l2Sq(col("vec"), col("qvec")).as("l1"),
+        VectorFunctions.l2SqHof(col("vec"), col("qvec")).as("l2"),
+        VectorFunctions.norm2(col("vec")).as("n1"),
+        VectorFunctions.norm2Hof(col("vec")).as("n2"))
+    val bad = df.filter(
+      abs(col("d1") - col("d2")) > 1e-9 ||
+      abs(col("l1") - col("l2")) > 1e-9 ||
+      abs(col("n1") - col("n2")) > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("TopK aggregator equals window top-k") {
+    val scored = base.crossJoin(queries)
+      .select(col("qid"), col("id").as("gid"),
+        VectorFunctions.dot(col("vec"), col("qvec")).as("score"))
+    val a = TopK.perGroup(scored, "qid", "gid", "score", 10, larger = true)
+      .select("qid", "id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = TopK.perGroupWindow(scored, "qid", "gid", "score", 10, larger = true)
+      .select("qid", "id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+  }
+
+  test("self-match ranks first with score ~ 1 (normalized vectors)") {
+    val top1 = Search.exactTopK(base, queries, k = 1, Metric.Dot)
+    val rows = top1.collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("qid") == r.getAs[Long]("id"))
+      assert(math.abs(r.getAs[Double]("score") - 1.0) < 1e-5)
+    }
+  }
+
+  test("dot ranking == L2 ranking on normalized vectors") {
+    val d = Search.exactTopK(base, queries, k = 10, Metric.Dot)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l = Search.exactTopK(base, queries, k = 10, Metric.L2)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d == l)
+  }
+
+  test("quantization ladder: fp16 search recall 1.0, int8 recall >= 0.9 @ k=10") {
+    val gt = Search.groundTruth(base, queries, k = 10, Metric.Dot)
+
+    val baseF16 = base.select(col("id"), VectorFunctions.halfEncode(col("vec")).as("bits"))
+    val scored16 = baseF16.crossJoin(broadcast(queries))
+      .select(col("qid"), col("id").as("gid"),
+        VectorFunctions.dotHalf(col("qvec"), col("bits")).as("score"))
+    val pred16 = TopK.perGroup(scored16, "qid", "gid", "score", 10, larger = true)
+      .groupBy("qid").agg(collect_list(col("id")).as("pred_ids"))
+    val r16 = Search.recallAtK(pred16, gt, 10).collect()(0).getDouble(0)
+    assert(r16 >= 0.99, s"fp16 recall $r16")
+
+    val baseI8 = base.select(col("id"), VectorFunctions.quantizeI8(col("vec")).as("q"))
+      .select(col("id"), col("q.codes").as("codes"), col("q.scale").as("scale"))
+    val scored8 = baseI8.crossJoin(broadcast(queries))
+      .select(col("qid"), col("id").as("gid"),
+        VectorFunctions.dotI8(col("qvec"), col("codes"), col("scale")).as("score"))
+    val pred8 = TopK.perGroup(scored8, "qid", "gid", "score", 10, larger = true)
+      .groupBy("qid").agg(collect_list(col("id")).as("pred_ids"))
+    val r8 = Search.recallAtK(pred8, gt, 10).collect()(0).getDouble(0)
+    assert(r8 >= 0.9, s"int8 recall $r8")
+  }
+
+  test("refine recovers exact top-k from a candidate superset") {
+    val gtL2 = Search.groundTruth(base, queries, k = 5, Metric.L2)
+    // candidates: exact top-50 by dot (superset of L2 top-5 on normalized)
+    val cands = Search.groundTruth(base, queries, k = 50, Metric.Dot)
+      .withColumnRenamed("gt_ids", "cand_ids").join(queries, Seq("qid"))
+    val refined = Search.refine(base, cands, k = 5)
+      .groupBy("qid").agg(collect_list(col("id")).as("pred_ids"))
+    val r = Search.recallAtK(refined, gtL2, 5).collect()(0).getDouble(0)
+    assert(r == 1.0, s"refine recall $r")
+  }
+
+  test("search plan broadcasts queries and avoids shuffling the base") {
+    val plan = Search.exactTopK(base, queries, 10, Metric.Dot)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected broadcast NLJ in:\n$plan")
+  }
+}

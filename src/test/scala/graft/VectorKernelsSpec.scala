@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.expressions.VectorKernels
+
+/** Scalar-kernel properties mirroring the reference's correctness concerns:
+  * double-accumulated dot (`src/simd_dot.cpp:18-22`), RNE half conversion
+  * (`tools/nvdb_convert_f16.cpp:20-94`), symmetric i8 quantization
+  * (`apps/nvdb_quantize_i8.cpp:12-16`).
+  */
+class VectorKernelsSpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(42)
+  private def randVec(): Array[Float] =
+    Array.fill(1 + rng.nextInt(64))((rng.nextFloat() - 0.5f) * 2e6f)
+  /** seeded property loop standing in for scalacheck's forAll */
+  private def forAll(f: Array[Float] => Unit): Unit = (1 to 200).foreach(_ => f(randVec()))
+  private def forAll2(f: (Array[Float], Array[Float]) => Unit): Unit =
+    (1 to 200).foreach(_ => f(randVec(), randVec()))
+
+  test("dot matches naive oracle") {
+    forAll2 { (a, b) =>
+      val n = math.min(a.length, b.length)
+      val expect = (0 until n).map(i => a(i).toDouble * b(i).toDouble).sum
+      assert(math.abs(VectorKernels.dot(a, b) - expect) <= 1e-9 * math.max(1.0, math.abs(expect)))
+    }
+  }
+
+  test("l2Sq is non-negative, zero on self, consistent with dot expansion") {
+    forAll { a =>
+      assert(VectorKernels.l2Sq(a, a) == 0.0)
+      val n = VectorKernels.norm2(a)
+      assert(n >= 0.0)
+    }
+    forAll2 { (a, b) =>
+      val n = math.min(a.length, b.length)
+      val aa = a.take(n); val bb = b.take(n)
+      val expand = VectorKernels.dot(aa, aa) - 2 * VectorKernels.dot(aa, bb) +
+        VectorKernels.dot(bb, bb)
+      assert(math.abs(VectorKernels.l2Sq(aa, bb) - expand) <= 1e-6 * math.max(1.0, math.abs(expand)))
+    }
+  }
+
+  test("half round-trip: decode(encode(x)) within half-ulp for representable range") {
+    (1 to 2000).foreach { _ =>
+      val x = (rng.nextFloat() - 0.5f) * 130000f
+      val back = VectorKernels.halfToFloat(VectorKernels.floatToHalf(x))
+      // max relative error of RNE f16 is 2^-11
+      assert(math.abs(back - x) <= math.abs(x) * (1.0f / 2048) + 6.1e-5f)
+    }
+  }
+
+  test("half encode: exact for halves, RNE at midpoints, specials preserved") {
+    // exactly representable values survive unchanged
+    for (x <- Seq(0.0f, -0.0f, 1.0f, -1.0f, 0.5f, 65504f, -65504f, 6.103515625e-5f)) {
+      assert(VectorKernels.halfToFloat(VectorKernels.floatToHalf(x)) == x)
+    }
+    // signed zero keeps its sign bit
+    assert(VectorKernels.floatToHalf(-0.0f) == 0x8000.toShort)
+    assert(VectorKernels.floatToHalf(0.0f) == 0x0000.toShort)
+    // RNE midpoint: 1 + 2^-11 is exactly between 1.0 and 1+2^-10 -> even (1.0)
+    assert(VectorKernels.halfToFloat(VectorKernels.floatToHalf(1.0f + math.pow(2, -11).toFloat)) == 1.0f)
+    // overflow saturates to Inf; Inf/NaN preserved
+    assert(VectorKernels.halfToFloat(VectorKernels.floatToHalf(1e6f)).isPosInfinity)
+    assert(VectorKernels.halfToFloat(VectorKernels.floatToHalf(Float.PositiveInfinity)).isPosInfinity)
+    assert(VectorKernels.halfToFloat(VectorKernels.floatToHalf(Float.NegativeInfinity)).isNegInfinity)
+    assert(VectorKernels.halfToFloat(VectorKernels.floatToHalf(Float.NaN)).isNaN)
+    // subnormal halves round-trip exactly (2^-24 = smallest positive half)
+    assert(VectorKernels.halfToFloat(VectorKernels.floatToHalf(5.9604645e-8f)) == 5.9604645e-8f)
+  }
+
+  test("i8 quantization: codes bounded, scale reconstructs within scale/2") {
+    forAll { v =>
+      val s = VectorKernels.i8Scale(v)
+      val codes = VectorKernels.i8Codes(v, s)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      if (v.exists(_ != 0.0f)) {
+        val n = v.length
+        var i = 0
+        while (i < n) {
+          assert(math.abs(codes(i) * s.toDouble - v(i)) <= s / 2.0 + 1e-6)
+          i += 1
+        }
+      }
+    }
+    // all-zero row gets scale 1.0 (reference convention)
+    assert(VectorKernels.i8Scale(Array(0.0f, 0.0f)) == 1.0f)
+  }
+
+  test("dotI8 equals dot of dequantized codes") {
+    forAll2 { (q, v) =>
+      val n = math.min(q.length, v.length)
+      val s = VectorKernels.i8Scale(v)
+      val codes = VectorKernels.i8Codes(v, s)
+      // dequantize in double: dotI8 factors the scale out of the sum
+      val expect = (0 until n).map(i => q(i).toDouble * (codes(i).toDouble * s)).sum
+      assert(math.abs(VectorKernels.dotI8(q.take(n), codes.take(n), s) - expect) <=
+        1e-6 * math.max(1.0, math.abs(expect)))
+    }
+  }
+}
