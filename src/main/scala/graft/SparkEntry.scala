@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.ops.{Dedup, Metric, Search, TextAnalysis}
+import graft.ops.{Dedup, Ivf, Metric, Search, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -146,6 +146,16 @@ object SparkEntry {
       gtDot.join(gtL2, Seq("qid"))
         .select((size(array_intersect(col("pred_ids"), col("gt_ids"))).cast("double") / 10).as("recall"))
         .agg(avg(col("recall")).as("mean_recall"), count(lit(1)).as("n_queries"))
+    }),
+
+    // C1/C2/J5: IVF train+assign+probe, recall vs exact scan.
+    // No SQL oracle (KMeans isn't SQL-expressible) -> rows-only check here;
+    // the recall gate lives in IvfSpec.
+    "a1_ivf_recall" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ivf.recallVsExact(base, qs, nlist = 16, nprobe = 8, k = 10, ntrain = 2000)
     }),
 
     // ---- projection / limit / sampling (P1-P3) ----

@@ -34,6 +34,8 @@ object VectorFunctions {
   def ngramCodes(text: Column, n: Int): Column = col1(NgramCodes(ex(text), n))
   /** Jaccard over two sorted long-code n-gram sets. */
   def jaccardCodes(a: Column, b: Column): Column = col1(JaccardCodes(ex(a), ex(b)))
+  /** 64-bit SimHash of a token array. */
+  def simhash64(tokens: Column): Column = col1(SimHash64(ex(tokens)))
 
   // ---- interpreted oracles built from Spark higher-order builtins ----
 

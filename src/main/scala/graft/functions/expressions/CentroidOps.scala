@@ -1,0 +1,91 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Centroid assignment kernels for the IVF index
+  * (`/root/reference/apps/nvdb_ivf_build.cpp:69-92` assignment;
+  * `apps/nvdb_ivf_eval.cpp:403-489` probe).
+  *
+  * The centroid table is tiny (nlist × dim floats) and rides into codegen
+  * as a reference object — every executor scans rows against an in-memory
+  * centroid matrix, no join, no shuffle. This is the Spark analogue of
+  * FAISS's coarse quantizer living in RAM next to the scan.
+  */
+object CentroidOps {
+
+  /** index of the L2-nearest centroid */
+  def argminL2(v: ArrayData, centroids: Array[Array[Float]]): Int = {
+    val x = v.toFloatArray()
+    var best = 0
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val d = VectorKernels.l2Sq(x, centroids(c))
+      if (d < bestDist) { bestDist = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** ids of the `nprobe` L2-nearest centroids, nearest first */
+  def topNprobe(v: ArrayData, centroids: Array[Array[Float]], nprobe: Int): ArrayData = {
+    val x = v.toFloatArray()
+    val n = centroids.length
+    val k = math.min(nprobe, n)
+    val dist = new Array[Double](n)
+    var c = 0
+    while (c < n) { dist(c) = VectorKernels.l2Sq(x, centroids(c)); c += 1 }
+    // selection of k smallest (k and n are both small: nlist <= few thousand)
+    val picked = new Array[Int](k)
+    val used = new Array[Boolean](n)
+    var j = 0
+    while (j < k) {
+      var best = -1
+      var bestDist = Double.MaxValue
+      var i = 0
+      while (i < n) {
+        if (!used(i) && dist(i) < bestDist) { bestDist = dist(i); best = i }
+        i += 1
+      }
+      used(best) = true
+      picked(j) = best
+      j += 1
+    }
+    new GenericArrayData(picked)
+  }
+}
+
+/** `nearest_centroid(vec)`: id of the closest centroid (cluster assign). */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    CentroidOps.argminL2(v.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.expressions.CentroidOps.argminL2($v, $ref)")
+  }
+  override def prettyName: String = "nearest_centroid"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `nearest_centroids(vec, nprobe)`: the nprobe closest centroid ids. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], nprobe: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    CentroidOps.topNprobe(v.asInstanceOf[ArrayData], centroids, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.expressions.CentroidOps.topNprobe($v, $ref, $nprobe)")
+  }
+  override def prettyName: String = "nearest_centroids"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -64,7 +64,8 @@ object Multimodal {
   def sampleFrames(media: DataFrame, stride: Int, idCol: String = "doc_id",
                    payloadCol: String = "payload"): DataFrame =
     media.select(col(idCol), octet_length(col(payloadCol)).as("n_bytes"),
-      explode(sequence(lit(0), (octet_length(col(payloadCol)) % 30) / lit(stride)))
+      explode(sequence(lit(0),
+        ((octet_length(col(payloadCol)) % 30) / lit(stride)).cast("int")))
         .as("frame_idx"))
       .withColumn("frame_off", col("frame_idx") * stride)
 }

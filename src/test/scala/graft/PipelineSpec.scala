@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.functions.VectorFunctions
+import graft.functions.expressions.SimHashKernel
+import graft.io.QuantizedTables
+import graft.ops.{Dedup, Multimodal}
+import graft.streaming.EventStream
+
+/** Training-data-pipeline operators end-to-end: simhash near-dup behavior,
+  * LSH candidate generation, quantized-table round-trips, multimodal stub
+  * decode, and the streaming rollup vs its batch equivalent.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  test("simhash: identical text -> same hash; small edit -> small hamming") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (2L, "completely unrelated content about spark query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      VectorFunctions.simhash64(split(trim(col("text")), "\\s+")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) <= 16, s"near-dup hamming ${hamming(sh(0L), sh(1L))}")
+    assert(hamming(sh(0L), sh(2L)) > hamming(sh(0L), sh(1L)))
+  }
+
+  test("minhash LSH: exact duplicates always collide; pair count bounded") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, dir).limit(50)
+      .union(Tables.documents(spark, dir).limit(5) // inject exact dups
+        .withColumn("doc_id", col("doc_id") + 100000))
+    val pairs = Dedup.minhashLshPairs(docs).collect()
+    val dupPairs = pairs.filter(r => (r.getLong(1) - r.getLong(0)) == 100000).length
+    assert(dupPairs == 5, s"expected all 5 injected dups as candidates, got $dupPairs")
+  }
+
+  test("quantized tables round-trip and keep search recall") {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tmp = java.nio.file.Files.createTempDirectory("quant").toString
+    QuantizedTables.writeF16(base, s"$tmp/f16")
+    QuantizedTables.writeI8(base, s"$tmp/i8")
+    val f16 = QuantizedTables.readF16(spark, s"$tmp/f16")
+    assert(f16.count() == base.count())
+    // decode(bits) ~ vec within fp16 tolerance for every row
+    val joined = base.join(f16, "id")
+      .select(array_max(zip_with(col("vec"),
+        VectorFunctions.halfDecode(col("bits")), (a, b) => abs(a - b))).as("err"))
+    assert(joined.filter(col("err") > 1e-3).count() == 0)
+    val i8 = QuantizedTables.readI8(spark, s"$tmp/i8")
+    assert(i8.select(max(abs(col("scale")))).collect()(0).getFloat(0) > 0)
+  }
+
+  test("multimodal stub decode: mapPartitions path matches column path") {
+    val media = Tables.documents(spark, dir).limit(100)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val viaDs = Multimodal.decodeMeta(media).collect()
+      .map(m => (m.doc_id, m.n_bytes, m.content_md5)).toSet
+    val viaCol = Multimodal.binaryMeta(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(viaDs == viaCol)
+    val frames = Multimodal.sampleFrames(media, stride = 5)
+    assert(frames.count() >= 100) // at least one frame per doc
+  }
+
+  test("streaming hourly rollup matches batch rollup") {
+    // complete mode: append would hold back windows newer than the
+    // watermark, which never advance past EOF on a finite file source
+    val stream = EventStream.hourlyRollup(EventStream.readEvents(spark, dir))
+    val got = EventStream.runToMemory(stream, "rollup_test", "complete")
+      .select("hour_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables.events(spark, dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(date_trunc("hour", col("event_ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == batch)
+  }
+
+  test("streaming dedup removes re-read duplicates") {
+    val deduped = EventStream.dedupStream(EventStream.readEvents(spark, dir))
+    val got = EventStream.runToMemory(deduped, "dedup_test", "append").count()
+    assert(got == Tables.events(spark, dir).count()) // source has unique ids
+  }
+}
