@@ -36,17 +36,26 @@ def canon(rows, cols):
 
 
 def main(sf_dir, out_dir):
+    import os
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify emits each oracle under both '<name>' and '<name>.parquet';
+    # dedupe to bare names, then accept either artifact-dir layout.
+    dedup = {}
+    for k, v in oracle.items():
+        dedup[k[:-8] if k.endswith(".parquet") else k] = v
     n_pass = n_fail = 0
-    for name, sql in sorted(oracle.items()):
+    for name, sql in sorted(dedup.items()):
+        art = f"{out_dir}/{name}.parquet"
+        if not os.path.isdir(art):
+            art = f"{out_dir}/{name}"
         try:
             duck = con.execute(sql)
             dcols = [d[0] for d in duck.description]
             drows = duck.fetchall()
-            sp = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            sp = con.execute(f"SELECT * FROM read_parquet('{art}/*.parquet')")
             scols = [d[0] for d in sp.description]
             srows = sp.fetchall()
         except Exception as e:

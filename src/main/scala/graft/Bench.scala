@@ -1,12 +1,24 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, size => asize}
+
+import graft.core.Tables
+import graft.ops.LatencyStats
 
 /** Benchmark harness mirroring the reference's discipline
   * (`/root/reference/apps/nvdb_bench.cpp:317-322` warmup; repeated measured
   * runs per `Performance.md:406`): one warmup action per query (JIT +
-  * codegen + shuffle-file warm), then `runs` timed actions, report the
-  * median. Output: one JSON line the driver records as BENCH_r{N}.json.
+  * codegen + shuffle-file warm), then `runs` timed actions; the per-run
+  * samples feed avg/p50/p95/p99/QPS (`compute_lat_stats`,
+  * `apps/nvdb_ivf_eval.cpp:144-168`) and the headline value is the median.
+  *
+  * The timed action is a noop-format write — `count()` would let Catalyst
+  * prune projections and eliminate sorts, under-timing every projection
+  * query; the noop sink materializes every output row.
+  *
+  * Output: ONE raw JSON line on stdout (run is forked with StdoutOutput so
+  * sbt can't prefix it) and a copy at BENCH_LOCAL.json.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,18 +43,49 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
-      val secs =
+      val samples =
         try {
-          val action = () => { q(spark, sfDir).count(); () }
+          val action = () => q(spark, sfDir).write
+            .format("noop").mode("overwrite").save()
           action() // warmup: codegen, JIT, broadcast build
-          val times = Seq.fill(runs)(timeOne(action)).sorted
-          times(times.length / 2) // median
-        } catch { case _: Throwable => -1.0 }
-      name -> secs
+          Seq.fill(runs)(timeOne(action))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          Seq.empty[Double]
+        }
+      (name, samples)
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // A5: dataset geometry → bytes/query for the flat-scan family.
+    val (nVec, dim) =
+      try {
+        val e = Tables.embeddings(spark, sfDir)
+        (e.count(), e.select(asize(col("embedding"))).head().getInt(0))
+      } catch { case _: Throwable => (0L, 0) }
+    val scanBytes = LatencyStats.scanBytesPerQuery(nVec, dim)
+
+    def j(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null" else f"$d%.6f"
+    val medians = results.map { case (name, s) =>
+      name -> (if (s.isEmpty) -1.0 else s.sorted.apply(s.length / 2))
+    }
+    val qs = medians.map { case (k, v) => s""""$k":${j(v)}""" }.mkString("{", ",", "}")
+    val stats = results.collect { case (name, s) if s.nonEmpty =>
+      val st = LatencyStats.ofLatencies(s)
+      val bw = name match {
+        case "v1_knn_dot" | "v2_knn_l2" if st.avg > 0 && scanBytes > 0 =>
+          s""","bytes_per_query":$scanBytes,"gb_per_sec":${j(scanBytes / st.avg / 1e9)}"""
+        case _ => ""
+      }
+      s""""$name":{"avg":${j(st.avg)},"p50":${j(st.p50)},"p95":${j(st.p95)},"p99":${j(st.p99)},"qps":${j(st.qps)}$bw}"""
+    }.mkString("{", ",", "}")
+    val total = medians.map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"stats":$stats,"n_vectors":$nVec,"dim":$dim,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

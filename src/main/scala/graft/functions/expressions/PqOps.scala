@@ -1,0 +1,164 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization kernels (C3) — the Spark-native re-expression of
+  * the reference's FAISS IVF-PQ path (`/root/reference/apps/
+  * nvdb_ivfpq_build.cpp:76-129`; ADC evaluation via `nvdb_ivf_eval`).
+  *
+  * A codebook is m sub-quantizers × ksub centroids × dsub dims. Encoding
+  * maps a D-dim float vector to m bytes (argmin-L2 per subspace); scoring
+  * is Asymmetric Distance Computation: the query side expands to an
+  * m×ksub lookup table ONCE per query (broadcast side), and each base row
+  * costs m table lookups instead of D multiply-adds — the reference's
+  * 42 MB-vs-738 MB memory/bandwidth trade (`Performance.md:621-623`).
+  *
+  * Codebooks ride into codegen as reference objects, like the IVF
+  * centroid matrix in [[CentroidOps]].
+  */
+object PqOps {
+
+  /** argmin-L2 code per subspace → m bytes. `x` must have m*dsub dims. */
+  def encode(v: ArrayData, books: Array[Array[Array[Float]]]): ArrayData = {
+    val x = v.toFloatArray()
+    val m = books.length
+    val out = new Array[Byte](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val cb = books(s)
+      val dsub = cb(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val t = x(off + i) - cent(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      off += dsub
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC lookup table for a query: lut[s*ksub + c] = L2²(q_sub, cb[s][c])
+    * (or dot for IP ranking). Built once per query on the broadcast side.
+    */
+  def lut(q: ArrayData, books: Array[Array[Array[Float]]], l2: Boolean): ArrayData = {
+    val x = q.toFloatArray()
+    val m = books.length
+    val ksub = books(0).length
+    val out = new Array[Float](m * ksub)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val cb = books(s)
+      val dsub = cb(0).length
+      var c = 0
+      while (c < ksub) {
+        val cent = cb(c)
+        var acc = 0.0
+        var i = 0
+        if (l2) while (i < dsub) { val t = x(off + i) - cent(i); acc += t * t; i += 1 }
+        else while (i < dsub) { acc += x(off + i).toDouble * cent(i).toDouble; i += 1 }
+        out(s * ksub + c) = acc.toFloat
+        c += 1
+      }
+      s += 1
+      off += dsub
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score: m lookups, double-accumulated. */
+  def adc(codes: ArrayData, lutArr: ArrayData): Double = {
+    val cs = codes.toByteArray()
+    val l = lutArr.toFloatArray()
+    val m = cs.length
+    val ksub = l.length / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) { acc += l(s * ksub + (cs(s) & 0xff)); s += 1 }
+    acc
+  }
+
+  /** Residual vs a coarse centroid: vec - centroids[cid] (IVF-PQ encodes
+    * residuals, `nvdb_ivfpq_build.cpp` via FAISS IndexIVFPQ).
+    */
+  def residual(v: ArrayData, cid: Int, centroids: Array[Array[Float]]): ArrayData = {
+    val x = v.toFloatArray()
+    val c = centroids(cid)
+    val out = new Array[Float](x.length)
+    var i = 0
+    while (i < x.length) { out(i) = x(i) - c(i); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `pq_encode(vec)` → array<byte> of m sub-quantizer codes. */
+case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    PqOps.encode(v.asInstanceOf[ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", books, "float[][][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.expressions.PqOps.encode($v, $ref)")
+  }
+  override def prettyName: String = "pq_encode"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `pq_lut(qvec)` → array<float> ADC table (m*ksub), L2 or IP flavor. */
+case class PqLut(child: Expression, books: Array[Array[Array[Float]]], l2: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    PqOps.lut(v.asInstanceOf[ArrayData], books, l2)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", books, "float[][][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.expressions.PqOps.lut($v, $ref, $l2)")
+  }
+  override def prettyName: String = "pq_lut"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `pq_adc(codes, lut)` → approximate distance/similarity. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(ByteType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(codes: Any, lutArr: Any): Any =
+    PqOps.adc(codes.asInstanceOf[ArrayData], lutArr.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.functions.expressions.PqOps.adc($c, $l)")
+  override def prettyName: String = "pq_adc"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** `centroid_residual(vec, cluster_id)` → vec - centroid[cluster_id]. */
+case class CentroidResidual(left: Expression, right: Expression,
+                            centroids: Array[Array[Float]])
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any, cid: Any): Any =
+    PqOps.residual(v.asInstanceOf[ArrayData], cid.asInstanceOf[Int], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.expressions.PqOps.residual($v, $c, $ref)")
+  }
+  override def prettyName: String = "centroid_residual"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}

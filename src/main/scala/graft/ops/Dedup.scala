@@ -84,16 +84,38 @@ object Dedup {
       .select(col("a"), col("b"), jac.as("jaccard"))
   }
 
-  /** Embedding-cosine near-duplicate pairs among vectors sharing an LSH
-    * sign-bucket (random-hyperplane-free variant: bucket = sign pattern of
-    * a few fixed coordinates — cheap, deterministic; for production use
-    * random projections per Charikar).
+  /** Embedding-cosine near-duplicate pairs via random-hyperplane sign-LSH
+    * (Charikar SimHash for vectors): each of `nTables` independent tables
+    * hashes a vector to the sign pattern of `nPlanes` seeded Gaussian
+    * hyperplane projections; only vectors sharing a (table, bucket) key are
+    * pair-compared, then verified with true cosine — the same
+    * candidate-then-verify shape as [[minhashLshPairs]]. No cross join:
+    * the only shuffle is on bucket keys, within-bucket work is O(bucket²)
+    * with ~N/2^nPlanes expected bucket size.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double, idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
-    val a = emb.select(col(idCol).as("a"), col(vecCol).as("vec_a"))
-    val b = emb.select(col(idCol).as("b"), col(vecCol).as("vec_b"))
-    a.crossJoin(b).filter(col("a") < col("b"))
+                        vecCol: String = "embedding", nPlanes: Int = 12,
+                        nTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val sigCols = (0 until nTables).map { t =>
+      val rnd = new scala.util.Random(seed * 1000003L + t)
+      val bits = (0 until nPlanes).map { p =>
+        val plane = Array.fill(dim)(rnd.nextGaussian().toFloat)
+        when(VectorFunctions.dot(col(vecCol), typedLit(plane)) >= 0.0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bits.as("key"))
+    }
+    val banded = emb
+      .select(col(idCol), explode(array(sigCols: _*)).as("tk"))
+      .select(col(idCol), col("tk.t").as("t"), col("tk.key").as("key"))
+    val l = banded.select(col("t"), col("key"), col(idCol).as("a"))
+    val r = banded.select(col("t"), col("key"), col(idCol).as("b"))
+    val cand = l.join(r, Seq("t", "key")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val va = emb.select(col(idCol).as("a"), col(vecCol).as("vec_a"))
+    val vb = emb.select(col(idCol).as("b"), col(vecCol).as("vec_b"))
+    cand.join(va, Seq("a")).join(vb, Seq("b"))
       .select(col("a"), col("b"),
         VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.functions.expressions.{CentroidResidual, PqAdc, PqEncode, PqLut}
+
+/** Product quantization (C3): per-subspace KMeans codebooks, byte codes,
+  * ADC lookup-table scoring, optional IVF coarse stage with residual
+  * encoding — the reference's `apps/nvdb_ivfpq_build.cpp:76-129` semantics
+  * (PQ-without-OPQ first, per SURVEY §7.4.4).
+  *
+  * Scale design: codebooks are tiny (m × ksub × dsub floats) and broadcast
+  * as codegen reference objects. The base table stores m BYTES per row
+  * instead of D floats (64-d f32: 256 B → 8 B, the reference's 42 MB vs
+  * 738 MB index). Search is the same broadcast-scan shape as exact search
+  * but each row costs m lookups, and the scan reads only the codes column.
+  */
+object Pq {
+
+  /** m × ksub × dsub codebook matrix. */
+  type Codebooks = Array[Array[Array[Float]]]
+
+  /** Train per-subspace KMeans codebooks on the deterministic id-prefix.
+    * `dim % m == 0` required (FAISS requires the same).
+    */
+  def train(base: DataFrame, m: Int, ksub: Int, ntrain: Int = 200000,
+            seed: Long = 42L, vecCol: String = "vec",
+            idCol: String = "id"): Codebooks = {
+    val sample = base.orderBy(col(idCol)).limit(ntrain).select(col(vecCol)).cache()
+    try {
+      val dim = sample.select(size(col(vecCol))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      (0 until m).map { s =>
+        val sub = sample.select(
+          array_to_vector(slice(col(vecCol), s * dsub + 1, dsub)).as("features"))
+        val model = new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(15)
+          .setFeaturesCol("features").fit(sub)
+        model.clusterCenters.map(_.toArray.map(_.toFloat))
+      }.toArray
+    } finally sample.unpersist()
+  }
+
+  def pqEncode(vec: Column, books: Codebooks): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), books))
+  def pqLut(qvec: Column, books: Codebooks, l2: Boolean = true): Column =
+    Bridge.column(PqLut(Bridge.expression(qvec), books, l2))
+  def pqAdc(codes: Column, lut: Column): Column =
+    Bridge.column(PqAdc(Bridge.expression(codes), Bridge.expression(lut)))
+  def centroidResidual(vec: Column, cid: Column, cents: Array[Array[Float]]): Column =
+    Bridge.column(CentroidResidual(Bridge.expression(vec), Bridge.expression(cid), cents))
+
+  /** Encode the base: (id, codes) — the compressed index table. */
+  def encode(base: DataFrame, books: Codebooks,
+             idCol: String = "id", vecCol: String = "vec"): DataFrame =
+    base.select(col(idCol), pqEncode(col(vecCol), books).as("codes"))
+
+  /** Flat ADC search: broadcast queries carry their per-query LUT; every
+    * base row costs m byte lookups. L2 flavor ranks ascending.
+    */
+  def search(encoded: DataFrame, queries: DataFrame, books: Codebooks, k: Int,
+             l2: Boolean = true, idCol: String = "id"): DataFrame = {
+    val q = queries.select(col("qid"), pqLut(col("qvec"), books, l2).as("lut"))
+    val scored = encoded.crossJoin(broadcast(q))
+      .select(col("qid"), col(idCol).as("gid"),
+        pqAdc(col("codes"), col("lut")).as("score"))
+    TopK.perGroup(scored, "qid", "gid", "score", k, larger = !l2)
+  }
+
+  /** ADC candidates → exact-L2 refine (J3), the reference's
+    * PQ+Refine operating point (recall 0.974 @ R=50, `Performance.md:623`).
+    */
+  def searchRefined(base: DataFrame, encoded: DataFrame, queries: DataFrame,
+                    books: Codebooks, k: Int, refineK: Int, l2: Boolean = true,
+                    idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val kSearch = math.max(refineK, k)
+    if (refineK <= k) search(encoded, queries, books, k, l2, idCol)
+    else {
+      val cands = search(encoded, queries, books, kSearch, l2, idCol)
+        .groupBy("qid").agg(collect_list(col("id")).as("cand_ids"))
+        .join(queries, Seq("qid"))
+        .select(col("qid"), col("qvec"), col("cand_ids"))
+      Search.refine(base.select(col(idCol), col(vecCol)), cands, k, idCol, vecCol)
+    }
+  }
+
+  /** A built IVF-PQ index: coarse centroids, residual codebooks, and the
+    * clustered+encoded table path (cluster_id, id, codes).
+    */
+  final case class Index(coarse: Array[Array[Float]], books: Codebooks,
+                         path: String) {
+    def encoded(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  }
+
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Index]()
+
+  /** Build (or fetch) an IVF-PQ index: coarse KMeans → residual = vec −
+    * coarse centroid → per-subspace codebooks trained on residuals →
+    * encode all rows → write partitioned by cluster_id. Exactly the
+    * reference's build pipeline (`nvdb_ivfpq_build.cpp:98-129`), with
+    * partition pruning standing in for inverted-list skipping.
+    */
+  def buildOrGet(spark: SparkSession, base: => DataFrame, cacheKey: String,
+                 nlist: Int, m: Int, ksub: Int, ntrain: Int,
+                 seed: Long = 42L, idCol: String = "id",
+                 vecCol: String = "vec"): Index = {
+    val key = s"$cacheKey|$nlist|$m|$ksub|$ntrain|$seed"
+    indexCache.computeIfAbsent(key, _ => {
+      val coarse = Ivf.train(base, nlist, ntrain, seed, vecCol, idCol)
+      val assigned = Ivf.assign(base, coarse, vecCol)
+        .withColumn("residual", centroidResidual(col(vecCol), col("cluster_id"), coarse))
+      val books = train(
+        assigned.select(col(idCol), col("residual").as(vecCol)),
+        m, ksub, ntrain, seed, vecCol, idCol)
+      val path = s"target/pq_cache/${java.lang.Integer.toHexString(key.hashCode)}"
+      assigned
+        .select(col(idCol), col("cluster_id"), pqEncode(col("residual"), books).as("codes"))
+        .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+      Index(coarse, books, path)
+    })
+  }
+
+  /** IVF-PQ probe: per query, nprobe nearest coarse cells; per (query,
+    * cell) an ADC LUT over the RESIDUAL query (q − centroid); score only
+    * rows in probed cells (partition-pruned join), top-k ascending L2.
+    */
+  def ivfpqSearch(idx: Index, spark: SparkSession, queries: DataFrame,
+                  nprobe: Int, k: Int, idCol: String = "id"): DataFrame = {
+    val probed = queries.select(col("qid"), col("qvec"),
+      explode(Ivf.nearestCentroids(col("qvec"), idx.coarse, nprobe)).as("cluster_id"))
+      .select(col("qid"), col("cluster_id"),
+        pqLut(centroidResidual(col("qvec"), col("cluster_id"), idx.coarse),
+          idx.books, l2 = true).as("lut"))
+    val scored = idx.encoded(spark)
+      .join(broadcast(probed), Seq("cluster_id"))
+      .select(col("qid"), col(idCol).as("gid"),
+        pqAdc(col("codes"), col("lut")).as("score"))
+    TopK.perGroup(scored, "qid", "gid", "score", k, larger = false)
+  }
+}

@@ -61,6 +61,29 @@ object Search {
       .agg(sort_array(collect_list(struct(col("rank"), col("id")))).as("ranked"))
       .select(col("qid"), expr("transform(ranked, r -> r.id)").as("gt_ids"))
 
+  /** gtbin-style strict validation (S7): the reference refuses a cached GT
+    * whose header/shape disagrees with the run
+    * (`apps/nvdb_ivf_eval.cpp:360-383`); the Parquet analogue is a schema
+    * check plus a uniform-k scan. Throws on mismatch.
+    */
+  def requireGroundTruth(gt: DataFrame, k: Int, nQueries: Long = -1L): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val sch = gt.schema
+    require(sch.fieldNames.sameElements(Array("qid", "gt_ids")),
+      s"GT schema must be (qid, gt_ids), got ${sch.fieldNames.mkString(",")}")
+    require(sch("qid").dataType == LongType, "qid must be long")
+    require(sch("gt_ids").dataType.isInstanceOf[ArrayType] &&
+      sch("gt_ids").dataType.asInstanceOf[ArrayType].elementType == LongType,
+      "gt_ids must be array<long>")
+    val counts = gt.agg(
+      count(lit(1)).as("q"),
+      count(when(size(col("gt_ids")) =!= k, 1)).as("bad")).collect()(0)
+    require(counts.getLong(1) == 0, s"${counts.getLong(1)} GT rows lack k=$k ids")
+    if (nQueries >= 0)
+      require(counts.getLong(0) == nQueries,
+        s"GT has ${counts.getLong(0)} queries, expected $nQueries")
+  }
+
   /** Candidate re-rank (refine) join (`apps/nvdb_ivf_eval.cpp:278-307`):
     * exact-L2 re-rank of per-query candidate id lists against the base.
     *

@@ -54,6 +54,26 @@ class IvfSpec extends AnyFunSuite {
     assigned.unpersist()
   }
 
+  test("staged probe+refine: refine never hurts recall; refineK<=k skips") {
+    val cents = Ivf.train(base, nlist = 16, ntrain = 500)
+    val assigned = Ivf.assign(base, cents).cache()
+    val gt = Search.groundTruth(base, queries, 10, Metric.Dot)
+    def rec(pred: org.apache.spark.sql.DataFrame): Double =
+      Ivf.meanRecall(pred, gt, 10).collect()(0).getDouble(0)
+    val plain = rec(Ivf.search(assigned, queries, cents, nprobe = 2, k = 10))
+    val refined = rec(Ivf.searchRefined(assigned, queries, cents,
+      nprobe = 2, k = 10, refineK = 30))
+    assert(refined >= plain - 1e-9,
+      s"refine degraded recall: $plain -> $refined")
+    // refine-skip: refineK <= k must be the identical plain-probe result
+    val a = Ivf.searchRefined(assigned, queries, cents, nprobe = 2, k = 10, refineK = 10)
+      .orderBy("qid", "rank").collect().toSeq
+    val b = Ivf.search(assigned, queries, cents, nprobe = 2, k = 10)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(a == b)
+    assigned.unpersist()
+  }
+
   test("clustered write partitions by cluster_id and prunes on read") {
     val cents = Ivf.train(base, nlist = 4, ntrain = 500)
     val path = java.nio.file.Files.createTempDirectory("ivf").toString

@@ -47,6 +47,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(dupPairs == 5, s"expected all 5 injected dups as candidates, got $dupPairs")
   }
 
+  test("embedding near-dups: injected near-identicals collide, no crossJoin") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // inject near-identical copies of 5 vectors (tiny perturbation of one
+    // coordinate keeps cosine ~0.9999)
+    val dups = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * 1.001f).otherwise(x)).as("embedding"))
+    val pairs = Dedup.embeddingNearDups(emb.union(dups), threshold = 0.99)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"LSH path must not cross-join:\n$plan")
+    val found = pairs.collect().filter(r => r.getLong(1) - r.getLong(0) == 100000)
+    assert(found.length == 5, s"expected 5 injected near-dups, got ${found.length}")
+  }
+
   test("quantized tables round-trip and keep search recall") {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -104,6 +104,20 @@ class SearchSpec extends AnyFunSuite {
     assert(r == 1.0, s"refine recall $r")
   }
 
+  test("GT validation accepts well-formed GT, rejects wrong k and schema") {
+    val gt = Search.groundTruth(base, queries, k = 10, Metric.Dot)
+    Search.requireGroundTruth(gt, 10, nQueries = 8)
+    intercept[IllegalArgumentException] {
+      Search.requireGroundTruth(gt, 11)
+    }
+    intercept[IllegalArgumentException] {
+      Search.requireGroundTruth(gt.withColumnRenamed("gt_ids", "ids"), 10)
+    }
+    intercept[IllegalArgumentException] {
+      Search.requireGroundTruth(gt, 10, nQueries = 99)
+    }
+  }
+
   test("search plan broadcasts queries and avoids shuffling the base") {
     val plan = Search.exactTopK(base, queries, 10, Metric.Dot)
       .queryExecution.executedPlan.toString
