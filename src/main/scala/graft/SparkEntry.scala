@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.ops.{Dedup, Ivf, Metric, Pq, Search, TextAnalysis, TopK}
+import graft.ops.{Dedup, Ivf, Metric, Opq, Pq, Search, TextAnalysis, TopK}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -238,6 +238,26 @@ object SparkEntry {
           col("n_queries"))
     }),
 
+    // C3 (OPQ variant): learned orthogonal rotation → IVF-PQ on the
+    // rotated space — the reference's OPQ-PQ index
+    // (`apps/nvdb_ivfpq_build.cpp:78-91`). GT is shared with a1-a3
+    // (orthogonal rotation preserves L2/dot ranking). Rows-only; gates in
+    // OpqSpec.
+    "a4_opq_recall" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val rot = Opq.trainRotationCached(dir, base, m = 8, ksub = 64,
+        ntrain = 300, iters = 3)
+      val idx = Pq.buildOrGet(s, Opq.rotateTable(base, rot, "vec"),
+        s"$dir|opq", nlist = 16, m = 8, ksub = 256, ntrain = 100000)
+      val pred = Pq.ivfpqSearch(idx, s, Opq.rotateTable(qs, rot, "qvec"),
+        nprobe = 8, k = 10)
+      val gt = Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot)
+      Ivf.meanRecall(pred, gt, 10)
+        .select(round(col("mean_recall"), 4).as("mean_recall"), col("n_queries"))
+    }),
+
     // ---- projection / limit / sampling (P1-P3) ----
     "p1_limit_prefix" -> ((s, dir) => {
       Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
@@ -270,12 +290,14 @@ object SparkEntry {
         .orderBy(col("h"))
     }),
     "d2_minhash" -> ((s, dir) => {
+      // one fused kernel pass computes all 4 signature components
+      val sig = TextFunctions.minhashSignature(col("text"), 5, 4)
       Tables.documents(s, dir).select(
         col("doc_id"),
-        TextFunctions.minhash(col("text"), 5, "0").as("mh0"),
-        TextFunctions.minhash(col("text"), 5, "1").as("mh1"),
-        TextFunctions.minhash(col("text"), 5, "2").as("mh2"),
-        TextFunctions.minhash(col("text"), 5, "3").as("mh3"))
+        element_at(sig, 1).as("mh0"),
+        element_at(sig, 2).as("mh1"),
+        element_at(sig, 3).as("mh2"),
+        element_at(sig, 4).as("mh3"))
         .orderBy(col("doc_id"))
     }),
     "d3_jaccard_pairs" -> ((s, dir) => {

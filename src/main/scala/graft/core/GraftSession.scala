@@ -15,6 +15,10 @@ object GraftSession {
       // the driver's events.parquet carries TIMESTAMP(NANOS) (not legal in
       // Spark's reader): surface it as long nanoseconds instead of failing
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the default 100-entry codegen cache thrashes across our ~30-query
+      // bench sweep (every action recompiles every stage; measured 18x
+      // inflation on v6) — size it to hold the whole working set
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

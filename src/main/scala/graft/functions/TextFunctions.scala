@@ -31,20 +31,40 @@ object TextFunctions {
   /** One MinHash component: min over shingles of md5(salt ‖ shingle).
     * A hex md5 min is a uniform permutation sample, so
     * P(minhash_a == minhash_b) ≈ Jaccard(shingles_a, shingles_b).
+    * Fused kernel — one pass over shingles, digests compared as bytes.
     */
   def minhash(text: Column, shingleSize: Int, salt: String): Column =
+    element_at(minhashSignatureSalted(text, shingleSize, Seq(salt)), 1)
+
+  /** Interpreted Column twin of [[minhash]] (slow, trusted oracle). */
+  def minhashHof(text: Column, shingleSize: Int, salt: String): Column =
     array_min(transform(shingles(text, shingleSize), s => md5(concat(lit(salt), s))))
+
+  /** MinHash signature over explicit salts, one fused pass. */
+  def minhashSignatureSalted(text: Column, shingleSize: Int, salts: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.expressions.MinhashSig(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), shingleSize, salts))
 
   /** MinHash signature as an array of `numHashes` hex minima. */
   def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
-    array((0 until numHashes).map(j => minhash(text, shingleSize, j.toString)): _*)
+    minhashSignatureSalted(text, shingleSize, (0 until numHashes).map(_.toString))
 
-  /** LSH band key: concatenated minhashes `bandStart until bandStart+rows`.
-    * Docs sharing any band key are near-dup candidates (bucket join).
+  /** LSH band keys from a signature column: band b = minhashes
+    * `[b*rows, (b+1)*rows)` joined with '|'. Docs sharing any band key are
+    * near-dup candidates (bucket join).
     */
-  def minhashBand(text: Column, shingleSize: Int, bandStart: Int, rows: Int): Column =
-    concat_ws("|", (bandStart until bandStart + rows)
-      .map(j => minhash(text, shingleSize, j.toString)): _*)
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws("|", (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
+    }: _*)
+
+  /** LSH band key computed directly from text (single fused pass). */
+  def minhashBand(text: Column, shingleSize: Int, bandStart: Int, rows: Int): Column = {
+    val sig = minhashSignatureSalted(text, shingleSize,
+      (bandStart until bandStart + rows).map(_.toString))
+    concat_ws("|", (0 until rows).map(r => element_at(sig, r + 1)): _*)
+  }
 
   /** Jaccard similarity of distinct character n-gram sets. */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
@@ -108,9 +128,15 @@ object TextFunctions {
   }
 
   /** Rolling-hash document fingerprint: min md5 over word k-gram windows
-    * (winnowing-style, deterministic cross-engine).
+    * (winnowing-style, deterministic cross-engine). Fused kernel.
     */
-  def fingerprint(text: Column, k: Int): Column = {
+  def fingerprint(text: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.expressions.FingerprintMin(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), k))
+
+  /** Interpreted Column twin of [[fingerprint]] (slow, trusted oracle). */
+  def fingerprintHof(text: Column, k: Int): Column = {
     val toks = tokens(text)
     val windows = transform(
       sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),

@@ -70,5 +70,12 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("graft_half_encode", es => HalfEncode(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_half_decode", es => HalfDecode(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_quantize_i8", es => QuantizeI8(es.head), "built-in")
+    // n/k parameters must be literals at SQL registration time
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      es => MinhashSig(es.head, 5, (0 until 4).map(_.toString)), "built-in")
+    reg.createOrReplaceTempFunction("graft_fingerprint",
+      es => FingerprintMin(es.head, 3), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      es => SimHash64(es.head), "built-in")
   }
 }

@@ -35,10 +35,12 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, shingleSize: Int = 5, bands: Int = 4,
                       rowsPerBand: Int = 2, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
+    // ONE fused minhash pass computes all bands*rowsPerBand components
+    val sig = TextFunctions.minhashSignatureSalted(col(textCol), shingleSize,
+      (0 until bands * rowsPerBand).map(_.toString))
     val banded = docs.select(
       col(idCol),
-      posexplode(array((0 until bands).map(b =>
-        TextFunctions.minhashBand(col(textCol), shingleSize, b * rowsPerBand, rowsPerBand)): _*))
+      posexplode(TextFunctions.bandKeys(sig, bands, rowsPerBand))
         .as(Seq("band", "key")))
     val l = banded.select(col("band"), col("key"), col(idCol).as("a"))
     val r = banded.select(col("band"), col("key"), col(idCol).as("b"))

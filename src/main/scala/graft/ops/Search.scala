@@ -61,6 +61,23 @@ object Search {
       .agg(sort_array(collect_list(struct(col("rank"), col("id")))).as("ranked"))
       .select(col("qid"), expr("transform(ranked, r -> r.id)").as("gt_ids"))
 
+  /** P5: fail-fast dim/shape validation, the analogue of the reference's
+    * pre-scan checks (`apps/nvdb_search.cpp:20-24`,
+    * `apps/nvdb_ivf_eval.cpp:343-347`): every base and query vector must
+    * share one dimension. One cheap aggregate pass; call at pipeline
+    * boundaries (index build, eval harness), not per query.
+    */
+  def requireSameDim(base: DataFrame, queries: DataFrame,
+                     vecCol: String = "vec", qvecCol: String = "qvec"): Int = {
+    val b = base.agg(min(size(col(vecCol))), max(size(col(vecCol)))).collect()(0)
+    val q = queries.agg(min(size(col(qvecCol))), max(size(col(qvecCol)))).collect()(0)
+    require(b.getInt(0) == b.getInt(1), s"ragged base dims ${b.getInt(0)}..${b.getInt(1)}")
+    require(q.getInt(0) == q.getInt(1), s"ragged query dims ${q.getInt(0)}..${q.getInt(1)}")
+    require(b.getInt(0) == q.getInt(0),
+      s"dim mismatch: base ${b.getInt(0)} vs query ${q.getInt(0)}")
+    b.getInt(0)
+  }
+
   /** gtbin-style strict validation (S7): the reference refuses a cached GT
     * whose header/shape disagrees with the run
     * (`apps/nvdb_ivf_eval.cpp:360-383`); the Parquet analogue is a schema
@@ -93,8 +110,13 @@ object Search {
     */
   def refine(base: DataFrame, candidates: DataFrame, k: Int,
              idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    // P4: drop sentinel/invalid candidate ids before the join — the
+    // reference's validity filter (`apps/nvdb_ivf_eval.cpp:292-296,
+    // 584-586`, sentinel 0xFFFFFFFF / id < 0). The equi-join would drop
+    // them anyway, but filtering first keeps the shuffle free of them.
     val cand = candidates.select(col("qid"), col("qvec"),
       explode(col("cand_ids")).as("cand_id"))
+      .filter(col("cand_id") >= 0)
     val scored = cand
       .join(base.select(col(idCol).as("cand_id"), col(vecCol).as("base_vec")), Seq("cand_id"))
       .select(col("qid"), col("cand_id"),

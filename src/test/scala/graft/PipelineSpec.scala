@@ -36,6 +36,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(hamming(sh(0L), sh(2L)) > hamming(sh(0L), sh(1L)))
   }
 
+  test("fused md5-min kernels match their interpreted Column twins") {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, dir).limit(100)
+    val mh = docs.select(
+      TextFunctions.minhash(col("text"), 5, "0").as("k0"),
+      TextFunctions.minhashHof(col("text"), 5, "0").as("h0"),
+      TextFunctions.minhash(col("text"), 5, "7").as("k7"),
+      TextFunctions.minhashHof(col("text"), 5, "7").as("h7"),
+      TextFunctions.fingerprint(col("text"), 3).as("kf"),
+      TextFunctions.fingerprintHof(col("text"), 3).as("hf"))
+    assert(mh.filter(col("k0") =!= col("h0") || col("k7") =!= col("h7") ||
+      col("kf") =!= col("hf")).count() == 0)
+    // edge cases: empty, shorter-than-n, multi-space, unicode
+    val s = spark
+    import s.implicits._
+    val edge = Seq("", "ab", "a  b   c", "héllo wörld. ünïcode!").toDF("text")
+    val bad = edge.select(
+      (TextFunctions.minhash(col("text"), 5, "0") =!=
+        TextFunctions.minhashHof(col("text"), 5, "0")).as("m"),
+      (TextFunctions.fingerprint(col("text"), 3) =!=
+        TextFunctions.fingerprintHof(col("text"), 3)).as("f"))
+      .filter(col("m") || col("f")).count()
+    assert(bad == 0)
+  }
+
   test("minhash LSH: exact duplicates always collide; pair count bounded") {
     val s = spark
     import s.implicits._

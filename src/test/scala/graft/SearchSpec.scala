@@ -104,6 +104,24 @@ class SearchSpec extends AnyFunSuite {
     assert(r == 1.0, s"refine recall $r")
   }
 
+  test("dim validation passes on fixtures, rejects mismatched dims") {
+    assert(Search.requireSameDim(base, queries) == 64)
+    val truncated = queries.withColumn("qvec", slice(col("qvec"), 1, 32))
+    intercept[IllegalArgumentException] {
+      Search.requireSameDim(base, truncated)
+    }
+  }
+
+  test("refine drops sentinel candidate ids (validity filter)") {
+    val cands = Search.groundTruth(base, queries, k = 5, Metric.Dot)
+      .withColumnRenamed("gt_ids", "cand_ids").join(queries, Seq("qid"))
+      .withColumn("cand_ids", concat(col("cand_ids"), array(lit(-1L), lit(-999L))))
+    val refined = Search.refine(base, cands, k = 10)
+    // sentinels never surface; only the 5 real candidates per query remain
+    assert(refined.filter(col("id") < 0).count() == 0)
+    assert(refined.groupBy("qid").count().filter(col("count") =!= 5).count() == 0)
+  }
+
   test("GT validation accepts well-formed GT, rejects wrong k and schema") {
     val gt = Search.groundTruth(base, queries, k = 10, Metric.Dot)
     Search.requireGroundTruth(gt, 10, nQueries = 8)
