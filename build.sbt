@@ -29,7 +29,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // a ~30-query sweep generates hundreds of codegen classes; the default
   // 240m JIT code cache fills mid-run, compilation stops, and whatever
   // query runs next goes interpreted (measured 10-18x inflation late in

@@ -47,11 +47,18 @@ object Bench {
           val action = () => q(spark, sfDir).write
             .format("noop").mode("overwrite").save()
           action() // warmup: codegen, JIT, broadcast build
+          System.gc() // settle the heap before timing starts
           Seq.fill(runs)(timeOne(action))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Seq.empty[Double]
         }
+      // between queries (outside any timed region): a driver GC lets
+      // Spark's ContextCleaner reclaim the accumulated broadcasts/shuffles
+      // of the sweep — without it heap pressure builds until a full-GC
+      // stall lands inside some later query's timed run (measured one
+      // 230 s q1 sample in a 37-query sweep)
+      System.gc()
       (name, samples)
     }
 

@@ -109,6 +109,34 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Catalyst join-reorder showcase: 3-table join with selective filters
+    // on every side (TPC-H Q3 shape); broadcast for the small dim side.
+    "q6_ship_priority" -> ((s, dir) => {
+      def dec8(c: org.apache.spark.sql.Column) = c.cast("decimal(28,8)")
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1997-06-01"))
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1997-06-01"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec8(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    }),
+    // Window function family: exact running total per customer (decimal
+    // accumulation -> order-independent, engine-exact).
+    "q7_running_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir).filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+            .cast("double").as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // ---- vector search family (J1/K1, F1/F5/F8) ----
     "v1_knn_dot" -> ((s, dir) => knnDot(s, dir)),
     "v2_knn_l2" -> ((s, dir) => knnL2(s, dir)),
@@ -367,6 +395,30 @@ object SparkEntry {
         .orderBy(col("user_id"), col("rn"))
     }),
 
+    // Gap-based sessionization, batch flavor (the streaming twin is gated
+    // stream==batch in SessionizeSpec). sum_value omitted: double sums
+    // are order-dependent; the count/extent columns are exact.
+    "e3_sessions" -> ((s, dir) => {
+      graft.streaming.Sessionize.batch(Tables.events(s, dir), gapMinutes = 120)
+        .select(col("user_id"), col("start_micros"), col("end_micros"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_micros"))
+    }),
+    // Token counting: whitespace tokens + BPE-ish regex token classes
+    // (letters / digits / single punctuation, the GPT-2 pretokenizer
+    // shape).
+    "t4_token_classes" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+          .cast("long").as("n_bpe_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)"))
+          .cast("long").as("n_word_tokens"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)"))
+          .cast("long").as("n_num_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal plumbing (binary columns + stub decode) ----
     "m1_binary_meta" -> ((s, dir) => {
       val media = Tables.documents(s, dir)
@@ -379,6 +431,16 @@ object SparkEntry {
         (lit(64) + (octet_length(col("payload")) * 7) % 768).cast("int").as("fake_height"),
         (lit(1) + octet_length(col("payload")) % 30).cast("int").as("fake_frames"))
         .orderBy(col("doc_id"))
+    }),
+    // Frame-sampling explode over the stubbed video payloads (deterministic
+    // byte-stat "frames", real explode/partition shape).
+    "m2_frame_sample" -> ((s, dir) => {
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      graft.ops.Multimodal.sampleFrames(media, stride = 5)
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("frame_idx"), col("frame_off"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }),
   )
 
@@ -420,6 +482,58 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-02-01' AND l_discount > 0.05
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q6_ship_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q7_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e3_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_micros
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_micros,
+        |    CASE WHEN lag(ts_micros) OVER w IS NULL
+        |           OR ts_micros - lag(ts_micros) OVER w > 7200000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_micros)),
+        |g AS (
+        |  SELECT user_id, ts_micros,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_micros
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, min(ts_micros) AS start_micros,
+        |  max(ts_micros) AS end_micros, count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, start_micros""".stripMargin,
+    "t4_token_classes" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word_tokens,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m2_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, CAST(u AS INT) AS frame_idx,
+        |  CAST(u * 5 AS INT) AS frame_off
+        |FROM (SELECT doc_id, n,
+        |  unnest(range(0, CAST(floor((n % 30) / 5.0) AS BIGINT) + 1)) AS u FROM m)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "v1_knn_dot" ->
       """SELECT q.vec_id AS qid, b.vec_id AS id,
         |  round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS score

@@ -140,10 +140,21 @@ object Opq {
   private val rotCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
-  /** Build-once cached rotation (training is DDL, like the IVF/PQ caches). */
+  /** Build-once cached rotation (training is DDL, like the IVF/PQ caches);
+    * persisted on disk for cross-JVM reuse.
+    */
   def trainRotationCached(cacheKey: String, base: => DataFrame, m: Int,
                           ksub: Int, ntrain: Int, iters: Int = 8,
-                          seed: Long = 42L): Array[Array[Float]] =
-    rotCache.computeIfAbsent(s"$cacheKey|$m|$ksub|$ntrain|$iters|$seed",
-      _ => trainRotation(base, m, ksub, ntrain, iters, seed))
+                          seed: Long = 42L): Array[Array[Float]] = {
+    val key = s"$cacheKey|$m|$ksub|$ntrain|$iters|$seed"
+    rotCache.computeIfAbsent(key, _ => {
+      new java.io.File("target/opq_cache").mkdirs()
+      val file = s"target/opq_cache/${java.lang.Integer.toHexString(key.hashCode)}.rot.bin"
+      Ivf.loadMatrix(file).getOrElse {
+        val r = trainRotation(base, m, ksub, ntrain, iters, seed)
+        Ivf.saveMatrix(file, r)
+        r
+      }
+    })
+  }
 }

@@ -99,11 +99,42 @@ object Pq {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
+  private def saveBooks(file: String, books: Codebooks): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(file)))
+    try {
+      out.writeInt(books.length)
+      books.foreach { sub =>
+        out.writeInt(sub.length)
+        out.writeInt(if (sub.isEmpty) 0 else sub(0).length)
+        sub.foreach(_.foreach(out.writeFloat))
+      }
+    } finally out.close()
+  }
+
+  private def loadBooks(file: String): Option[Codebooks] =
+    if (!new java.io.File(file).isFile) None
+    else {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(file)))
+      try {
+        val m = in.readInt()
+        Some(Array.fill(m) {
+          val rows = in.readInt()
+          val cols = in.readInt()
+          Array.fill(rows)(Array.fill(cols)(in.readFloat()))
+        })
+      } catch { case _: java.io.IOException => None }
+      finally in.close()
+    }
+
   /** Build (or fetch) an IVF-PQ index: coarse KMeans → residual = vec −
     * coarse centroid → per-subspace codebooks trained on residuals →
     * encode all rows → write partitioned by cluster_id. Exactly the
     * reference's build pipeline (`nvdb_ivfpq_build.cpp:98-129`), with
-    * partition pruning standing in for inverted-list skipping.
+    * partition pruning standing in for inverted-list skipping. On-disk
+    * artifacts (encoded table + coarse centroids + codebooks) are reused
+    * across JVMs, like the reference's saved `.faiss` files.
     */
   def buildOrGet(spark: SparkSession, base: => DataFrame, cacheKey: String,
                  nlist: Int, m: Int, ksub: Int, ntrain: Int,
@@ -111,17 +142,24 @@ object Pq {
                  vecCol: String = "vec"): Index = {
     val key = s"$cacheKey|$nlist|$m|$ksub|$ntrain|$seed"
     indexCache.computeIfAbsent(key, _ => {
-      val coarse = Ivf.train(base, nlist, ntrain, seed, vecCol, idCol)
-      val assigned = Ivf.assign(base, coarse, vecCol)
-        .withColumn("residual", centroidResidual(col(vecCol), col("cluster_id"), coarse))
-      val books = train(
-        assigned.select(col(idCol), col("residual").as(vecCol)),
-        m, ksub, ntrain, seed, vecCol, idCol)
       val path = s"target/pq_cache/${java.lang.Integer.toHexString(key.hashCode)}"
-      assigned
-        .select(col(idCol), col("cluster_id"), pqEncode(col("residual"), books).as("codes"))
-        .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
-      Index(coarse, books, path)
+      (Ivf.loadMatrix(s"$path.coarse.bin"), loadBooks(s"$path.books.bin")) match {
+        case (Some(coarse), Some(books)) if new java.io.File(s"$path/_SUCCESS").isFile =>
+          Index(coarse, books, path)
+        case _ =>
+          val coarse = Ivf.train(base, nlist, ntrain, seed, vecCol, idCol)
+          val assigned = Ivf.assign(base, coarse, vecCol)
+            .withColumn("residual", centroidResidual(col(vecCol), col("cluster_id"), coarse))
+          val books = train(
+            assigned.select(col(idCol), col("residual").as(vecCol)),
+            m, ksub, ntrain, seed, vecCol, idCol)
+          assigned
+            .select(col(idCol), col("cluster_id"), pqEncode(col("residual"), books).as("codes"))
+            .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+          Ivf.saveMatrix(s"$path.coarse.bin", coarse)
+          saveBooks(s"$path.books.bin", books)
+          Index(coarse, books, path)
+      }
     })
   }
 
