@@ -11,7 +11,8 @@ object GraftSession {
 
   /** Apply graft's standard config to a builder. */
   def configure(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    b.withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // the driver's events.parquet carries TIMESTAMP(NANOS) (not legal in
       // Spark's reader): surface it as long nanoseconds instead of failing
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
