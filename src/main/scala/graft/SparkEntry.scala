@@ -31,15 +31,19 @@ object SparkEntry {
     Tables.embeddings(spark, dir).filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-  /** J1+K1+A1: exact flat-scan top-k (dot metric). */
+  /** J1+K1+A1 via J2: exact flat-scan top-k (dot), batched-scan plan —
+    * the base streams once and scores all queries per row
+    * (`apps/nvdb_bench.cpp:47-159`); bit-identical to the broadcast-NLJ
+    * path (ScaleSpec gates equality).
+    */
   private def knnDot(spark: SparkSession, dir: String): DataFrame =
-    Search.exactTopK(embBase(spark, dir), embQueries(spark, dir), k = 10, Metric.Dot)
+    Search.exactTopKBatched(embBase(spark, dir), embQueries(spark, dir), k = 10, Metric.Dot)
       .select(col("qid"), col("id"), round(col("score"), 4).as("score"))
       .orderBy(col("qid"), col("score").desc, col("id"))
 
-  /** K3/K4: exact k-nearest under squared L2. */
+  /** K3/K4: exact k-nearest under squared L2 (batched scan). */
   private def knnL2(spark: SparkSession, dir: String): DataFrame =
-    Search.exactTopK(embBase(spark, dir), embQueries(spark, dir), k = 10, Metric.L2)
+    Search.exactTopKBatched(embBase(spark, dir), embQueries(spark, dir), k = 10, Metric.L2)
       .select(col("qid"), col("id"), round(col("score"), 4).as("dist"))
       .orderBy(col("qid"), col("dist"), col("id"))
 
@@ -206,9 +210,9 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("score"), 4).as("score"))
         .orderBy(col("qid"), col("score").desc, col("id"))
     }),
-    // Cosine top-k (same flat-scan plan, cosine kernel).
+    // Cosine top-k (same batched flat-scan plan, cosine kernel).
     "v9_knn_cosine" -> ((s, dir) => {
-      Search.exactTopK(embBase(s, dir), embQueries(s, dir), k = 10, Metric.Cosine)
+      Search.exactTopKBatched(embBase(s, dir), embQueries(s, dir), k = 10, Metric.Cosine)
         .select(col("qid"), col("id"), round(col("score"), 4).as("score"))
         .orderBy(col("qid"), col("score").desc, col("id"))
     }),

@@ -61,10 +61,10 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("v1_knn_dot")(spark, dir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // codegen spans render as "*(n)" stage markers; the scored projection
-    // (scan -> join -> graft_dot) must carry one
+    // codegen spans render as "*(n)" stage markers; the batched-scan
+    // scoring stage (scan -> batch_scores -> posexplode) must carry one
     val starredScore = plan.linesIterator
-      .exists(l => l.contains("graft_dot") && l.trim.matches(""".*\*\(\d+\) Project.*"""))
+      .exists(l => l.contains("batch_scores") && l.trim.matches(""".*\*\(\d+\) .*"""))
     assert(starredScore, s"scan+score path not codegen'd:\n$plan")
   }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.functions.VectorFunctions
+
+/** The ad-hoc SQL surface: registered graft_* functions must run inside
+  * `spark.sql` and agree with the DataFrame API paths.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = {
+    val s = GraftSession.local(4)
+    VectorFunctions.register(s)
+    Tables.embeddings(s, dir).createOrReplaceTempView("emb")
+    s
+  }
+
+  test("SQL top-k with graft_dot matches the DataFrame path") {
+    val sql = spark.sql(
+      """SELECT b.vec_id AS id,
+        |  round(graft_dot(b.embedding, q.embedding), 6) AS score
+        |FROM emb b CROSS JOIN (SELECT embedding FROM emb WHERE vec_id = 3) q
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val e = Tables.embeddings(spark, dir)
+    val qv = e.filter(col("vec_id") === 3).select(col("embedding").as("qvec"))
+    val df = e.crossJoin(qv)
+      .select(col("vec_id").as("id"),
+        round(VectorFunctions.dot(col("embedding"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sql == df)
+    assert(sql.head._1 == 3L) // self-match first on normalized vectors
+  }
+
+  test("SQL quantize/norm/half functions execute and agree") {
+    val r = spark.sql(
+      """SELECT vec_id,
+        |  graft_norm2(embedding) AS n,
+        |  graft_quantize_i8(embedding).scale AS s,
+        |  graft_dot_half(embedding, graft_half_encode(embedding)) AS dh
+        |FROM emb WHERE vec_id < 5 ORDER BY vec_id""".stripMargin).collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(1) - 1.0) < 1e-3) // normalized
+      assert(row.getFloat(2) > 0f)
+      assert(math.abs(row.getDouble(3) - 1.0) < 1e-2) // fp16 self-dot ~ 1
+    }
+  }
+
+  test("SQL text kernels execute") {
+    spark.sql("SELECT 1").count() // ensure session init
+    Tables.documents(spark, dir).createOrReplaceTempView("docs")
+    val r = spark.sql(
+      """SELECT doc_id, graft_minhash_sig(text) AS sig, graft_fingerprint(text) AS fp,
+        |  graft_simhash64(split(trim(text), '\\s+')) AS sh
+        |FROM docs WHERE doc_id < 3 ORDER BY doc_id""".stripMargin).collect()
+    assert(r.length == 3)
+    assert(r.forall(_.getSeq[String](1).length == 4))
+    assert(r.forall(_.getString(2).length == 32))
+  }
+}
