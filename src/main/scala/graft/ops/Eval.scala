@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Evaluation harness: recall-vs-latency frontiers, the reference's
+  * `nvdb_ivf_eval` sweep (`/root/reference/apps/nvdb_ivf_eval.cpp:
+  * 310-782`; published frontier tables in `Performance.md:553-565`).
+  *
+  * Like the reference (and `Bench`), the sweep loop is harness-side:
+  * each operating point runs the probe query end-to-end `runs` times and
+  * records interpolated percentiles over the per-run latencies; recall
+  * compares against a cached exact ground truth.
+  */
+object Eval {
+
+  final case class Point(nprobe: Int, refineK: Int, meanRecall: Double,
+                         stats: LatencyStats.Stats)
+
+  /** Sweep IVF operating points (nprobe × refineK). Returns one row per
+    * point: (nprobe, refine_k, mean_recall, avg_s, p50_s, p95_s, p99_s,
+    * qps).
+    */
+  def ivfSweep(spark: SparkSession, idx: Ivf.Index, base: DataFrame,
+               queries: DataFrame, gt: DataFrame, k: Int,
+               nprobes: Seq[Int], refineKs: Seq[Int] = Seq(0),
+               runs: Int = 3): DataFrame = {
+    val clustered = idx.clustered(spark)
+    val points = for (np <- nprobes; rk <- refineKs) yield {
+      def job(): Double = {
+        val pred = Ivf.searchRefined(clustered, queries, idx.centroids,
+          np, k, rk)
+        Ivf.meanRecall(pred, gt, k).collect()(0).getDouble(0)
+      }
+      job() // warmup
+      var recall = 0.0
+      val times = Seq.fill(runs) {
+        val t0 = System.nanoTime()
+        recall = job()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Point(np, rk, recall, LatencyStats.ofLatencies(times))
+    }
+    import spark.implicits._
+    points.map(p => (p.nprobe, p.refineK, p.meanRecall, p.stats.avg,
+      p.stats.p50, p.stats.p95, p.stats.p99, p.stats.qps))
+      .toDF("nprobe", "refine_k", "mean_recall", "avg_s", "p50_s", "p95_s",
+        "p99_s", "qps")
+  }
+}
