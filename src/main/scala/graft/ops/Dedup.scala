@@ -86,6 +86,55 @@ object Dedup {
       .select(col("a"), col("b"), jac.as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph (a, b) by iterative
+    * min-label propagation: each node adopts the smallest component id
+    * among itself and its neighbors until a fixed point. Duplicate
+    * clusters are usually tiny and shallow, so convergence is fast
+    * (diameter-bounded); every iteration is one shuffle on node id.
+    * Returns (node, component) — component = smallest node id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .distinct().cache()
+    var labels = edges.select(col("x").as("node"))
+      .distinct().withColumn("component", col("node")).cache()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // each node pulls the min component among itself and its neighbors
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("node", "y"), Seq("y"))
+        .select(col("x").as("node"), col("component"))
+      val next = labels.select(col("node"), col("component"))
+        .union(viaEdges)
+        .groupBy("node").agg(min(col("component")).as("component"))
+        .cache()
+      next.count()
+      val changed = labels.alias("l").join(next.alias("n"), "node")
+        .filter(col("l.component") =!= col("n.component")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keeper selection: one row per document, with its duplicate-cluster
+    * component and whether it is the kept canonical copy (smallest id in
+    * the component; unpaired docs keep themselves).
+    */
+  def keepers(docs: DataFrame, pairs: DataFrame,
+              idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs)
+    docs.join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("keep", col(idCol) === col("component"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via random-hyperplane sign-LSH
     * (Charikar SimHash for vectors): each of `nTables` independent tables
     * hashes a vector to the sign pattern of `nPlanes` seeded Gaussian

@@ -72,6 +72,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(dupPairs == 5, s"expected all 5 injected dups as candidates, got $dupPairs")
   }
 
+  test("connected components + keepers: chains merge, smallest id kept") {
+    val s = spark
+    import s.implicits._
+    // two chains (1-2-3-4, 10-11) and an isolated pair (20,21)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L), s"chain not merged: $comp")
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    val docs = (1L to 5L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.keepers(docs, Seq((1L, 2L), (2L, 3L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(kept == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> true))
+  }
+
   test("embedding near-dups: injected near-identicals collide, no crossJoin") {
     val s = spark
     import s.implicits._
