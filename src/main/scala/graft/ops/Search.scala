@@ -155,6 +155,17 @@ object Search {
     TopK.perGroup(scored, "qid", "cand_id", "dist", k, larger = false)
   }
 
+  /** Write the base as a bucketed+sorted table: at 100 TB the refine
+    * equi-join (J3) against a bucketed base shuffles ONLY the exploded
+    * candidate rows — the base side reads its buckets in place (the
+    * co-located join SURVEY §2.5 calls for). Bucket count should track
+    * cluster size (e.g. 4096 at full scale).
+    */
+  def writeBucketedBase(base: DataFrame, table: String, buckets: Int = 256,
+                        idCol: String = "id"): Unit =
+    base.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, idCol).sortBy(idCol).saveAsTable(table)
+
   /** Recall@k vs ground truth (`apps/nvdb_ivf_eval.cpp:190-219,593`):
     * mean |GT ∩ predicted| / k over queries.
     *

@@ -56,6 +56,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cross join leaked in:\n$plan")
   }
 
+  test("bucketed base: refine-shaped join shuffles only the candidate side") {
+    import graft.core.Tables
+    import graft.ops.Search
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // clear any orphaned location from a previous aborted run
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_base")
+    val orphan = new java.io.File("spark-warehouse/graft_bucketed_base")
+    if (orphan.isDirectory) {
+      java.nio.file.Files.walk(orphan.toPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    Search.writeBucketedBase(base, "graft_bucketed_base", buckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cand = spark.range(0, 400).toDF("id")
+      val df = spark.table("graft_bucketed_base").join(cand, "id")
+      df.collect()
+      // AQE's toString repeats the plan under "Initial Plan" — count
+      // shuffles only in the executed (final) section
+      val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+      val exchanges = plan.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning")
+      assert(exchanges == 1, s"expected 1 shuffle (candidates only):\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"base not read as bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the scan+score hot path") {
     // AQE renders codegen spans only in the FINAL plan — execute first
     val df = SparkEntry.queries("v1_knn_dot")(spark, dir)
