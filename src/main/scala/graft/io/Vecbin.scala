@@ -163,6 +163,64 @@ object Vecbin {
     } finally out.close()
   }
 
+  /** Legacy raw12 reader (`src/vector_dataset.cpp:10-22,97-118`):
+    * {u32 count, u32 reserved, u32 dim} little-endian + f32 payload.
+    * Same distributed id-range read as vecbin64.
+    */
+  def readRaw12(spark: SparkSession, path: String, partitions: Int = 32): DataFrame = {
+    val f = new RandomAccessFile(path, "r")
+    val (count, dim) = try {
+      val buf = new Array[Byte](12)
+      f.readFully(buf)
+      val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+      val count = bb.getInt.toLong & 0xffffffffL
+      bb.getInt // reserved
+      val dim = bb.getInt
+      require(dim > 0, s"bad raw12 dim $dim")
+      require(f.length() == 12L + count * dim * 4L,
+        s"raw12 size mismatch: ${f.length()} != ${12L + count * dim * 4L}")
+      (count, dim)
+    } finally f.close()
+    val rows = spark.range(0, count, 1, math.min(partitions.toLong, math.max(count, 1)).toInt)
+      .rdd.mapPartitions { ids =>
+        val fi = new RandomAccessFile(path, "r")
+        val rowBuf = new Array[Byte](dim * 4)
+        val it = ids.map { id =>
+          fi.seek(12L + id * dim * 4L)
+          fi.readFully(rowBuf)
+          val v = new Array[Float](dim)
+          ByteBuffer.wrap(rowBuf).order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer().get(v)
+          Row(id, v.toSeq)
+        }
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = it.hasNext; if (!h) fi.close(); h }
+          def next(): Row = it.next()
+        }
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("vec", ArrayType(FloatType, false), false))))
+  }
+
+  /** raw12 export (single-file, id-ordered). */
+  def writeRaw12(df: DataFrame, path: String): Unit = {
+    val dim = df.selectExpr("size(vec)").head().getInt(0)
+    val count = df.count()
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path), 1 << 20))
+    try {
+      val hb = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      hb.putInt(count.toInt).putInt(0).putInt(dim)
+      out.write(hb.array())
+      val it = df.orderBy("id").toLocalIterator()
+      while (it.hasNext) {
+        val bb = ByteBuffer.allocate(dim * 4).order(ByteOrder.LITTLE_ENDIAN)
+        it.next().getSeq[Float](1).foreach(bb.putFloat)
+        out.write(bb.array())
+      }
+    } finally out.close()
+  }
+
   // ---- gtbin ----
 
   final case class GtHeader(metric: Int, k: Int, dim: Int, q: Long, n: Long)

@@ -79,6 +79,30 @@ class IngestSpec extends AnyFunSuite {
     assert(e1(0).getSeq[Float](1) != e1(1).getSeq[Float](1))
   }
 
+  test("full pipeline: chunk -> embed -> IVF index -> search retrieves own chunk") {
+    import graft.ops.{Ivf, Metric, Search}
+    val docs = Tables.documents(spark, dir).limit(200)
+    val vecs = Ingest.embedChunks(docs, maxChars = 400, dim = 32)
+      .withColumn("id", col("doc_id") * 1000 + col("chunk_index"))
+      .select(col("id"), col("embedding").as("vec"))
+      .cache()
+    val n = vecs.count()
+    assert(n >= 200)
+    // queries = a handful of chunk embeddings; exact search must self-match
+    val queries = vecs.orderBy("id").limit(8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val top1 = Search.exactTopKBatched(vecs, queries, k = 1, Metric.L2).collect()
+    top1.foreach(r => assert(r.getAs[Long]("qid") == r.getAs[Long]("id")))
+    // and the IVF path over the same embeddings keeps recall
+    val cents = Ivf.train(vecs, nlist = 8, ntrain = 500)
+    val pred = Ivf.search(Ivf.assign(vecs, cents), queries, cents, nprobe = 8, k = 5, Metric.L2)
+      .groupBy("qid").agg(collect_list(col("id")).as("pred_ids"))
+    val gt = Search.groundTruth(vecs, queries, 5, Metric.L2)
+    val recall = Search.recallAtK(pred, gt, 5).collect()(0).getDouble(0)
+    assert(recall == 1.0, s"full-probe recall $recall")
+    vecs.unpersist()
+  }
+
   test("rowmeta sidecar join carries doc metadata per chunk") {
     val docs = Tables.documents(spark, dir).limit(10)
     val chunks = Ingest.chunkByChars(docs, 200)

@@ -71,6 +71,20 @@ class VecbinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Vecbin.readHeader(p) }
   }
 
+  test("raw12 legacy round-trip") {
+    val p = tmp("base.raw12")
+    Vecbin.writeRaw12(base, p)
+    val back = Vecbin.readRaw12(spark, p)
+    assert(back.count() == 500)
+    val diff = base.alias("a").join(back.alias("b"), "id")
+      .filter(not(col("a.vec") <=> col("b.vec"))).count()
+    assert(diff == 0)
+    // truncated file rejected
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    raf.setLength(raf.length() - 8); raf.close()
+    intercept[IllegalArgumentException] { Vecbin.readRaw12(spark, p) }
+  }
+
   test("gtbin round-trip: search on vecbin-read base matches parquet GT") {
     val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
