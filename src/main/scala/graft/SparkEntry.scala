@@ -191,10 +191,7 @@ object SparkEntry {
     "v7_knn_half" -> ((s, dir) => {
       val hbase = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
         VectorFunctions.halfEncode(col("embedding")).as("hbits"))
-      val scored = hbase.crossJoin(broadcast(embQueries(s, dir)))
-        .select(col("qid"), col("id").as("gid"),
-          VectorFunctions.dotHalf(col("qvec"), col("hbits")).as("score"))
-      TopK.perGroup(scored, "qid", "gid", "score", 10, larger = true)
+      Search.exactTopKBatchedHalf(hbase, embQueries(s, dir), k = 10)
         .select(col("qid"), col("id"), round(col("score"), 4).as("score"))
         .orderBy(col("qid"), col("score").desc, col("id"))
     }),
@@ -203,10 +200,8 @@ object SparkEntry {
     "v8_knn_i8" -> ((s, dir) => {
       val qbase = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
         VectorFunctions.quantizeI8(col("embedding")).as("q"))
-      val scored = qbase.crossJoin(broadcast(embQueries(s, dir)))
-        .select(col("qid"), col("id").as("gid"),
-          VectorFunctions.dotI8(col("qvec"), col("q.codes"), col("q.scale")).as("score"))
-      TopK.perGroup(scored, "qid", "gid", "score", 10, larger = true)
+        .select(col("id"), col("q.codes").as("codes"), col("q.scale").as("scale"))
+      Search.exactTopKBatchedI8(qbase, embQueries(s, dir), k = 10)
         .select(col("qid"), col("id"), round(col("score"), 4).as("score"))
         .orderBy(col("qid"), col("score").desc, col("id"))
     }),

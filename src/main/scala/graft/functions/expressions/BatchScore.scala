@@ -1,6 +1,6 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -35,6 +35,34 @@ object BatchScore {
     }
     new GenericArrayData(out)
   }
+
+  /** fp16 flavor: decode the row's half bits ONCE, then score all
+    * queries. Bit-identical to per-pair `DotHalf` (same products, same
+    * accumulation order).
+    */
+  def scoresHalf(bits: ArrayData, queries: Array[Array[Float]]): ArrayData = {
+    val h = bits.toShortArray()
+    val x = new Array[Float](h.length)
+    var i = 0
+    while (i < h.length) { x(i) = VectorKernels.halfToFloat(h(i)); i += 1 }
+    val out = new Array[Double](queries.length)
+    var q = 0
+    while (q < queries.length) { out(q) = VectorKernels.dot(queries(q), x); q += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** int8 flavor: dequantized dot per query. */
+  def scoresI8(codes: ArrayData, scale: Float,
+               queries: Array[Array[Float]]): ArrayData = {
+    val c = codes.toByteArray()
+    val out = new Array[Double](queries.length)
+    var q = 0
+    while (q < queries.length) {
+      out(q) = VectorKernels.dotI8(queries(q), c, scale)
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `batch_scores(vec)` → array<double>, one score per broadcast query. */
@@ -51,4 +79,41 @@ case class BatchScores(child: Expression, queries: Array[Array[Float]], metric: 
   }
   override def prettyName: String = "batch_scores"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `batch_scores_half(bits)` → per-query dot against an fp16-bits row
+  * (each half decodes ONCE per row, not once per query).
+  */
+case class BatchScoresHalf(child: Expression, queries: Array[Array[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(ShortType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    BatchScore.scoresHalf(v.asInstanceOf[ArrayData], queries)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("queries", queries, "float[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.expressions.BatchScore.scoresHalf($v, $ref)")
+  }
+  override def prettyName: String = "batch_scores_half"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `batch_scores_i8(codes, scale)` → per-query dequantized dot. */
+case class BatchScoresI8(left: Expression, right: Expression,
+                         queries: Array[Array[Float]])
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(ByteType), FloatType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(codes: Any, scale: Any): Any =
+    BatchScore.scoresI8(codes.asInstanceOf[ArrayData],
+      scale.asInstanceOf[Float], queries)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("queries", queries, "float[][]")
+    defineCodeGen(ctx, ev, (c, s) =>
+      s"graft.functions.expressions.BatchScore.scoresI8($c, $s, $ref)")
+  }
+  override def prettyName: String = "batch_scores_i8"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
 }

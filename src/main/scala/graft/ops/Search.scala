@@ -82,6 +82,49 @@ object Search {
       .withColumnRenamed("qid", qidCol)
   }
 
+  private def collectQueries(queries: DataFrame, qidCol: String,
+                             qvecCol: String): (Array[Long], Array[Array[Float]]) = {
+    val q = queries.select(col(qidCol), col(qvecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    (q.map(_._1), q.map(_._2))
+  }
+
+  private def batchTopK(scored: DataFrame, qids: Array[Long], k: Int,
+                        larger: Boolean, qidCol: String): DataFrame =
+    TopK.perGroup(
+      scored.select(element_at(typedLit(qids), col("qpos") + 1).as("qid"),
+        col("gid"), col("score")),
+      "qid", "gid", "score", k, larger)
+      .withColumnRenamed("qid", qidCol)
+
+  /** Batched scan over an fp16-bits base (each row decodes once, scores
+    * all queries) — J2 over the F2 kernel.
+    */
+  def exactTopKBatchedHalf(hbase: DataFrame, queries: DataFrame, k: Int,
+                           idCol: String = "id", bitsCol: String = "hbits",
+                           qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.expressions.BatchScoresHalf
+    val (qids, qvecs) = collectQueries(queries, qidCol, qvecCol)
+    val scores = Bridge.column(BatchScoresHalf(Bridge.expression(col(bitsCol)), qvecs))
+    batchTopK(hbase.select(col(idCol).as("gid"),
+      posexplode(scores).as(Seq("qpos", "score"))), qids, k, larger = true, qidCol)
+  }
+
+  /** Batched scan over an int8+scale base — J2 over the F3 kernel. */
+  def exactTopKBatchedI8(qbase: DataFrame, queries: DataFrame, k: Int,
+                         idCol: String = "id", codesCol: String = "codes",
+                         scaleCol: String = "scale",
+                         qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.expressions.BatchScoresI8
+    val (qids, qvecs) = collectQueries(queries, qidCol, qvecCol)
+    val scores = Bridge.column(BatchScoresI8(
+      Bridge.expression(col(codesCol)), Bridge.expression(col(scaleCol)), qvecs))
+    batchTopK(qbase.select(col(idCol).as("gid"),
+      posexplode(scores).as(Seq("qpos", "score"))), qids, k, larger = true, qidCol)
+  }
+
   /** Exact ground truth build (`apps/nvdb_gt_build.cpp:74-104`):
     * top-k ids per query as an ordered array → (qid, gt_ids).
     */

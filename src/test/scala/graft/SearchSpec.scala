@@ -93,6 +93,29 @@ class SearchSpec extends AnyFunSuite {
     assert(r8 >= 0.9, s"int8 recall $r8")
   }
 
+  test("batched quantized scans match their per-pair BNLJ twins") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val hbase = base.select(col("id"), VectorFunctions.halfEncode(col("vec")).as("hbits"))
+    val bnljH = TopK.perGroup(
+      hbase.crossJoin(broadcast(queries))
+        .select(col("qid"), col("id").as("gid"),
+          VectorFunctions.dotHalf(col("qvec"), col("hbits")).as("score")),
+      "qid", "gid", "score", 10, larger = true)
+    assert(asSet(Search.exactTopKBatchedHalf(hbase, queries, 10)) == asSet(bnljH))
+
+    val qbase = base.select(col("id"), VectorFunctions.quantizeI8(col("vec")).as("q"))
+      .select(col("id"), col("q.codes").as("codes"), col("q.scale").as("scale"))
+    val bnljI = TopK.perGroup(
+      qbase.crossJoin(broadcast(queries))
+        .select(col("qid"), col("id").as("gid"),
+          VectorFunctions.dotI8(col("qvec"), col("codes"), col("scale")).as("score")),
+      "qid", "gid", "score", 10, larger = true)
+    assert(asSet(Search.exactTopKBatchedI8(qbase, queries, 10)) == asSet(bnljI))
+  }
+
   test("refine recovers exact top-k from a candidate superset") {
     val gtL2 = Search.groundTruth(base, queries, k = 5, Metric.L2)
     // candidates: exact top-50 by dot (superset of L2 top-5 on normalized)
