@@ -418,6 +418,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Semi-structured props: JSON field extraction + exact integer rollup
+    // (the metadata-sidecar shape of a real event pipeline).
+    "e4_props_rollup" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- multimodal plumbing (binary columns + stub decode) ----
     "m1_binary_meta" -> ((s, dir) => {
       val media = Tables.documents(s, dir)
@@ -714,6 +725,12 @@ object SparkEntry {
         |  list_min(list_transform(range(1, greatest(len(toks)-2, 1)+1),
         |    i -> md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')))) AS fp
         |FROM t ORDER BY doc_id""".stripMargin,
+    "e4_props_rollup" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s8_chunks" ->
       """WITH s AS (
         |  SELECT doc_id, lang,
