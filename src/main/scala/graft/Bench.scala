@@ -17,14 +17,20 @@ import graft.ops.LatencyStats
   * prune projections and eliminate sorts, under-timing every projection
   * query; the noop sink materializes every output row.
   *
-  * Output: ONE raw JSON line on stdout (run is forked with StdoutOutput so
-  * sbt can't prefix it) and a copy at BENCH_LOCAL.json.
+  * Output: ONE COMPACT machine JSON line on stdout (run is forked with
+  * StdoutOutput so sbt can't prefix it), printed after `spark.stop()` so it
+  * is the last line the program emits. The driver only captures the final
+  * ~2000 bytes of output, so the machine line carries just the total and
+  * per-query medians; the full per-query stats (avg/p50/p95/p99/QPS,
+  * bytes/query) live in BENCH_LOCAL.json.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // ≥5 runs: a sample of 2-3 lets one JIT/GC outlier shift the median
+    // (r2's q1 read 3.1 s p50 from a 15 s outlier run).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = graft.core.GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       shufflePartitions = cpus.toInt).getOrCreate()
@@ -72,10 +78,12 @@ object Bench {
 
     def j(d: Double): String =
       if (d.isNaN || d.isInfinite) "null" else f"$d%.6f"
+    def j4(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null" else f"$d%.4f"
     val medians = results.map { case (name, s) =>
       name -> (if (s.isEmpty) -1.0 else s.sorted.apply(s.length / 2))
     }
-    val qs = medians.map { case (k, v) => s""""$k":${j(v)}""" }.mkString("{", ",", "}")
+    val qs = medians.map { case (k, v) => s""""$k":${j4(v)}""" }.mkString("{", ",", "}")
     val stats = results.collect { case (name, s) if s.nonEmpty =>
       val st = LatencyStats.ofLatencies(s)
       val bw = name match {
@@ -86,12 +94,18 @@ object Bench {
       s""""$name":{"avg":${j(st.avg)},"p50":${j(st.p50)},"p95":${j(st.p95)},"p99":${j(st.p99)},"qps":${j(st.qps)}$bw}"""
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).filter(_ >= 0).sum
-    val line =
+    // Compact machine line: total + per-query medians ONLY. Must stay well
+    // under the driver's ~2000-byte tail window (with sbt's trailing
+    // "[success]" line inside the same window).
+    val machineLine =
+      s"""{"metric":"total","value":${j4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fullLine =
       s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"stats":$stats,"n_vectors":$nVec,"dim":$dim,"sf":"$sfDir"}"""
-    println(line)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
     catch { case _: Throwable => () }
-    spark.stop()
+    spark.stop() // stop BEFORE printing so no Spark shutdown output trails the line
+    println(machineLine)
+    System.out.flush()
   }
 }

@@ -38,6 +38,18 @@ object Vecbin {
 
   final case class Header(dtype: Int, dim: Int, count: Long)
 
+  /** Open the partition's file handle with a task-completion close: a
+    * partially consumed iterator (limit/take/failed task) never drains
+    * `hasNext`, so a drain-time close alone would leak the handle until GC.
+    * The drain-time close stays as the fast path; close() is idempotent.
+    */
+  private def openPartitionFile(path: String): RandomAccessFile = {
+    val f = new RandomAccessFile(path, "r")
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => f.close()))
+    f
+  }
+
   private def bytesPerElem(dtype: Int): Int = dtype match {
     case DtypeF32 => 4
     case DtypeF16 => 2
@@ -88,7 +100,7 @@ object Vecbin {
     }
     val rows = spark.range(0, count, 1, math.min(partitions, math.max(count, 1)).toInt)
       .rdd.mapPartitions { ids =>
-        val f = new RandomAccessFile(path, "r")
+        val f = openPartitionFile(path)
         val rowBuf = new Array[Byte](dim * bpe)
         val it = ids.map { id =>
           f.seek(64L + id * dim * bpe)
@@ -183,7 +195,7 @@ object Vecbin {
     } finally f.close()
     val rows = spark.range(0, count, 1, math.min(partitions.toLong, math.max(count, 1)).toInt)
       .rdd.mapPartitions { ids =>
-        val fi = new RandomAccessFile(path, "r")
+        val fi = openPartitionFile(path)
         val rowBuf = new Array[Byte](dim * 4)
         val it = ids.map { id =>
           fi.seek(12L + id * dim * 4L)
@@ -209,6 +221,10 @@ object Vecbin {
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path), 1 << 20))
     try {
+      // the header count is u32 — mirror readRaw12's strict validation
+      // instead of silently truncating a >2^32-row table into a corrupt file
+      require(count <= 0xffffffffL,
+        s"raw12 count field is u32; table has $count rows")
       val hb = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
       hb.putInt(count.toInt).putInt(0).putInt(dim)
       out.write(hb.array())
@@ -245,7 +261,7 @@ object Vecbin {
     } finally f.close()
     val k = h.k
     val rows = spark.range(0, h.q, 1, 8).rdd.mapPartitions { qids =>
-      val fi = new RandomAccessFile(path, "r")
+      val fi = openPartitionFile(path)
       val buf = new Array[Byte](k * 4)
       val it = qids.map { q =>
         fi.seek(64L + q * k * 4L)

@@ -107,10 +107,14 @@ object Dedup {
       val viaEdges = edges
         .join(labels.withColumnRenamed("node", "y"), Seq("y"))
         .select(col("x").as("node"), col("component"))
-      val next = labels.select(col("node"), col("component"))
+      var next = labels.select(col("node"), col("component"))
         .union(viaEdges)
         .groupBy("node").agg(min(col("component")).as("component"))
-        .cache()
+      // cache() alone keeps growing the logical plan — each iteration's
+      // lineage nests the last. Truncate it every few iterations so deep
+      // graphs (long dup chains) don't blow up analysis time or recovery
+      // cost; localCheckpoint materializes and cuts lineage in one pass.
+      next = if ((it + 1) % 5 == 0) next.localCheckpoint() else next.cache()
       next.count()
       val changed = labels.alias("l").join(next.alias("n"), "node")
         .filter(col("l.component") =!= col("n.component")).count()
@@ -120,6 +124,14 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    if (!converged) {
+      // a dup chain with diameter > maxIter would silently split clusters
+      // (keepers() would then keep several "canonical" copies of one
+      // cluster) — surface it instead of returning quietly
+      System.err.println(
+        s"[graft] connectedComponents did NOT converge in $maxIter iterations; " +
+          "components may be split. Raise maxIter for deep duplicate chains.")
+    }
     labels
   }
 

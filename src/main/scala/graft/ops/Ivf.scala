@@ -29,12 +29,22 @@ object Ivf {
 
   /** Train nlist coarse centroids; returns the centroid matrix.
     * The training sample is the deterministic id-prefix (the reference
-    * trains on the first `ntrain` rows) — a bare `limit(ntrain)` would
-    * sample nondeterministically under partition-order changes.
+    * trains on the first `ntrain` rows). Ids are dense positional by
+    * construction (SURVEY §1.1), so `id < ntrain` IS that prefix — as a
+    * pushed-down range predicate it prunes row groups at the scan, where
+    * an `orderBy(id).limit(ntrain)` would scan every partition and funnel
+    * per-partition TakeOrdered heaps through the driver at 100 TB.
     */
+  /** The deterministic id-prefix training sample, as a pushdown-prunable
+    * range predicate. Shared by Ivf/Pq/Opq training.
+    */
+  private[graft] def trainSample(base: DataFrame, ntrain: Int,
+                                 idCol: String): DataFrame =
+    base.filter(col(idCol) < ntrain)
+
   def train(base: DataFrame, nlist: Int, ntrain: Int = 200000, seed: Long = 42L,
             vecCol: String = "vec", idCol: String = "id"): Array[Array[Float]] = {
-    val feat = base.orderBy(col(idCol)).limit(ntrain)
+    val feat = trainSample(base, ntrain, idCol)
       .select(array_to_vector(col(vecCol)).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("features").fit(feat)
@@ -92,6 +102,15 @@ object Ivf {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
+  /** Collision-resistant on-disk cache name for a full cache key — a 32-bit
+    * hashCode would let two distinct (cacheKey, params) tuples silently
+    * share (and corrupt) one artifact path.
+    */
+  private[graft] def cacheDigest(key: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(16).map(b => f"$b%02x").mkString
+
   /** Persist/load a small float matrix (centroids, codebook slices) next
     * to the clustered table — the index artifact survives the JVM, like
     * the reference's on-disk FAISS index files.
@@ -130,7 +149,7 @@ object Ivf {
                  seed: Long = 42L): Index = {
     val key = s"$cacheKey|$nlist|$ntrain|$seed"
     indexCache.computeIfAbsent(key, _ => {
-      val path = s"target/ivf_cache/${java.lang.Integer.toHexString(key.hashCode)}"
+      val path = s"target/ivf_cache/${cacheDigest(key)}"
       val centFile = s"$path.centroids.bin"
       loadMatrix(centFile) match {
         case Some(c) if new java.io.File(s"$path/_SUCCESS").isFile =>

@@ -85,7 +85,9 @@ object Opq {
   def trainRotation(base: DataFrame, m: Int, ksub: Int, ntrain: Int,
                     iters: Int = 8, seed: Long = 42L,
                     vecCol: String = "vec", idCol: String = "id"): Array[Array[Float]] = {
-    val x = base.orderBy(col(idCol)).limit(ntrain)
+    // id-prefix via range predicate (ids are dense positional, SURVEY §1.1):
+    // pushes to the scan instead of a global TakeOrdered over every partition
+    val x = Ivf.trainSample(base, ntrain, idCol)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val n = x.length
@@ -149,7 +151,7 @@ object Opq {
     val key = s"$cacheKey|$m|$ksub|$ntrain|$iters|$seed"
     rotCache.computeIfAbsent(key, _ => {
       new java.io.File("target/opq_cache").mkdirs()
-      val file = s"target/opq_cache/${java.lang.Integer.toHexString(key.hashCode)}.rot.bin"
+      val file = s"target/opq_cache/${Ivf.cacheDigest(key)}.rot.bin"
       Ivf.loadMatrix(file).getOrElse {
         val r = trainRotation(base, m, ksub, ntrain, iters, seed)
         Ivf.saveMatrix(file, r)

@@ -30,7 +30,9 @@ object Pq {
   def train(base: DataFrame, m: Int, ksub: Int, ntrain: Int = 200000,
             seed: Long = 42L, vecCol: String = "vec",
             idCol: String = "id"): Codebooks = {
-    val sample = base.orderBy(col(idCol)).limit(ntrain).select(col(vecCol)).cache()
+    // id-prefix via range predicate (ids are dense positional, SURVEY §1.1):
+    // pushes to the scan instead of a global TakeOrdered over every partition
+    val sample = Ivf.trainSample(base, ntrain, idCol).select(col(vecCol)).cache()
     try {
       val dim = sample.select(size(col(vecCol))).head().getInt(0)
       require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -142,7 +144,7 @@ object Pq {
                  vecCol: String = "vec"): Index = {
     val key = s"$cacheKey|$nlist|$m|$ksub|$ntrain|$seed"
     indexCache.computeIfAbsent(key, _ => {
-      val path = s"target/pq_cache/${java.lang.Integer.toHexString(key.hashCode)}"
+      val path = s"target/pq_cache/${Ivf.cacheDigest(key)}"
       (Ivf.loadMatrix(s"$path.coarse.bin"), loadBooks(s"$path.books.bin")) match {
         case (Some(coarse), Some(books)) if new java.io.File(s"$path/_SUCCESS").isFile =>
           Index(coarse, books, path)

@@ -89,6 +89,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> true))
   }
 
+  test("connected components: deep chain (path of length 50) converges") {
+    val s = spark
+    import s.implicits._
+    // a path graph 0-1-2-...-50: min-label propagation needs ~diameter
+    // iterations, and the periodic localCheckpoint must keep the lineage
+    // (and per-iteration planning time) bounded across all of them
+    val pairs = (0L until 50L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs, maxIter = 60).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 51 && comp.values.forall(_ == 0L),
+      s"chain split into ${comp.values.toSet.size} components")
+  }
+
   test("embedding near-dups: injected near-identicals collide, no crossJoin") {
     val s = spark
     import s.implicits._

@@ -87,6 +87,20 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("train sample: id-prefix predicate pushes to the parquet scan") {
+    // Ivf/Pq/Opq train on filter(id < ntrain), not orderBy(id).limit —
+    // the range predicate must reach the scan (row-group pruning at
+    // 100 TB), and no global sort/TakeOrdered may appear.
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val plan = graft.ops.Ivf.trainSample(base, 500, "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(vec_id,500)"),
+      s"id prefix not pushed:\n$plan")
+    assert(!plan.contains("TakeOrdered") && !plan.contains("Sort"),
+      s"train sample still sorts:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan+score hot path") {
     // AQE renders codegen spans only in the FINAL plan — execute first
     val df = SparkEntry.queries("v1_knn_dot")(spark, dir)
