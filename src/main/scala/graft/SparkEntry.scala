@@ -312,6 +312,24 @@ object SparkEntry {
         .select(round(col("mean_recall"), 4).as("mean_recall"), col("n_queries"))
     }),
 
+    // J3 with a FULL hash oracle: the reference's composite stage B
+    // (`apps/nvdb_ivf_eval.cpp:278-307`) — candidates from a
+    // SQL-expressible generator (per-query exact top-40 by dot), re-ranked
+    // by the refine join (explode + equi-join on base id + exact L2
+    // top-10). The a2/a3 paths exercise the same join with IVF/PQ
+    // candidates; this entry pins its exact semantics against DuckDB.
+    "a5_refine_exact" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val qs = embQueries(s, dir)
+      val cands = Search.exactTopKBatched(base, qs, k = 40, Metric.Dot)
+        .groupBy("qid").agg(collect_list(col("id")).as("cand_ids"))
+        .join(qs, Seq("qid"))
+        .select(col("qid"), col("qvec"), col("cand_ids"))
+      Search.refine(base, cands, k = 10)
+        .select(col("qid"), col("id"), round(col("score"), 4).as("dist"))
+        .orderBy(col("qid"), col("dist"), col("id"))
+    }),
+
     // ---- projection / limit / sampling (P1-P3) ----
     "p1_limit_prefix" -> ((s, dir) => {
       Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
@@ -366,6 +384,17 @@ object SparkEntry {
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.95)
         .agg(count(lit(1)).as("n_pairs"),
           coalesce(round(avg(col("cos")), 4), lit(0.0)).as("mean_cos"))
+    }),
+    // Keeper selection over exact-dup groups via the REAL operator
+    // (Dedup.exact → explode group members → keep flag) — the per-document
+    // canonical-copy decision a dedup pipeline ships downstream, hash-gated
+    // end to end.
+    "d5_exact_keepers" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir))
+        .select(col("h"), col("keep_id"), explode(col("doc_ids")).as("doc_id"))
+        .select(col("doc_id"), col("h"),
+          (col("doc_id") === col("keep_id")).as("keep"))
+        .orderBy(col("doc_id"))
     }),
     "t1_text_stats" -> ((s, dir) => {
       TextAnalysis.textStats(Tables.documents(s, dir))
@@ -579,6 +608,20 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY q.vec_id
         |  ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10
         |ORDER BY qid, score DESC, id""".stripMargin,
+    "a5_refine_exact" ->
+      """WITH cand AS (
+        |  SELECT q.vec_id AS qid, b.vec_id AS id,
+        |    q.embedding AS qe, b.embedding AS be
+        |  FROM embeddings q CROSS JOIN embeddings b
+        |  WHERE q.vec_id < 5
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 40)
+        |SELECT qid, id,
+        |  round(list_distance(CAST(qe AS DOUBLE[]), CAST(be AS DOUBLE[])) ** 2, 4) AS dist
+        |FROM cand
+        |QUALIFY row_number() OVER (PARTITION BY qid
+        |  ORDER BY list_distance(CAST(qe AS DOUBLE[]), CAST(be AS DOUBLE[])), id) <= 10
+        |ORDER BY qid, dist, id""".stripMargin,
     "v2_knn_l2" ->
       """SELECT q.vec_id AS qid, b.vec_id AS id,
         |  round(list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) ** 2, 4) AS dist
@@ -595,6 +638,10 @@ object SparkEntry {
     "d1_exact_dedup" ->
       """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "d5_exact_keepers" ->
+      """SELECT doc_id, md5(text) AS h,
+        |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // i8 quantization: FLOAT arithmetic kept FLOAT end-to-end so the scale
     // and codes match the engine's float kernels bitwise
     "v4_quantize_i8" ->

@@ -13,7 +13,10 @@ import org.apache.spark.sql.types._
   * pair — at Q queries that is Q UnsafeRow copies and 2Q array
   * conversions per base row. Here the query matrix rides into codegen as
   * a reference object, the base row converts once, and the inner loop is
-  * pure float math: measured ~10× on the 200k-row scale smoke.
+  * pure float math. End-to-end gain is bounded by the Q×N exploded rows
+  * both plans feed the top-k aggregate (measured 1.3× at 200k×64d/20q,
+  * ScaleSpec); the win grows with dim and query count, where the removed
+  * per-pair copies dominate.
   */
 object BatchScore {
 

@@ -24,12 +24,12 @@ object Eval {
   def ivfSweep(spark: SparkSession, idx: Ivf.Index, base: DataFrame,
                queries: DataFrame, gt: DataFrame, k: Int,
                nprobes: Seq[Int], refineKs: Seq[Int] = Seq(0),
-               runs: Int = 3): DataFrame = {
+               runs: Int = 3, pipeline: String = "staged"): DataFrame = {
     val clustered = idx.clustered(spark)
     val points = for (np <- nprobes; rk <- refineKs) yield {
       def job(): Double = {
         val pred = Ivf.searchRefined(clustered, queries, idx.centroids,
-          np, k, rk)
+          np, k, rk, pipeline = pipeline)
         Ivf.meanRecall(pred, gt, k).collect()(0).getDouble(0)
       }
       job() // warmup

@@ -14,12 +14,28 @@ import graft.functions.expressions.{FakeEmbed, SentenceChunks}
   *
   * Scale design: everything is a narrow per-row projection + one
   * generator (explode); no shuffle until the caller writes or joins. Row
-  * identity for the vector table is the composite (doc_id, chunk_index) —
-  * the reference's global positional `row` would demand a total order
-  * (zipWithIndex) which serializes at 100 TB; the sidecar join key carries
-  * the same information.
+  * identity inside the pipeline is the composite (doc_id, chunk_index);
+  * when the chunks feed an INDEX build (whose trainers contract on dense
+  * positional ids, SURVEY §1.1 — the reference's vecbin writes chunks
+  * sequentially so its row ids are positional too), mint ids with
+  * [[withPositionalIds]] as the final DDL step.
   */
 object Ingest {
+
+  /** Dense positional row ids 0..N-1 in current partition order — the
+    * reference's vecbin row-id semantics
+    * (`scripts/build_vecbin_chunked.py:338-353` writes chunks
+    * sequentially). zipWithIndex is two narrow passes (per-partition count,
+    * then offset add) — no shuffle, no global sort; run once at index-build
+    * DDL time.
+    */
+  def withPositionalIds(df: DataFrame, idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
+    df.sparkSession.createDataFrame(rdd,
+      StructType(StructField(idCol, LongType, nullable = false) +: df.schema.fields))
+  }
 
   /** Greedy sentence-packing chunker (custom kernel, ≤maxChars). */
   def sentenceChunks(text: Column, maxChars: Int): Column =

@@ -46,6 +46,14 @@ object Ivf {
             vecCol: String = "vec", idCol: String = "id"): Array[Array[Float]] = {
     val feat = trainSample(base, ntrain, idCol)
       .select(array_to_vector(col(vecCol)).as("features"))
+    // the id-prefix contract (dense positional ids) violated — e.g. sparse
+    // composite ids — surfaces here as a degenerate sample; fail with the
+    // contract named instead of an obscure MLlib error downstream
+    val got = feat.count()
+    require(got >= nlist,
+      s"training sample has $got rows < nlist=$nlist: trainers contract on " +
+        s"dense positional '$idCol' (SURVEY §1.1) — mint ids with " +
+        "Ingest.withPositionalIds before indexing derived tables")
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("features").fit(feat)
     model.clusterCenters.map(_.toArray.map(_.toFloat))
@@ -179,24 +187,45 @@ object Ivf {
       gt
     })
 
-  /** Staged composite pipeline (`apps/nvdb_ivf_eval.cpp:310-782`):
+  /** Composite probe→refine pipeline (`apps/nvdb_ivf_eval.cpp:310-782`):
     * IVF probe for `k_search = max(refine_k, k)` candidates, then exact-L2
     * refine down to k. When `refineK <= k` the refine join is SKIPPED at
     * plan-construction time — it cannot change a top-k result
     * (`ivf_eval.cpp:329`, threshold effect in `Performance.md:656-657`).
+    *
+    * `pipeline` mirrors the reference's `PIPELINE=staged|interleaved` knob
+    * (`ivf_eval.cpp:465-466,666`): both produce IDENTICAL results; they
+    * differ in composition. `staged` materializes per-query candidate
+    * lists between the stages (stage A then stage B, the reference's
+    * batched-refine accounting); `interleaved` fuses probe output straight
+    * into the base equi-join — no collect_list barrier, one less
+    * aggregation, the per-query-composed flavor.
     */
   def searchRefined(assignedBase: DataFrame, queries: DataFrame,
                     centroids: Array[Array[Float]], nprobe: Int, k: Int,
                     refineK: Int, metric: Metric = Metric.Dot,
-                    idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+                    idCol: String = "id", vecCol: String = "vec",
+                    pipeline: String = "staged"): DataFrame = {
+    require(pipeline == "staged" || pipeline == "interleaved",
+      s"unknown pipeline flavor '$pipeline'")
     if (refineK <= k) search(assignedBase, queries, centroids, nprobe, k, metric, idCol, vecCol)
     else {
       val kSearch = math.max(refineK, k)
       val cands = search(assignedBase, queries, centroids, nprobe, kSearch, metric, idCol, vecCol)
-        .groupBy("qid").agg(collect_list(col("id")).as("cand_ids"))
-        .join(queries, Seq("qid"))
-        .select(col("qid"), col("qvec"), col("cand_ids"))
-      Search.refine(assignedBase.select(col(idCol), col(vecCol)), cands, k, idCol, vecCol)
+      if (pipeline == "staged") {
+        val lists = cands
+          .groupBy("qid").agg(collect_list(col("id")).as("cand_ids"))
+          .join(queries, Seq("qid"))
+          .select(col("qid"), col("qvec"), col("cand_ids"))
+        Search.refine(assignedBase.select(col(idCol), col(vecCol)), lists, k, idCol, vecCol)
+      } else {
+        val scored = cands.select(col("qid"), col("id"))
+          .join(assignedBase.select(col(idCol).as("id"), col(vecCol).as("base_vec")), Seq("id"))
+          .join(broadcast(queries), Seq("qid"))
+          .select(col("qid"), col("id"),
+            graft.functions.VectorFunctions.l2Sq(col("base_vec"), col("qvec")).as("dist"))
+        TopK.perGroup(scored, "qid", "id", "dist", k, larger = false)
+      }
     }
   }
 

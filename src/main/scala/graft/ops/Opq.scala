@@ -79,18 +79,37 @@ object Opq {
     cents
   }
 
+  /** Hard cap on the driver-side OPQ training sample — the same
+    * bounded-sample policy as FAISS's `OPQMatrix` (which subsamples its
+    * training set to a fixed cap; rotation quality saturates well below
+    * it). Driver memory is the binding constraint: the loop holds X, Y
+    * and Ŷ as n×d doubles, ≈ 3·n·d·8 bytes + k-means temporaries — at the
+    * cap with d=1024 that is ≈ 1.6 GiB, comfortably inside the 16 GiB
+    * driver heap; the d×d SVD is trivial. Everything downstream (rotate,
+    * encode, search) is distributed.
+    */
+  val MaxTrain = 65536
+
   /** Learn the OPQ rotation on the deterministic id-prefix sample.
     * Returns the d×d orthogonal matrix R (row-major; apply as y = R·x).
     */
   def trainRotation(base: DataFrame, m: Int, ksub: Int, ntrain: Int,
                     iters: Int = 8, seed: Long = 42L,
                     vecCol: String = "vec", idCol: String = "id"): Array[Array[Float]] = {
+    require(ntrain <= MaxTrain,
+      s"OPQ trains driver-side on a bounded sample: ntrain=$ntrain > $MaxTrain. " +
+        "Rotation quality saturates with tens of thousands of points " +
+        "(FAISS OPQMatrix applies the same cap); pass ntrain <= MaxTrain.")
     // id-prefix via range predicate (ids are dense positional, SURVEY §1.1):
     // pushes to the scan instead of a global TakeOrdered over every partition
     val x = Ivf.trainSample(base, ntrain, idCol)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val n = x.length
+    require(n >= ksub,
+      s"training sample has $n rows < ksub=$ksub: trainers contract on " +
+        s"dense positional '$idCol' (SURVEY §1.1) — mint ids with " +
+        "Ingest.withPositionalIds before indexing derived tables")
     val d = x(0).length
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val dsub = d / m

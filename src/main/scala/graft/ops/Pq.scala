@@ -34,6 +34,11 @@ object Pq {
     // pushes to the scan instead of a global TakeOrdered over every partition
     val sample = Ivf.trainSample(base, ntrain, idCol).select(col(vecCol)).cache()
     try {
+      val got = sample.count()
+      require(got >= ksub,
+        s"training sample has $got rows < ksub=$ksub: trainers contract on " +
+          s"dense positional '$idCol' (SURVEY §1.1) — mint ids with " +
+          "Ingest.withPositionalIds before indexing derived tables")
       val dim = sample.select(size(col(vecCol))).head().getInt(0)
       require(dim % m == 0, s"dim $dim not divisible by m=$m")
       val dsub = dim / m

@@ -82,6 +82,61 @@ object Search {
       .withColumnRenamed("qid", qidCol)
   }
 
+  /** Fused batched scan + per-partition top-k: K2's O(k) buffers live
+    * INSIDE the scan loop — each partition keeps one buffer per query and
+    * emits only Q×k rows, so the Q×N exploded (row, query) stream that
+    * [[exactTopKBatched]] feeds through the aggregate never materializes.
+    * This is the reference's thread design verbatim: thread-local
+    * `TopKBuffer` over a shared scan, merge at the end
+    * (`apps/nvdb_bench.cpp:124-129`, `src/flat_index_omp.cpp:36-75`).
+    * Same kernels, same buffer policy (shared `TopKAggregator.consider`),
+    * same tie-break → identical results (ScaleSpec gates equality).
+    *
+    * The declared `mapPartitions` exception: per-partition imperative
+    * state across rows, which no Expression/Aggregate composition can
+    * express without materializing the Q×N stream.
+    */
+  def exactTopKFused(base: DataFrame, queries: DataFrame, k: Int,
+                     metric: Metric = Metric.Dot,
+                     idCol: String = "id", vecCol: String = "vec",
+                     qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import graft.functions.expressions.VectorKernels
+    val (qids, qvecs) = collectQueries(queries, qidCol, qvecCol)
+    val larger = metric.larger
+    val mcode = metric match {
+      case Metric.Dot => 0
+      case Metric.L2 => 1
+      case Metric.Cosine => 2
+    }
+    val spark = base.sparkSession
+    import spark.implicits._
+    val partials = base.select(col(idCol), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val agg = new TopKAggregator(k, larger)
+        val bufs = Array.fill(qids.length)(agg.zero)
+        while (it.hasNext) {
+          val (id, v) = it.next()
+          var q = 0
+          while (q < qvecs.length) {
+            val s = mcode match {
+              case 0 => VectorKernels.dot(v, qvecs(q))
+              case 1 => VectorKernels.l2Sq(v, qvecs(q))
+              case _ => VectorKernels.cosine(v, qvecs(q))
+            }
+            agg.consider(bufs(q), id, s)
+            q += 1
+          }
+        }
+        bufs.iterator.zipWithIndex.flatMap { case (b, qi) =>
+          (0 until b.n).iterator.map(i => (qids(qi), b.ids(i), b.scores(i)))
+        }
+      }
+    TopK.perGroup(partials.toDF("qid", "gid", "score"),
+      "qid", "gid", "score", k, larger)
+      .withColumnRenamed("qid", qidCol)
+  }
+
   private def collectQueries(queries: DataFrame, qidCol: String,
                              qvecCol: String): (Array[Long], Array[Array[Float]]) = {
     val q = queries.select(col(qidCol), col(qvecCol)).collect()

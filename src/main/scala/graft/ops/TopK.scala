@@ -32,7 +32,10 @@ class TopKAggregator(k: Int, larger: Boolean)
     consider(b, in._1, in._2); b
   }
 
-  private def consider(b: TopKBuf, id: Long, score: Double): Unit = {
+  // also driven directly (tuple-free) by Search.exactTopKFused's
+  // per-partition loop — one shared implementation keeps the fused path
+  // bit-identical to the aggregate path
+  private[ops] def consider(b: TopKBuf, id: Long, score: Double): Unit = {
     if (b.n < k) {
       b.ids(b.n) = id; b.scores(b.n) = score; b.n += 1
     } else {

@@ -35,4 +35,29 @@ class EvalSpec extends AnyFunSuite {
         s"refine hurt recall at nprobe=$np")
     assert(sweep.forall(_.getDouble(7) > 0), "qps must be positive")
   }
+
+  test("staged and interleaved refine pipelines return identical rows") {
+    // the reference's PIPELINE=staged|interleaved knob
+    // (apps/nvdb_ivf_eval.cpp:465-466,666): same results, different
+    // composition — staged materializes candidate lists between stages,
+    // interleaved fuses probe output into the base equi-join
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = Tables.embeddings(spark, dir).filter(col("vec_id") < 12)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val idx = Ivf.buildOrGet(spark, base, "evalspec", nlist = 16, ntrain = 500)
+    def run(flavor: String) =
+      Ivf.searchRefined(idx.clustered(spark), qs, idx.centroids,
+        nprobe = 4, k = 10, refineK = 30, pipeline = flavor)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(run("staged") == run("interleaved"),
+      "pipeline flavors disagree")
+    // and the sweep accepts the knob
+    val gt = Search.groundTruth(base, qs, 10, Metric.Dot)
+    val p = Eval.ivfSweep(spark, idx, base, qs, gt, k = 10,
+      nprobes = Seq(8), refineKs = Seq(30), runs = 1,
+      pipeline = "interleaved").collect()
+    assert(p.length == 1 && p(0).getDouble(2) > 0.5)
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.ops.{Ivf, Metric}
+import graft.streaming.IndexStream
+
+/** Incremental IVF maintenance: streamed assign+append must agree with the
+  * batch assign, survive a second incremental batch exactly-once, and the
+  * grown table must stay probeable (partition pruning intact).
+  */
+class IndexStreamSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  test("streamed index append == batch assign; second batch appends exactly-once") {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Ivf.train(base, nlist = 8, ntrain = 500)
+
+    val src = Files.createTempDirectory("idxstream_src").toString
+    val tbl = Files.createTempDirectory("idxstream_tbl").toString
+    val ckpt = Files.createTempDirectory("idxstream_ckpt").toString
+    base.write.mode("append").parquet(src)
+
+    def drain(): Unit = {
+      val q = IndexStream.appendStream(
+        spark.readStream.schema(base.schema).parquet(src), cents, tbl, ckpt)
+      q.awaitTermination()
+    }
+    drain()
+
+    val streamed = spark.read.parquet(tbl)
+      .select(col("id"), col("cluster_id").cast("int").as("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = Ivf.assign(base, cents)
+      .select(col("id"), col("cluster_id").cast("int").as("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == batch, "streamed assignment diverged from batch")
+
+    // second incremental batch: 5 shifted copies land as NEW files; the
+    // checkpoint must skip the already-committed first batch (exactly-once)
+    val extra = base.filter(col("id") < 5)
+      .select((col("id") + 100000).as("id"), col("vec"))
+    extra.write.mode("append").parquet(src)
+    drain()
+    val grown = spark.read.parquet(tbl)
+    assert(grown.count() == base.count() + 5,
+      s"expected ${base.count() + 5} rows after increment, got ${grown.count()}")
+
+    // the grown table stays probeable and the appended twin of vector 3
+    // is reachable through the pruned probe (same vector ⇒ same cluster)
+    val q3 = base.filter(col("id") === 3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val hits = Ivf.search(
+      grown.select(col("id"), col("vec"),
+        col("cluster_id").cast("int").as("cluster_id")),
+      q3, cents, nprobe = 1, k = 2, Metric.L2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(3L, 100003L),
+      s"probe over grown table missed the appended twin: $hits")
+  }
+}

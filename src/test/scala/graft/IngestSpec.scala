@@ -82,9 +82,12 @@ class IngestSpec extends AnyFunSuite {
   test("full pipeline: chunk -> embed -> IVF index -> search retrieves own chunk") {
     import graft.ops.{Ivf, Metric, Search}
     val docs = Tables.documents(spark, dir).limit(200)
-    val vecs = Ingest.embedChunks(docs, maxChars = 400, dim = 32)
-      .withColumn("id", col("doc_id") * 1000 + col("chunk_index"))
-      .select(col("id"), col("embedding").as("vec"))
+    // mint dense positional ids for the index build — the trainers
+    // contract on an id-prefix sample (composite doc_id*1000+chunk ids
+    // would make `id < ntrain` a sparse, degenerate sample)
+    val vecs = Ingest.withPositionalIds(
+      Ingest.embedChunks(docs, maxChars = 400, dim = 32)
+        .select(col("embedding").as("vec")))
       .cache()
     val n = vecs.count()
     assert(n >= 200)

@@ -53,6 +53,28 @@ class OpqSpec extends AnyFunSuite {
     assert(overlap >= 0.95, s"rotation changed rankings: overlap $overlap")
   }
 
+  test("bounded-sample training: 50k rows train within the documented cap") {
+    // the documented driver-memory bound (Opq.MaxTrain): a 50k×64d sample
+    // must train without driver-heap growth beyond the 3·n·d·8-byte
+    // estimate, and anything above the cap must be refused loudly
+    val big = spark.range(50000).toDF("id")
+      .select(col("id"), expr(
+        "transform(sequence(1, 64), j -> cast(pmod(hash(id, j), 1000) / 500.0 - 1.0 as float))")
+        .as("vec"))
+    val r = Opq.trainRotation(big, m = 8, ksub = 64, ntrain = 50000, iters = 2)
+    val d = r.length
+    var offDiag = 0.0
+    for (i <- 0 until d; j <- 0 until d if i != j) {
+      var acc = 0.0
+      for (k <- 0 until d) acc += r(i)(k).toDouble * r(j)(k).toDouble
+      offDiag = math.max(offDiag, math.abs(acc))
+    }
+    assert(offDiag < 1e-4, s"rotation not orthogonal at 50k: $offDiag")
+    assertThrows[IllegalArgumentException] {
+      Opq.trainRotation(big, m = 8, ksub = 64, ntrain = Opq.MaxTrain + 1, iters = 1)
+    }
+  }
+
   test("OPQ-PQ recall does not degrade vs plain PQ") {
     val gt = Search.groundTruth(base, queries, 10, Metric.L2)
     val books = Pq.train(base, m = 8, ksub = 256, ntrain = 500)

@@ -51,6 +51,10 @@ class ScaleSpec extends AnyFunSuite {
     val (b, tb) = run(Search.exactTopKBatched(base, queries, 10, Metric.L2))
     assert(a == b, "batched scan diverged from BNLJ")
     info(f"BNLJ $ta%.2f s vs batched $tb%.2f s (${ta / tb}%.1fx)")
+    // fused per-partition buffers (J2+K2 in one pass): identical rows again
+    val (c, tc) = run(Search.exactTopKFused(base, queries, 10, Metric.L2))
+    assert(a == c, "fused scan diverged from BNLJ")
+    info(f"fused $tc%.2f s (${ta / tc}%.1fx over BNLJ, ${tb / tc}%.1fx over batched)")
   }
 
   test("IVF at 200k rows: probe prunes and keeps recall") {
