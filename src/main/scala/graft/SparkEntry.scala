@@ -396,6 +396,25 @@ object SparkEntry {
           (col("doc_id") === col("keep_id")).as("keep"))
         .orderBy(col("doc_id"))
     }),
+    // The composite corpus-cleaning pass every training pipeline ships:
+    // language gate + quality floor + exact-dup keeper in ONE plan — a
+    // single narrow projection computes quality/lang/content-hash (no
+    // per-feature joins), the only shuffles are the keeper aggregation and
+    // one equi-join on the content hash.
+    "d6_clean_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val enriched = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), TextAnalysis.defaultStopwords).as("quality"),
+        TextFunctions.langId(col("text")).as("pred_lang"),
+        md5(col("text")).as("h"))
+      val keepers = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      enriched.join(keepers, Seq("h"))
+        .filter(col("doc_id") === col("keep_id") &&
+          col("pred_lang") === lit("en") && col("quality") >= 0.75)
+        .select(col("doc_id"), col("pred_lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
     "t1_text_stats" -> ((s, dir) => {
       TextAnalysis.textStats(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_chars_text").cast("long").as("n_chars_text"),
@@ -642,6 +661,38 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS h,
         |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d6_clean_corpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |    0.25 * (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END)
+        |    + 0.25 * (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+        |    + 0.25 * (CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> list_contains(['the','a','of','and','to','is','in','that','it','for'], t))) AS DOUBLE) / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) >= 0.05 THEN 1.0 ELSE 0.0 END)
+        |    + 0.25 * (CASE WHEN CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |    AS quality,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','and','to','is','in'], t))) AS en_hits,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['der','die','und','das','ist','nicht','ein'], t))) AS de_hits,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['le','la','et','les','des','une','est'], t))) AS fr_hits,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['el','los','las','una','es','y','que'], t))) AS es_hits
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, h, quality,
+        |    CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) < 1 THEN 'und'
+        |         WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+        |         WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+        |         WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+        |         ELSE 'es' END AS pred_lang
+        |  FROM t),
+        |k AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS keep_id
+        |  FROM documents GROUP BY md5(text))
+        |SELECT l.doc_id, l.pred_lang, l.quality
+        |FROM l JOIN k ON l.h = k.h
+        |WHERE l.doc_id = k.keep_id AND l.pred_lang = 'en' AND l.quality >= 0.75
+        |ORDER BY l.doc_id""".stripMargin,
     // i8 quantization: FLOAT arithmetic kept FLOAT end-to-end so the scale
     // and codes match the engine's float kernels bitwise
     "v4_quantize_i8" ->

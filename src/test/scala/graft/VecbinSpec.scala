@@ -85,6 +85,47 @@ class VecbinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Vecbin.readRaw12(spark, p) }
   }
 
+  test("DSv2 source: format(\"vecbin\") matches the RDD reader, prunes columns") {
+    // f32
+    val p = tmp("dsv2.f32.vecbin")
+    Vecbin.write(base, p, Vecbin.DtypeF32)
+    val v2 = spark.read.format("vecbin").load(p)
+    assert(v2.schema.fieldNames.toSeq == Seq("id", "vec"))
+    val diff = base.alias("a").join(v2.alias("b"), "id")
+      .filter(not(col("a.vec") <=> col("b.vec"))).count()
+    assert(diff == 0 && v2.count() == 500)
+    // column pruning reaches the scan: an id-only projection's V2 scan
+    // reads just the id column (payload bytes never touched)
+    val idOnly = v2.select("id")
+    val scans = idOnly.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty, "no V2 scan in plan")
+    assert(scans.head.readSchema().fieldNames.toSeq == Seq("id"),
+      s"payload not pruned: ${scans.head.description()}")
+    assert(idOnly.collect().map(_.getLong(0)).sorted.toSeq == (0L until 500L))
+    // i8 flavor with scales, partition-count option
+    val pi = tmp("dsv2.i8.vecbin")
+    val i8 = base.select(col("id"),
+      VectorFunctions.quantizeI8(col("vec")).as("q"))
+      .select(col("id"), col("q.codes").as("codes"), col("q.scale").as("scale"))
+    Vecbin.write(i8, pi, Vecbin.DtypeI8)
+    val v2i = spark.read.format("vecbin").option("partitions", 7).load(pi)
+    assert(v2i.rdd.getNumPartitions == 7)
+    val diffI = i8.alias("a").join(v2i.alias("b"), "id")
+      .filter(not(col("a.codes") <=> col("b.codes")) ||
+        col("a.scale") =!= col("b.scale")).count()
+    assert(diffI == 0)
+    // exact search over the V2-read base matches the parquet-read base
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val a = Search.exactTopKBatched(base, queries, 5, Metric.Dot)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Search.exactTopKBatched(v2, queries, 5, Metric.Dot)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("gtbin round-trip: search on vecbin-read base matches parquet GT") {
     val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
