@@ -250,6 +250,20 @@ object SparkEntry {
       Ivf.recallVsExact(base, qs, nlist = 16, nprobe = 8, k = 10, ntrain = 2000,
         cacheKey = dir)
     }),
+    // J5 with a FULL hash oracle: probing ALL nlist lists is exhaustive —
+    // every base row sits in exactly one inverted list, so the partition-
+    // pruned probe plan (explode nearest-centroids → equi-join on
+    // cluster_id → map-side top-k) must reproduce the exact scan bit for
+    // bit. Anchors the whole IVF probe machinery against DuckDB at the
+    // exactness boundary; the <nlist pruning/recall behavior stays gated
+    // in IvfSpec/a1.
+    "a6_ivf_fullprobe" -> ((s, dir) => {
+      val qs = embQueries(s, dir)
+      val idx = Ivf.buildOrGet(s, embBase(s, dir), dir, nlist = 16, ntrain = 2000)
+      Ivf.search(idx.clustered(s), qs, idx.centroids, nprobe = 16, k = 10)
+        .select(col("qid"), col("id"), round(col("score"), 4).as("score"))
+        .orderBy(col("qid"), col("score").desc, col("id"))
+    }),
     // §3.2 staged composite: IVF probe for k_search = max(refine_k, k)
     // candidates -> exact-L2 refine to k -> recall vs GT
     // (`apps/nvdb_ivf_eval.cpp:310-782`; widening at `:329`). Rows-only
@@ -620,6 +634,15 @@ object SparkEntry {
         |  unnest(range(0, CAST(floor((n % 30) / 5.0) AS BIGINT) + 1)) AS u FROM m)
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "v1_knn_dot" ->
+      """SELECT q.vec_id AS qid, b.vec_id AS id,
+        |  round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS score
+        |FROM embeddings q CROSS JOIN embeddings b
+        |WHERE q.vec_id < 5
+        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10
+        |ORDER BY qid, score DESC, id""".stripMargin,
+    // full-probe IVF == exact scan: same oracle as v1_knn_dot
+    "a6_ivf_fullprobe" ->
       """SELECT q.vec_id AS qid, b.vec_id AS id,
         |  round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS score
         |FROM embeddings q CROSS JOIN embeddings b
