@@ -99,7 +99,23 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "et", "les", "des", "une", "est"),
     "es" -> Seq("el", "los", "las", "una", "es", "y", "que"))
 
-  def langHits(text: Column, lang: String): Column = {
+  /** All marker-hit counts in ONE fused tokenization pass (array<int>,
+    * `langMarkers` order). The per-language Column composition
+    * re-tokenizes per language and gets duplicated again when the
+    * optimizer inlines a predicate; every consumer below reads this one
+    * array and codegen subexpression elimination evaluates it once.
+    */
+  def langProfile(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.expressions.LangHitsAll(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text),
+        langMarkers.map(_._2)))
+
+  def langHits(text: Column, lang: String): Column =
+    element_at(langProfile(text), langMarkers.indexWhere(_._1 == lang) + 1)
+
+  /** Interpreted Column twin of [[langHits]] (slow, trusted oracle). */
+  def langHitsHof(text: Column, lang: String): Column = {
     val markers = langMarkers.toMap.apply(lang)
     size(filter(tokens(lower(text)), t => t.isin(markers.map(x => x: Any): _*)))
   }
@@ -108,7 +124,10 @@ object TextFunctions {
     * "und" for undetermined), ties resolved in `langMarkers` order.
     */
   def langId(text: Column): Column = {
-    val hits = langMarkers.map { case (l, _) => (l, langHits(text, l)) }
+    val profile = langProfile(text)
+    val hits = langMarkers.zipWithIndex.map { case ((l, _), i) =>
+      (l, element_at(profile, i + 1))
+    }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     // nested CASE: first language (in langMarkers order) whose hits == best
     hits.foldRight(lit("und"): Column) { case ((l, h), alt) =>

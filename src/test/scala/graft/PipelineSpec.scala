@@ -72,6 +72,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(dupPairs == 5, s"expected all 5 injected dups as candidates, got $dupPairs")
   }
 
+  test("fused lang-profile kernel matches the interpreted Column twins") {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, dir).limit(200)
+    val langs = TextFunctions.langMarkers.map(_._1)
+    val cmp = docs.select(langs.flatMap(l => Seq(
+      TextFunctions.langHits(col("text"), l).as(s"k_$l"),
+      TextFunctions.langHitsHof(col("text"), l).as(s"h_$l"))): _*)
+    val diverged = cmp.filter(
+      langs.map(l => col(s"k_$l") =!= col(s"h_$l")).reduce(_ || _)).count()
+    assert(diverged == 0)
+    // edge cases: empty, whitespace-only, tabs, unicode, mixed markers
+    val s = spark
+    import s.implicits._
+    val edge = Seq("", "   ", "\tthe der le el\t", "THE Une y QUE",
+      "héllo the wörld der").toDF("text")
+    val badEdge = edge.select(
+      langs.map(l => (TextFunctions.langHits(col("text"), l) =!=
+        TextFunctions.langHitsHof(col("text"), l)).as(l)): _*)
+      .filter(langs.map(col).reduce(_ || _)).count()
+    assert(badEdge == 0)
+  }
+
   test("connected components + keepers: chains merge, smallest id kept") {
     val s = spark
     import s.implicits._
