@@ -36,6 +36,8 @@ object VectorFunctions {
   def jaccardCodes(a: Column, b: Column): Column = col1(JaccardCodes(ex(a), ex(b)))
   /** 64-bit SimHash of a token array. */
   def simhash64(tokens: Column): Column = col1(SimHash64(ex(tokens)))
+  /** SimHash with md5-lower-64 token hashes (SQL-reproducible flavor). */
+  def simhashMd5(tokens: Column): Column = col1(SimHashMd5(ex(tokens)))
 
   // ---- interpreted oracles built from Spark higher-order builtins ----
 
@@ -77,5 +79,9 @@ object VectorFunctions {
       es => FingerprintMin(es.head, 3), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash_md5",
+      es => SimHashMd5(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig64",
+      es => MinhashSig64(es.head, 5, 4), "built-in")
   }
 }

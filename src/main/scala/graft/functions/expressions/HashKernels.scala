@@ -89,6 +89,71 @@ object HashKernels {
     new GenericArrayData(mins.map(m => hex(m): Any))
   }
 
+  /** Modulus for the multiply-shift MinHash family (Mersenne prime 2^31-1):
+    * products a·x stay under 2^62, so the same arithmetic is exact in JVM
+    * longs and DuckDB BIGINTs (no unsigned wrap to emulate).
+    */
+  val MixP = 2147483647L
+
+  /** Deterministic per-component multipliers/offsets (Knuth/LCG constants),
+    * mirrored literally into the oracle SQL — see [[mixSqlExpr]].
+    */
+  def mixA(k: Int): Array[Long] =
+    Array.tabulate(k)(s => 1L + (2654435761L * (s + 1)) % (MixP - 1))
+  def mixB(k: Int): Array[Long] =
+    Array.tabulate(k)(s => (1013904223L * (s + 1)) % MixP)
+
+  /** DuckDB-side expression for component `s` over an `xm` column holding
+    * `md5_number_lower(shingle) % MixP` — keeps both engines' constants in
+    * one place.
+    */
+  def mixSqlExpr(s: Int, xm: String = "xm"): String =
+    s"(${mixA(s + 1)(s)} * $xm + ${mixB(s + 1)(s)}) % $MixP"
+
+  /** Little-endian u64 of md5 digest bytes 8..15 — equals DuckDB's
+    * `md5_number_lower` (verified empirically), the shared cross-engine
+    * 64-bit hash primitive.
+    */
+  def md5Lower64(md: MessageDigest, bytes: Array[Byte], off: Int, len: Int): Long = {
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    var x = 0L
+    var i = 15
+    while (i >= 8) { x = (x << 8) | (d(i) & 0xffL); i -= 1 }
+    x
+  }
+
+  /** Scale-path MinHash signature: ONE md5 per shingle, k components
+    * derived by multiply-shift mixing of the shared 64-bit hash —
+    * `h_s = (a_s * (lower64 mod P) + b_s) mod P`. At 100 TB this is the
+    * difference between k digests and one digest per shingle; the hex
+    * variant ([[minhashSig]]) remains as the declared md5-hex flavor.
+    */
+  def minhashSig64(text: UTF8String, n: Int, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val bytes = text.getBytes
+    val (offs, nc) = charOffsets(bytes)
+    val nWin = math.max(nc - n + 1, 1)
+    val md = MessageDigest.getInstance("MD5")
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var w = 0
+    while (w < nWin) {
+      val start = offs(w)
+      val end = if (w + n <= nc) offs(w + n) else bytes.length
+      val x = md5Lower64(md, bytes, start, end - start)
+      val xm = java.lang.Long.remainderUnsigned(x, MixP)
+      var s = 0
+      while (s < k) {
+        val h = (as(s) * xm + bs(s)) % MixP
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Fingerprint: min over word `k`-gram windows (tokens = `\s+` splits of
     * the trimmed text, windows joined with single spaces) of md5_hex.
     * Short docs yield their single (possibly shorter) window.
@@ -133,6 +198,27 @@ case class MinhashSig(child: Expression, n: Int, salts: Seq[String])
       s"graft.functions.expressions.HashKernels.minhashSig($t, $n, $ref)")
   }
   override def prettyName: String = "minhash_sig"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `minhash_sig64(text)` → array<long> of multiply-shift minima over one
+  * shared md5 per shingle (the scale-path signature).
+  */
+case class MinhashSig64(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  private lazy val as = HashKernels.mixA(numHashes)
+  private lazy val bs = HashKernels.mixB(numHashes)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.minhashSig64(t.asInstanceOf[UTF8String], n, as, bs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ra = ctx.addReferenceObj("as", as, "long[]")
+    val rb = ctx.addReferenceObj("bs", bs, "long[]")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.expressions.HashKernels.minhashSig64($t, $n, $ra, $rb)")
+  }
+  override def prettyName: String = "minhash_sig64"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -18,12 +18,25 @@ object SimHashKernel {
     h
   }
 
-  def simhash64(tokens: ArrayData): Long = {
+  def simhash64(tokens: ArrayData): Long = simhashWith(tokens, fnv = true)
+
+  /** Oracle-anchorable flavor: token hash = lower 64 bits of md5 (equal to
+    * DuckDB's `md5_number_lower`), so the whole fingerprint is reproducible
+    * in SQL bit for bit. FNV stays the fast default; the vote rule is
+    * shared.
+    */
+  def simhashMd5(tokens: ArrayData): Long = simhashWith(tokens, fnv = false)
+
+  private def simhashWith(tokens: ArrayData, fnv: Boolean): Long = {
     val votes = new Array[Int](64)
+    val md = if (fnv) null else java.security.MessageDigest.getInstance("MD5")
     val n = tokens.numElements()
     var t = 0
     while (t < n) {
-      val h = fnv1a64(tokens.getUTF8String(t).getBytes)
+      val bytes = tokens.getUTF8String(t).getBytes
+      val h =
+        if (fnv) fnv1a64(bytes)
+        else HashKernels.md5Lower64(md, bytes, 0, bytes.length)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -50,5 +63,17 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.expressions.SimHashKernel.simhash64($a)")
   override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `simhash_md5(tokens)`: md5-lower-64 token hashes — SQL-reproducible. */
+case class SimHashMd5(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    SimHashKernel.simhashMd5(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.expressions.SimHashKernel.simhashMd5($a)")
+  override def prettyName: String = "simhash_md5"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
