@@ -54,7 +54,13 @@ object Bench {
             .format("noop").mode("overwrite").save()
           action() // warmup: codegen, JIT, broadcast build
           System.gc() // settle the heap before timing starts
-          Seq.fill(runs)(timeOne(action))
+          val first = timeOne(action)
+          // sub-second queries are scheduler/GC-noise-dominated: 5-run
+          // medians swung ±1.5× round-over-round on untouched code (r4
+          // verdict). Widen their sample so the median settles; the extra
+          // runs cost little exactly because the queries are fast.
+          val n = if (first < 1.0) math.max(runs, 9) else runs
+          first +: Seq.fill(n - 1)(timeOne(action))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Seq.empty[Double]

@@ -264,6 +264,25 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("score"), 4).as("score"))
         .orderBy(col("qid"), col("score").desc, col("id"))
     }),
+    // C3-rotation exactness anchor (a4's analogue of a6): rotate base AND
+    // queries with the cached OPQ rotation, build an IVF index on the
+    // rotated space, probe ALL nlist lists. An orthogonal rotation
+    // preserves dot-product ranking, so the ids must equal the UNROTATED
+    // exact scan's top-k ids (scores are excluded: float rotation perturbs
+    // the low bits). Pins rotate → assign → partition-pruned probe end to
+    // end against DuckDB; a4's recall behavior stays gated in OpqSpec.
+    "a7_opq_fullprobe" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val rot = Opq.trainRotationCached(dir, base, m = 8, ksub = 64,
+        ntrain = 300, iters = 3)
+      val rbase = Opq.rotateTable(base, rot, "vec")
+      val rqs = Opq.rotateTable(embQueries(s, dir), rot, "qvec")
+      val idx = Ivf.buildOrGet(s, rbase, s"$dir|opqrot", nlist = 16, ntrain = 2000)
+      Ivf.search(idx.clustered(s), rqs, idx.centroids, nprobe = 16, k = 10)
+        .select(col("qid"), col("id"))
+        .orderBy(col("qid"), col("id"))
+    }),
+
     // §3.2 staged composite: IVF probe for k_search = max(refine_k, k)
     // candidates -> exact-L2 refine to k -> recall vs GT
     // (`apps/nvdb_ivf_eval.cpp:310-782`; widening at `:329`). Rows-only
@@ -412,21 +431,50 @@ object SparkEntry {
     }),
     // The composite corpus-cleaning pass every training pipeline ships:
     // language gate + quality floor + exact-dup keeper in ONE plan — a
-    // single narrow projection computes quality/lang/content-hash (no
-    // per-feature joins), the only shuffles are the keeper aggregation and
-    // one equi-join on the content hash.
+    // single narrow projection computes quality/lang/content-hash, and the
+    // keeper decision is a window min over the content hash on that SAME
+    // projection, so `documents` (and md5 over its largest column) is
+    // scanned exactly once; the only shuffle is the hash-partitioned
+    // window. At 100 TB the former second scan-and-hash pass over the full
+    // text column was the dominant redundant cost.
     "d6_clean_corpus" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val enriched = docs.select(col("doc_id"),
+      import org.apache.spark.sql.expressions.Window
+      val enriched = Tables.documents(s, dir).select(col("doc_id"),
         TextFunctions.qualityScore(col("text"), TextAnalysis.defaultStopwords).as("quality"),
         TextFunctions.langId(col("text")).as("pred_lang"),
         md5(col("text")).as("h"))
-      val keepers = docs.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("keep_id"))
-      enriched.join(keepers, Seq("h"))
+      enriched
+        .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("h"))))
         .filter(col("doc_id") === col("keep_id") &&
           col("pred_lang") === lit("en") && col("quality") >= 0.75)
         .select(col("doc_id"), col("pred_lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    // Scale-path MinHash signature (`HashKernels.minhashSig64`): ONE md5
+    // per shingle + k multiply-shift minima, vs d2's k digests per shingle
+    // — the per-shingle digest count is THE kernel cost at 100 TB. Full
+    // hash oracle: DuckDB reproduces the identical signature from
+    // `md5_number_lower(shingle) % P` mixed with the same constants
+    // (generated by `HashKernels.mixSqlExpr` — one source of truth), which
+    // also pins the md5Lower64 == md5_number_lower equivalence.
+    "d7_minhash64" -> ((s, dir) => {
+      val sig = VectorFunctions.minhashSig64(col("text"), n = 5, k = 4)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        element_at(sig, 1).as("mh0"),
+        element_at(sig, 2).as("mh1"),
+        element_at(sig, 3).as("mh2"),
+        element_at(sig, 4).as("mh3"))
+        .orderBy(col("doc_id"))
+    }),
+    // SimHash with md5-lower-64 token hashes: the whole 64-bit fingerprint
+    // is reproduced bit for bit in SQL (per-bit majority votes over
+    // `md5_number_lower(token)`), hash-anchoring the vote rule and the
+    // signed-long bit packing end to end. The FNV flavor stays the fast
+    // default (SimHashSpec gates the family properties).
+    "d8_simhash_md5" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        VectorFunctions.simhashMd5(TextFunctions.tokens(col("text"))).as("sig"))
         .orderBy(col("doc_id"))
     }),
     "t1_text_stats" -> ((s, dir) => {
@@ -650,6 +698,16 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY q.vec_id
         |  ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10
         |ORDER BY qid, score DESC, id""".stripMargin,
+    // rotation-exactness anchor: ids of the UNROTATED exact top-k (an
+    // orthogonal rotation preserves dot ranking; scores excluded)
+    "a7_opq_fullprobe" ->
+      """SELECT qid, id FROM (
+        |  SELECT q.vec_id AS qid, b.vec_id AS id
+        |  FROM embeddings q CROSS JOIN embeddings b
+        |  WHERE q.vec_id < 5
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10)
+        |ORDER BY qid, id""".stripMargin,
     "a5_refine_exact" ->
       """WITH cand AS (
         |  SELECT q.vec_id AS qid, b.vec_id AS id,
@@ -817,6 +875,36 @@ object SparkEntry {
         |  list_min(list_transform(range(1, greatest(length(text)-4, 1)+1), i -> md5('2' || substr(text, CAST(i AS INT), 5)))) AS mh2,
         |  list_min(list_transform(range(1, greatest(length(text)-4, 1)+1), i -> md5('3' || substr(text, CAST(i AS INT), 5)))) AS mh3
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Generated from HashKernels.mixSqlExpr so the mix constants exist in
+    // exactly one place; md5_number_lower == md5Lower64 (little-endian
+    // digest bytes 8..15) and the unsigned mod are pinned by this gate.
+    "d7_minhash64" -> {
+      val mh = (0 until 4).map(s =>
+        s"  list_min(list_transform(xs, xm -> ${graft.functions.expressions.HashKernels.mixSqlExpr(s)})) AS mh$s")
+        .mkString(",\n")
+      s"""WITH x AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, greatest(length(text)-4, 1)+1),
+         |      i -> CAST(md5_number_lower(substr(text, CAST(i AS INT), 5)) % ${graft.functions.expressions.HashKernels.MixP} AS BIGINT)) AS xs
+         |  FROM documents)
+         |SELECT doc_id,
+         |$mh
+         |FROM x ORDER BY doc_id""".stripMargin
+    },
+    // Per-bit majority vote over md5_number_lower(token); bit 63 lands as
+    // the sign bit of the BIGINT (added as Long.MinValue), matching the
+    // kernel's signed-long packing.
+    "d8_simhash_md5" -> {
+      val terms = (0 until 64).map { b =>
+        val w = if (b == 63) "-9223372036854775808" else (1L << b).toString
+        s"CASE WHEN 2*len(list_filter(hs, h -> (h >> $b) & 1 = 1)) > len(hs) THEN $w ELSE 0 END"
+      }.mkString("\n  + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'),
+         |    s -> md5_number_lower(s)) AS hs FROM documents)
+         |SELECT doc_id, CAST($terms AS BIGINT) AS sig
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     "d3_jaccard_pairs" ->
       """WITH n AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -38,6 +38,9 @@ object VectorFunctions {
   def simhash64(tokens: Column): Column = col1(SimHash64(ex(tokens)))
   /** SimHash with md5-lower-64 token hashes (SQL-reproducible flavor). */
   def simhashMd5(tokens: Column): Column = col1(SimHashMd5(ex(tokens)))
+  /** Scale-path MinHash signature (one md5 per shingle, k mixed minima). */
+  def minhashSig64(text: Column, n: Int = 5, k: Int = 4): Column =
+    col1(MinhashSig64(ex(text), n, k))
 
   // ---- interpreted oracles built from Spark higher-order builtins ----
 

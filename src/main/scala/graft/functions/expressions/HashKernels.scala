@@ -22,6 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashKernels {
 
+  /** One MessageDigest per executor thread: `getInstance` allocates a fresh
+    * digest + provider lookup per call, which dominates per-row kernels with
+    * short inputs (simhash over a handful of tokens). All kernels reset
+    * before use, so sharing within a thread is safe.
+    */
+  private val tlMd5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private[expressions] def threadMd5(): MessageDigest = tlMd5.get()
+
   private val hexDigits = "0123456789abcdef".toCharArray
 
   private def hex(d: Array[Byte]): UTF8String = {
@@ -69,7 +79,7 @@ object HashKernels {
     val bytes = text.getBytes
     val (offs, nc) = charOffsets(bytes)
     val nWin = math.max(nc - n + 1, 1)
-    val md = MessageDigest.getInstance("MD5")
+    val md = threadMd5()
     val mins = new Array[Array[Byte]](salts.length)
     var w = 0
     while (w < nWin) {
@@ -134,7 +144,7 @@ object HashKernels {
     val bytes = text.getBytes
     val (offs, nc) = charOffsets(bytes)
     val nWin = math.max(nc - n + 1, 1)
-    val md = MessageDigest.getInstance("MD5")
+    val md = threadMd5()
     val k = as.length
     val mins = Array.fill(k)(Long.MaxValue)
     var w = 0
@@ -161,7 +171,7 @@ object HashKernels {
   def fingerprintMin(text: UTF8String, k: Int): UTF8String = {
     val toks = text.trim().toString.split("\\s+")
     val nWin = math.max(toks.length - k + 1, 1)
-    val md = MessageDigest.getInstance("MD5")
+    val md = threadMd5()
     val sb = new java.lang.StringBuilder
     var min: Array[Byte] = null
     var w = 0

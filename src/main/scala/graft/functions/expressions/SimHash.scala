@@ -29,18 +29,22 @@ object SimHashKernel {
 
   private def simhashWith(tokens: ArrayData, fnv: Boolean): Long = {
     val votes = new Array[Int](64)
-    val md = if (fnv) null else java.security.MessageDigest.getInstance("MD5")
+    val md = if (fnv) null else HashKernels.threadMd5()
     val n = tokens.numElements()
     var t = 0
     while (t < n) {
-      val bytes = tokens.getUTF8String(t).getBytes
-      val h =
-        if (fnv) fnv1a64(bytes)
-        else HashKernels.md5Lower64(md, bytes, 0, bytes.length)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      // null elements are skipped, not NPE'd: ArrayType(StringType) admits
+      // containsNull=true inputs (e.g. transform() outputs)
+      if (!tokens.isNullAt(t)) {
+        val bytes = tokens.getUTF8String(t).getBytes
+        val h =
+          if (fnv) fnv1a64(bytes)
+          else HashKernels.md5Lower64(md, bytes, 0, bytes.length)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       t += 1
     }

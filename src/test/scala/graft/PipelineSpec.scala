@@ -61,6 +61,91 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("md5Lower64 == DuckDB md5_number_lower on pinned values") {
+    import graft.functions.expressions.HashKernels
+    // expected values computed with DuckDB 1.0.0 `md5_number_lower` (the
+    // unsigned little-endian u64 of md5 digest bytes 8..15), reinterpreted
+    // as signed longs — the cross-engine 64-bit hash primitive the d7/d8
+    // oracles contract on
+    val pinned = Seq(
+      "abc" -> 8250560606382298838L,
+      "" -> 9098107892288553193L,
+      "hello world" -> -4337711292721476717L, // digest >= 2^63: sign matters
+      "the" -> 6287873238205204795L,
+      "über" -> -7134401051599998044L) // multi-byte UTF-8
+    val md = java.security.MessageDigest.getInstance("MD5")
+    pinned.foreach { case (s, want) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(HashKernels.md5Lower64(md, b, 0, b.length) == want, s"md5Lower64('$s')")
+    }
+    // the mix uses UNSIGNED mod: for a >= 2^63 digest a signed % diverges
+    val hw = "hello world".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val x = HashKernels.md5Lower64(md, hw, 0, hw.length)
+    assert(java.lang.Long.remainderUnsigned(x, HashKernels.MixP) == 1119715509L)
+    assert(x % HashKernels.MixP != 1119715509L, "signed % must diverge here")
+  }
+
+  test("minhashSig64 kernel matches an independent string-window reimpl") {
+    import graft.functions.TextFunctions
+    import graft.functions.expressions.HashKernels
+    // independent slow path: String/codePoint windows (vs the kernel's
+    // UTF-8 byte-slice windows), same mix constants
+    def slow(text: String, n: Int, k: Int): Seq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val cps = text.codePoints().toArray
+      val nWin = math.max(cps.length - n + 1, 1)
+      val as = HashKernels.mixA(k)
+      val bs = HashKernels.mixB(k)
+      val mins = Array.fill(k)(Long.MaxValue)
+      for (w <- 0 until nWin) {
+        val sh = new String(cps, w, math.min(n, cps.length - w))
+        val b = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val xm = java.lang.Long.remainderUnsigned(
+          HashKernels.md5Lower64(md, b, 0, b.length), HashKernels.MixP)
+        for (s <- 0 until k)
+          mins(s) = math.min(mins(s), (as(s) * xm + bs(s)) % HashKernels.MixP)
+      }
+      mins.toSeq
+    }
+    val s = spark
+    import s.implicits._
+    val texts = Seq("", "ab", "a  b   c", "héllo wörld. ünïcode!",
+      "the quick brown fox jumps over the lazy dog") ++
+      Tables.documents(spark, dir).limit(20).select("text")
+        .collect().map(_.getString(0)).toSeq
+    val got = texts.toDF("text")
+      .select(col("text"), VectorFunctions.minhashSig64(col("text"), 5, 4).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach { t => assert(got(t) == slow(t, 5, 4), s"sig64 mismatch for '$t'") }
+  }
+
+  test("simhash_md5: same text same hash, small edit small hamming, differs from FNV") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely unrelated content about spark query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val toks = split(trim(col("text")), "\\s+")
+    val r = docs.select(col("doc_id"),
+      VectorFunctions.simhashMd5(toks).as("hm"),
+      VectorFunctions.simhash64(toks).as("hf"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(r(0L)._1 == r(1L)._1) // identical text, identical fingerprint
+    assert(hamming(r(0L)._1, r(2L)._1) <= 16)
+    assert(hamming(r(0L)._1, r(3L)._1) > hamming(r(0L)._1, r(2L)._1))
+    assert(r(0L)._1 != r(0L)._2, "md5 and FNV flavors must be distinct hashes")
+    // null tokens are skipped, not NPE'd (nullable-element arrays are legal)
+    val withNull = docs.select(
+      VectorFunctions.simhashMd5(transform(toks,
+        t => when(t === "again", lit(null: String)).otherwise(t))).as("h"))
+      .collect()
+    assert(withNull.length == 4)
+  }
+
   test("minhash LSH: exact duplicates always collide; pair count bounded") {
     val s = spark
     import s.implicits._

@@ -58,10 +58,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     Tables.documents(spark, dir).createOrReplaceTempView("docs")
     val r = spark.sql(
       """SELECT doc_id, graft_minhash_sig(text) AS sig, graft_fingerprint(text) AS fp,
-        |  graft_simhash64(split(trim(text), '\\s+')) AS sh
+        |  graft_simhash64(split(trim(text), '\\s+')) AS sh,
+        |  graft_simhash_md5(split(trim(text), '\\s+')) AS shm,
+        |  graft_minhash_sig64(text) AS sig64
         |FROM docs WHERE doc_id < 3 ORDER BY doc_id""".stripMargin).collect()
     assert(r.length == 3)
     assert(r.forall(_.getSeq[String](1).length == 4))
     assert(r.forall(_.getString(2).length == 32))
+    assert(r.forall(_.getSeq[Long](5).length == 4))
+    // SQL registration agrees with the Column API path
+    val colApi = Tables.documents(spark, dir).filter(col("doc_id") < 3)
+      .orderBy(col("doc_id"))
+      .select(VectorFunctions.simhashMd5(split(trim(col("text")), "\\s+")),
+        VectorFunctions.minhashSig64(col("text")))
+      .collect()
+    assert(r.map(_.getLong(4)).toSeq == colApi.map(_.getLong(0)).toSeq)
+    assert(r.map(_.getSeq[Long](5)).toSeq == colApi.map(_.getSeq[Long](1)).toSeq)
   }
 }
