@@ -17,6 +17,22 @@ object Eval {
   final case class Point(nprobe: Int, refineK: Int, meanRecall: Double,
                          stats: LatencyStats.Stats)
 
+  /** Single-line machine-readable result per operating point, the
+    * reference's CSV-parseable sink (`apps/nvdb_ivf_eval.cpp:729-779`:
+    * `RESULT key=value ...`). GPU-only keys are omitted (n/a by design,
+    * SURVEY §2.4); latencies are whole-batch seconds, and `qps` is
+    * queries/s like the reference's.
+    */
+  def resultLine(p: Point, q: Long, k: Int): String = {
+    val kSearch = math.max(p.refineK, k)
+    def d(v: Double) = f"$v%.6f"
+    s"RESULT nprobe=${p.nprobe} refine_k=${p.refineK} k_search=$kSearch" +
+      s" Q=$q k=$k refine_enabled=${if (p.refineK > k) 1 else 0}" +
+      s" mean_recall=${d(p.meanRecall)} avg_s=${d(p.stats.avg)}" +
+      s" p50_s=${d(p.stats.p50)} p95_s=${d(p.stats.p95)}" +
+      s" p99_s=${d(p.stats.p99)} qps=${d(p.stats.qps)}"
+  }
+
   /** Sweep IVF operating points (nprobe × refineK). Returns one row per
     * point: (nprobe, refine_k, mean_recall, avg_s, p50_s, p95_s, p99_s,
     * qps).
@@ -24,8 +40,10 @@ object Eval {
   def ivfSweep(spark: SparkSession, idx: Ivf.Index, base: DataFrame,
                queries: DataFrame, gt: DataFrame, k: Int,
                nprobes: Seq[Int], refineKs: Seq[Int] = Seq(0),
-               runs: Int = 3, pipeline: String = "staged"): DataFrame = {
+               runs: Int = 3, pipeline: String = "staged",
+               emit: String => Unit = println): DataFrame = {
     val clustered = idx.clustered(spark)
+    val nQueries = queries.count()
     val points = for (np <- nprobes; rk <- refineKs) yield {
       def job(): Double = {
         val pred = Ivf.searchRefined(clustered, queries, idx.centroids,
@@ -39,7 +57,9 @@ object Eval {
         recall = job()
         (System.nanoTime() - t0) / 1e9
       }
-      Point(np, rk, recall, LatencyStats.ofLatencies(times))
+      val p = Point(np, rk, recall, LatencyStats.ofLatencies(times))
+      emit(resultLine(p, nQueries, k))
+      p
     }
     import spark.implicits._
     points.map(p => (p.nprobe, p.refineK, p.meanRecall, p.stats.avg,

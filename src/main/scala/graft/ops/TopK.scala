@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * shuffle moves only Q×k pre-reduced buffers — the same partial/final
   * design the reference uses across threads.
   */
-case class TopKBuf(var ids: Array[Long], var scores: Array[Double], var n: Int)
+case class TopKBuf(var ids: Array[Long], var scores: Array[Double], var n: Int,
+                   var worstIdx: Int)
 
 class TopKAggregator(k: Int, larger: Boolean)
     extends Aggregator[(Long, Double), TopKBuf, Seq[(Long, Double)]] {
@@ -26,10 +27,24 @@ class TopKAggregator(k: Int, larger: Boolean)
   private def better(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
     if (s1 != s2) { if (larger) s1 > s2 else s1 < s2 } else id1 < id2 // stable tie-break
 
-  override def zero: TopKBuf = TopKBuf(new Array[Long](k), new Array[Double](k), 0)
+  override def zero: TopKBuf = TopKBuf(new Array[Long](k), new Array[Double](k), 0, 0)
 
   override def reduce(b: TopKBuf, in: (Long, Double)): TopKBuf = {
     consider(b, in._1, in._2); b
+  }
+
+  // the worst slot under `better` ordering, cached in the buffer like the
+  // reference's worst_score_/worst_idx_ (topK.h:17-20,55-65) — the common
+  // case (candidate loses to the current worst) is ONE compare, not an
+  // O(k) scan per scored pair
+  private def recomputeWorst(b: TopKBuf): Unit = {
+    var worst = 0
+    var i = 1
+    while (i < b.n) {
+      if (better(b.scores(worst), b.ids(worst), b.scores(i), b.ids(i))) worst = i
+      i += 1
+    }
+    b.worstIdx = worst
   }
 
   // also driven directly (tuple-free) by Search.exactTopKFused's
@@ -38,17 +53,11 @@ class TopKAggregator(k: Int, larger: Boolean)
   private[ops] def consider(b: TopKBuf, id: Long, score: Double): Unit = {
     if (b.n < k) {
       b.ids(b.n) = id; b.scores(b.n) = score; b.n += 1
-    } else {
-      // O(k) worst-slot scan + replace, exactly topK.h:24-39
-      var worst = 0
-      var i = 1
-      while (i < b.n) {
-        if (better(b.scores(worst), b.ids(worst), b.scores(i), b.ids(i))) worst = i
-        i += 1
-      }
-      if (better(score, id, b.scores(worst), b.ids(worst))) {
-        b.ids(worst) = id; b.scores(worst) = score
-      }
+      if (b.n == k) recomputeWorst(b)
+    } else if (better(score, id, b.scores(b.worstIdx), b.ids(b.worstIdx))) {
+      // O(k) rescan only on replacement, exactly topK.h:33-37
+      b.ids(b.worstIdx) = id; b.scores(b.worstIdx) = score
+      recomputeWorst(b)
     }
   }
 

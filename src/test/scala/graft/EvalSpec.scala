@@ -22,10 +22,26 @@ class EvalSpec extends AnyFunSuite {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val idx = Ivf.buildOrGet(spark, base, "evalspec", nlist = 16, ntrain = 500)
     val gt = Search.groundTruth(base, queries, 10, Metric.Dot).cache()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val sweep = Eval.ivfSweep(spark, idx, base, queries, gt, k = 10,
-      nprobes = Seq(2, 8, 16), refineKs = Seq(0, 30), runs = 1)
+      nprobes = Seq(2, 8, 16), refineKs = Seq(0, 30), runs = 1,
+      emit = lines += _)
       .collect()
     assert(sweep.length == 6)
+    // one RESULT line per point, reference sink schema
+    // (`apps/nvdb_ivf_eval.cpp:729-779`): "RESULT key=value ..." with the
+    // fixed key set, every value numeric
+    assert(lines.length == 6)
+    val keys = Seq("nprobe", "refine_k", "k_search", "Q", "k",
+      "refine_enabled", "mean_recall", "avg_s", "p50_s", "p95_s", "p99_s", "qps")
+    lines.foreach { ln =>
+      assert(ln.startsWith("RESULT "), ln)
+      val kv = ln.stripPrefix("RESULT ").split(" ")
+        .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      assert(kv.keySet == keys.toSet, s"keys ${kv.keySet} in: $ln")
+      kv.values.foreach(v => assert(v.toDouble == v.toDouble)) // parses, not NaN
+      assert(kv("Q") == "12" && kv("k") == "10")
+    }
     val byPoint = sweep.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(byPoint((16, 0)) == 1.0, s"full probe not exact: ${byPoint((16, 0))}")
     assert(byPoint((8, 0)) >= byPoint((2, 0)) - 1e-9, "recall not monotone in nprobe")

@@ -57,6 +57,38 @@ class ScaleSpec extends AnyFunSuite {
     info(f"fused $tc%.2f s (${ta / tc}%.1fx over BNLJ, ${tb / tc}%.1fx over batched)")
   }
 
+  test("batching gain at 1M rows: fused beats BNLJ, matches its rows") {
+    // the reference's batch-saturation curve (Performance.md:289 —
+    // 20.3→102.8 QPS from batch_q 1→8): at 1M×64-d the per-pair join-row +
+    // hash-aggregate overhead of the BNLJ plan dominates, and the fused
+    // per-partition buffers (one cached-worst compare per pair, topK.h
+    // policy) should show the batching win clearly
+    val n1m = 1000000
+    val big = spark.range(n1m).toDF("id")
+      .select(col("id"), expr(
+        "transform(sequence(1, 64), j -> cast(pmod(hash(id, j), 1000) / 500.0 - 1.0 as float))")
+        .as("vec"))
+    big.cache().count()
+    val queries = big.filter(col("id") % 50000 === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    def run(f: => org.apache.spark.sql.DataFrame): (Set[(Long, Long, Int)], Double) = {
+      f.count() // warmup (codegen + JIT)
+      val t0 = System.nanoTime()
+      val rows = f.collect().map(r =>
+        (r.getAs[Long]("qid"), r.getAs[Long]("id"), r.getAs[Int]("rank"))).toSet
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    val (a, ta) = run(Search.exactTopK(big, queries, 10, Metric.L2))
+    val (b, tb) = run(Search.exactTopKBatched(big, queries, 10, Metric.L2))
+    val (c, tc) = run(Search.exactTopKFused(big, queries, 10, Metric.L2))
+    assert(a == b, "batched diverged from BNLJ at 1M")
+    assert(a == c, "fused diverged from BNLJ at 1M")
+    info(f"1M×64-d, 20 queries: BNLJ $ta%.2f s, batched $tb%.2f s " +
+      f"(${ta / tb}%.2fx), fused $tc%.2f s (${ta / tc}%.2fx over BNLJ)")
+    assert(ta / tc >= 1.5, f"fused gain ${ta / tc}%.2fx < 1.5x at 1M rows")
+    big.unpersist()
+  }
+
   test("IVF at 200k rows: probe prunes and keeps recall") {
     val queries = base.filter(col("id") % 20000 === 0)
       .select(col("id").as("qid"), col("vec").as("qvec"))
