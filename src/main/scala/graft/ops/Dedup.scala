@@ -28,6 +28,21 @@ object Dedup {
     docs.select(col(idCol),
       TextFunctions.minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
 
+  /** Bucket-join of banded signatures → distinct candidate pairs (a < b).
+    * Shared by the hex and sig64 LSH flavors: the only shuffle is on
+    * (band, key); within-bucket work is the quadratic part LSH bounds.
+    */
+  private def bandedPairs(docs: DataFrame, idCol: String,
+                          bandKeysCol: org.apache.spark.sql.Column): DataFrame = {
+    val banded = docs.select(
+      col(idCol), posexplode(bandKeysCol).as(Seq("band", "key")))
+    val l = banded.select(col("band"), col("key"), col(idCol).as("a"))
+    val r = banded.select(col("band"), col("key"), col(idCol).as("b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on band
     * keys, emit distinct candidate pairs (a < b). Only candidates sharing a
     * band collide — the scale path for near-dup detection.
@@ -38,15 +53,26 @@ object Dedup {
     // ONE fused minhash pass computes all bands*rowsPerBand components
     val sig = TextFunctions.minhashSignatureSalted(col(textCol), shingleSize,
       (0 until bands * rowsPerBand).map(_.toString))
-    val banded = docs.select(
-      col(idCol),
-      posexplode(TextFunctions.bandKeys(sig, bands, rowsPerBand))
-        .as(Seq("band", "key")))
-    val l = banded.select(col("band"), col("key"), col(idCol).as("a"))
-    val r = banded.select(col("band"), col("key"), col(idCol).as("b"))
-    l.join(r, Seq("band", "key"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    bandedPairs(docs, idCol, TextFunctions.bandKeys(sig, bands, rowsPerBand))
+  }
+
+  /** Scale flavor of [[minhashLshPairs]] over the sig64 signature
+    * (`HashKernels.minhashSig64`): ONE md5 per shingle for the whole
+    * signature, where the hex flavor pays bands×rowsPerBand digests per
+    * shingle — at 100 TB the signature pass IS the dedup cost, so this is
+    * the production path; the hex flavor remains the DuckDB-anchored
+    * oracle twin (d2/d7 gate both kernels).
+    */
+  def minhashLshPairs64(docs: DataFrame, shingleSize: Int = 5, bands: Int = 4,
+                        rowsPerBand: Int = 2, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val sig = VectorFunctions.minhashSig64(col(textCol), shingleSize,
+      bands * rowsPerBand)
+    val keys = array((0 until bands).map { b =>
+      concat_ws("|", (0 until rowsPerBand).map(r =>
+        element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*)
+    }: _*)
+    bandedPairs(docs, idCol, keys)
   }
 
   /** Verified near-dup pairs: LSH candidates re-checked with true n-gram

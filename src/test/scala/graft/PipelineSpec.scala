@@ -155,6 +155,11 @@ class PipelineSpec extends AnyFunSuite {
     val pairs = Dedup.minhashLshPairs(docs).collect()
     val dupPairs = pairs.filter(r => (r.getLong(1) - r.getLong(0)) == 100000).length
     assert(dupPairs == 5, s"expected all 5 injected dups as candidates, got $dupPairs")
+    // the sig64 scale flavor recalls the same exact dups (identical text ⇒
+    // identical signature in any MinHash family) with one digest/shingle
+    val pairs64 = Dedup.minhashLshPairs64(docs).collect()
+    val dup64 = pairs64.filter(r => (r.getLong(1) - r.getLong(0)) == 100000).length
+    assert(dup64 == 5, s"expected all 5 injected dups via sig64, got $dup64")
   }
 
   test("fused lang-profile kernel matches the interpreted Column twins") {
