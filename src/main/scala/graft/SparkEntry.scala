@@ -477,6 +477,29 @@ object SparkEntry {
         VectorFunctions.simhashMd5(TextFunctions.tokens(col("text"))).as("sig"))
         .orderBy(col("doc_id"))
     }),
+    // Banded-LSH candidate generation with a FULL hash oracle: the sig64
+    // family is md5-reproducible in SQL, so — unlike the seeded-Gaussian
+    // d4 LSH — the entire candidate pass (signature → band keys → bucket
+    // self-join → distinct pairs) pins against DuckDB exactly.
+    // bands=4 × rowsPerBand=4: still ONE digest per shingle, and 4-row
+    // band keys keep buckets healthy on templated synthetic text
+    // (2-row keys collapse half the corpus into one bucket).
+    "d9_lsh64_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs64(Tables.documents(s, dir), shingleSize = 5,
+        bands = 4, rowsPerBand = 4)
+        .orderBy(col("a"), col("b"))
+    }),
+    // SimHash-banded near-dup detection, candidate-then-verify, with a
+    // FULL hash oracle: the md5-flavor fingerprint, its 16-bit band
+    // slices, the bucket self-join, and the Hamming verification are all
+    // reproduced in SQL. Completes the dedup family's oracle coverage:
+    // exact (d1/d5), MinHash hex (d2), MinHash sig64 (d7), MinHash-LSH
+    // candidates (d9), SimHash fingerprint (d8) + banded pairs (here);
+    // only the seeded-Gaussian embedding LSH (d4) stays rows-only.
+    "d10_simhash_dups" -> ((s, dir) => {
+      Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 8, bands = 4)
+        .orderBy(col("a"), col("b"))
+    }),
     "t1_text_stats" -> ((s, dir) => {
       TextAnalysis.textStats(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_chars_text").cast("long").as("n_chars_text"),
@@ -904,6 +927,50 @@ object SparkEntry {
          |    s -> md5_number_lower(s)) AS hs FROM documents)
          |SELECT doc_id, CAST($terms AS BIGINT) AS sig
          |FROM t ORDER BY doc_id""".stripMargin
+    },
+    // Same generated mix constants as d7; band keys are '|'-joined decimal
+    // components, the bucket self-join mirrors Dedup.bandedPairs.
+    "d9_lsh64_pairs" -> {
+      val bands = 4
+      val rows = 4
+      val comps = (0 until bands * rows).map(s =>
+        s"list_min(list_transform(xs, xm -> ${graft.functions.expressions.HashKernels.mixSqlExpr(s)}))")
+        .mkString(", ")
+      val keyExpr = (0 until rows)
+        .map(r => s"CAST(sig[band*$rows+${r + 1}] AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"""WITH x AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, greatest(length(text)-4, 1)+1),
+         |      i -> CAST(md5_number_lower(substr(text, CAST(i AS INT), 5)) % ${graft.functions.expressions.HashKernels.MixP} AS BIGINT)) AS xs
+         |  FROM documents),
+         |s AS (SELECT doc_id, [$comps] AS sig FROM x),
+         |k AS (SELECT doc_id, band, $keyExpr AS key
+         |  FROM s CROSS JOIN (SELECT unnest(range($bands)) AS band)),
+         |p AS (SELECT l.doc_id AS a, r.doc_id AS b
+         |  FROM k l JOIN k r USING (band, key)
+         |  WHERE l.doc_id < r.doc_id)
+         |SELECT DISTINCT a, b FROM p ORDER BY a, b""".stripMargin
+    },
+    // The u64 fingerprint is rebuilt vote-by-vote (d8's construction,
+    // unsigned flavor), sliced into 16-bit band keys with unsigned
+    // shifts, bucket-self-joined, and Hamming-verified via
+    // bit_count(xor) — bit-identical to the engine's signed-long path
+    // because both views share the same 64-bit pattern.
+    "d10_simhash_dups" -> {
+      val terms = (0 until 64).map { b =>
+        s"CASE WHEN 2*len(list_filter(hs, h -> (h >> $b) & 1 = 1)) > len(hs) THEN ${1L << b}::UBIGINT ELSE 0::UBIGINT END"
+      }.mkString("\n  + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'),
+         |    s -> md5_number_lower(s)) AS hs FROM documents),
+         |u AS (SELECT doc_id, ($terms) AS sig FROM t),
+         |k AS (SELECT doc_id, band, CAST((sig >> (16*band)) & 65535 AS BIGINT) AS key, sig
+         |  FROM u CROSS JOIN (SELECT unnest(range(4)) AS band)),
+         |p AS (SELECT l.doc_id AS a, r.doc_id AS b, l.sig AS sa, r.sig AS sb
+         |  FROM k l JOIN k r USING (band, key) WHERE l.doc_id < r.doc_id),
+         |d AS (SELECT DISTINCT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM p)
+         |SELECT a, b, hamming FROM d WHERE hamming <= 8 ORDER BY a, b""".stripMargin
     },
     "d3_jaccard_pairs" ->
       """WITH n AS (

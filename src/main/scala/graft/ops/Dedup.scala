@@ -50,10 +50,14 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, shingleSize: Int = 5, bands: Int = 4,
                       rowsPerBand: Int = 2, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    // ONE fused minhash pass computes all bands*rowsPerBand components
+    // ONE fused minhash pass computes all bands*rowsPerBand components;
+    // the signature is lambda-bound so banding can't re-inline the kernel
+    // per component (same fix as the sig64 flavor below)
     val sig = TextFunctions.minhashSignatureSalted(col(textCol), shingleSize,
       (0 until bands * rowsPerBand).map(_.toString))
-    bandedPairs(docs, idCol, TextFunctions.bandKeys(sig, bands, rowsPerBand))
+    val keys = element_at(
+      transform(array(sig), s => TextFunctions.bandKeys(s, bands, rowsPerBand)), 1)
+    bandedPairs(docs, idCol, keys)
   }
 
   /** Scale flavor of [[minhashLshPairs]] over the sig64 signature
@@ -68,10 +72,15 @@ object Dedup {
                         textCol: String = "text"): DataFrame = {
     val sig = VectorFunctions.minhashSig64(col(textCol), shingleSize,
       bands * rowsPerBand)
-    val keys = array((0 until bands).map { b =>
-      concat_ws("|", (0 until rowsPerBand).map(r =>
-        element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*)
-    }: _*)
+    // bind the signature ONCE through a lambda variable: an array() of
+    // bands×rows element_at(sig, ·) references would let Catalyst inline
+    // (and re-run) the whole kernel per component — measured 6× on d9
+    val keys = element_at(
+      transform(array(sig), s =>
+        array((0 until bands).map { b =>
+          concat_ws("|", (0 until rowsPerBand).map(r =>
+            element_at(s, b * rowsPerBand + r + 1).cast("string")): _*)
+        }: _*)), 1)
     bandedPairs(docs, idCol, keys)
   }
 
@@ -90,6 +99,44 @@ object Dedup {
       .select(col("a"), col("b"),
         VectorFunctions.jaccardCodes(col("sa"), col("sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into `bands`
+    * equal bit slices, bucket-join on (band, slice), verify candidates
+    * with true Hamming distance — two docs within Hamming r collide
+    * whenever any slice is untouched (guaranteed for r < bands). The md5
+    * flavor keeps the whole pass SQL-reproducible (d10's full oracle);
+    * same candidate-then-verify shape as [[minhashNearDups]].
+    *
+    * Returns (a, b, hamming) with hamming <= maxHamming, a < b, distinct.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 8, bands: Int = 4,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val sig = VectorFunctions.simhashMd5(TextFunctions.tokens(col(textCol)))
+    // ONE kernel eval per row: the lambda binds the signature, the
+    // generator materializes (sig, band, key) structs, and downstream
+    // field extraction reads the generator's output attribute instead of
+    // re-inlining the kernel (the d9 lesson)
+    val packed = element_at(
+      transform(array(sig), s =>
+        array((0 until bands).map { b =>
+          struct(s.as("sig"), lit(b).as("band"),
+            shiftrightunsigned(s, bits * b).bitwiseAND(lit(mask)).as("key"))
+        }: _*)), 1)
+    val banded = docs.select(col(idCol), explode(packed).as("x"))
+      .select(col(idCol), col("x.sig").as("sig"),
+        col("x.band").as("band"), col("x.key").as("key"))
+    val l = banded.select(col("band"), col("key"), col(idCol).as("a"), col("sig").as("sa"))
+    val r = banded.select(col("band"), col("key"), col(idCol).as("b"), col("sig").as("sb"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Brute n-gram Jaccard over an explicit pair sample (correctness oracle

@@ -160,6 +160,15 @@ class PipelineSpec extends AnyFunSuite {
     val pairs64 = Dedup.minhashLshPairs64(docs).collect()
     val dup64 = pairs64.filter(r => (r.getLong(1) - r.getLong(0)) == 100000).length
     assert(dup64 == 5, s"expected all 5 injected dups via sig64, got $dup64")
+    // simhash banding: exact dups collide at hamming 0, no cartesian join
+    val sh = Dedup.simhashNearDups(docs, maxHamming = 8)
+    val plan = sh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"simhash banding must bucket-join, not cross-join:\n$plan")
+    val shPairs = sh.collect()
+    val shDups = shPairs.filter(r =>
+      r.getLong(1) - r.getLong(0) == 100000 && r.getLong(2) == 0L).length
+    assert(shDups == 5, s"expected 5 injected dups at hamming 0, got $shDups")
   }
 
   test("fused lang-profile kernel matches the interpreted Column twins") {
