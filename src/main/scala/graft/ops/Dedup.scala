@@ -28,19 +28,30 @@ object Dedup {
     docs.select(col(idCol),
       TextFunctions.minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
 
-  /** Bucket-join of banded signatures → distinct candidate pairs (a < b).
-    * Shared by the hex and sig64 LSH flavors: the only shuffle is on
-    * (band, key); within-bucket work is the quadratic part LSH bounds.
+  /** Banded signatures → distinct candidate pairs (a < b), shared by the
+    * hex and sig64 LSH flavors. ONE scan, ONE shuffle: ids aggregate per
+    * (band, key) bucket and pairs expand from the bucket array. The naive
+    * self-join shape reads the corpus (and runs the signature kernel)
+    * TWICE — once per join side — because the HOF-lambda band keys defeat
+    * exchange reuse; at 100 TB the second signature pass is the whole
+    * cost. Within-bucket work is quadratic in either shape; LSH banding
+    * keeps buckets small by construction (a huge bucket means the band
+    * width is misconfigured for the corpus, and it stalls the self-join
+    * exactly the same way).
     */
   private def bandedPairs(docs: DataFrame, idCol: String,
                           bandKeysCol: org.apache.spark.sql.Column): DataFrame = {
-    val banded = docs.select(
-      col(idCol), posexplode(bandKeysCol).as(Seq("band", "key")))
-    val l = banded.select(col("band"), col("key"), col(idCol).as("a"))
-    val r = banded.select(col("band"), col("key"), col(idCol).as("b"))
-    l.join(r, Seq("band", "key"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val buckets = docs
+      .select(col(idCol), posexplode(bandKeysCol).as(Seq("band", "key")))
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
   }
 
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on band
@@ -129,12 +140,20 @@ object Dedup {
     val banded = docs.select(col(idCol), explode(packed).as("x"))
       .select(col(idCol), col("x.sig").as("sig"),
         col("x.band").as("band"), col("x.key").as("key"))
-    val l = banded.select(col("band"), col("key"), col(idCol).as("a"), col("sig").as("sa"))
-    val r = banded.select(col("band"), col("key"), col(idCol).as("b"), col("sig").as("sb"))
-    l.join(r, Seq("band", "key"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+    // same one-scan bucket-expansion shape as bandedPairs, carrying the
+    // signature so Hamming verifies inside the bucket (struct ordering
+    // sorts by id first, so a < b holds after sort_array)
+    val buckets = banded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sig").as("s"))))
+        .as("xs"))
+      .filter(size(col("xs")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+          struct(x.getField("id").as("a"), y.getField("id").as("b"),
+            bit_count(x.getField("s").bitwiseXOR(y.getField("s")))
+              .cast("long").as("hamming")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
