@@ -500,6 +500,31 @@ object SparkEntry {
       Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 8, bands = 4)
         .orderBy(col("a"), col("b"))
     }),
+    // Benchmark decontamination: flag training docs sharing any token
+    // 4-gram with the held-out benchmark slice (doc_id % 97 == 0) — the
+    // eval-set-overlap removal pass every training pipeline runs (13-gram
+    // in the published recipes; 4 here because the synthetic corpus has no
+    // longer shared spans). Benchmark grams broadcast; the corpus never
+    // shuffles to discover hits.
+    "d11_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+        corpus = docs.filter(col("doc_id") % 97 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 97 === 0),
+        gramTokens = 4)
+        .orderBy(col("doc_id"))
+    }),
+    // Exact-size stratified sample (10 per language), seeded + engine-
+    // reproducible: per-stratum counts drive a map-side rank-cutoff filter
+    // so the row_number window sees ~80 rows per stratum, not the corpus.
+    // The 20-bit rank is md5_lower64 & 0xFFFFF — the d7/d8-pinned DuckDB
+    // md5_number_lower equivalence, power-of-two mod so signedness is moot.
+    "p4_stratified_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedSample(Tables.documents(s, dir),
+        col("lang"), n = 10, idCol = "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "t1_text_stats" -> ((s, dir) => {
       TextAnalysis.textStats(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_chars_text").cast("long").as("n_chars_text"),
@@ -518,6 +543,18 @@ object SparkEntry {
     "t3_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprints(Tables.documents(s, dir))
         .orderBy(col("doc_id"))
+    }),
+    // Within-doc repetition signals (Gopher-style quality filters):
+    // distinct-token ratio + token-3-gram duplicate fraction, HOF-only.
+    "t5_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+    // Corpus mixing stats per source: token totals, share, and the
+    // upsample factor for a uniform token mix across sources.
+    "t6_mixing_stats" -> ((s, dir) => {
+      TextAnalysis.mixingStats(Tables.documents(s, dir))
+        .orderBy(col("source"))
     }),
 
     // S8: ingest pipeline — chunk + sidecar metadata join
@@ -985,6 +1022,66 @@ object SparkEntry {
         |  FROM n a CROSS JOIN n b
         |  WHERE a.doc_id % 50 = 0 AND a.doc_id < b.doc_id)
         |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.25 ORDER BY a, b""".stripMargin,
+    // Same truncated-window gram semantics as the Spark side (docs shorter
+    // than the gram size contribute their single truncated window); grams
+    // md5-keyed on both sides.
+    "d11_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-3, 1)+1),
+        |    i -> md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+3], ' ')))) AS grams
+        |  FROM t),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT cg.doc_id, count(*) AS n_hit_grams
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0) cg
+        |  JOIN bg USING (gram) GROUP BY cg.doc_id)
+        |SELECT d.doc_id, coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+        |  coalesce(h.n_hit_grams, 0) = 0 AS keep
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // The rank-cutoff filter is part of the sample's definition — both
+    // engines apply it identically, so exactness is by construction.
+    // u = md5_number_lower % 2^20 == the engine's md5_lower64 & 0xFFFFF.
+    "p4_stratified_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |f AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    CAST(md5_number_lower('p4-' || CAST(d.doc_id AS VARCHAR)) % 1048576 AS BIGINT) AS u,
+        |    c.cnt
+        |  FROM documents d JOIN c USING (lang)
+        |  WHERE CAST(md5_number_lower('p4-' || CAST(d.doc_id AS VARCHAR)) % 1048576 AS BIGINT) * c.cnt
+        |    < 8 * 10 * 1048576)
+        |SELECT doc_id, lang, n_chars FROM f
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) <= 10
+        |ORDER BY doc_id""".stripMargin,
+    // Exact-integer divisions only — no rounding, IEEE-identical.
+    "t5_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_token_ratio,
+        |    list_transform(range(1, greatest(len(toks)-2, 1)+1),
+        |      i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')) AS g3
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, distinct_token_ratio,
+        |  CAST(len(g3) AS BIGINT) AS n_grams,
+        |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / greatest(len(g3), 1) AS gram_dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "t6_mixing_stats" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens,
+        |    sum(length(text)) AS n_chars
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share,
+        |  (CAST(sum(n_tokens) OVER () AS DOUBLE) / count(*) OVER ())
+        |    / CAST(n_tokens AS DOUBLE) AS upsample_factor
+        |FROM s ORDER BY source""".stripMargin,
     "t1_text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars_text,

@@ -41,6 +41,8 @@ object VectorFunctions {
   /** Scale-path MinHash signature (one md5 per shingle, k mixed minima). */
   def minhashSig64(text: Column, n: Int = 5, k: Int = 4): Column =
     col1(MinhashSig64(ex(text), n, k))
+  /** Lower 64 bits of md5 as a signed long (== DuckDB md5_number_lower). */
+  def md5Lower64(text: Column): Column = col1(Md5StrLower64(ex(text)))
 
   // ---- interpreted oracles built from Spark higher-order builtins ----
 
@@ -86,5 +88,7 @@ object VectorFunctions {
       es => SimHashMd5(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig64",
       es => MinhashSig64(es.head, 5, 4), "built-in")
+    reg.createOrReplaceTempFunction("graft_md5_lower64",
+      es => Md5StrLower64(es.head), "built-in")
   }
 }

@@ -134,6 +134,14 @@ object HashKernels {
     x
   }
 
+  /** [[md5Lower64]] over a whole UTF-8 string — the kernel behind the
+    * `md5_lower64` column function (seeded sampling ranks, doc keys).
+    */
+  def md5Lower64Str(text: UTF8String): Long = {
+    val b = text.getBytes
+    md5Lower64(threadMd5(), b, 0, b.length)
+  }
+
   /** Scale-path MinHash signature: ONE md5 per shingle, k components
     * derived by multiply-shift mixing of the shared 64-bit hash —
     * `h_s = (a_s * (lower64 mod P) + b_s) mod P`. At 100 TB this is the
@@ -230,6 +238,24 @@ case class MinhashSig64(child: Expression, n: Int, numHashes: Int)
   }
   override def prettyName: String = "minhash_sig64"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `md5_lower64(text)` → little-endian u64 of md5 digest bytes 8..15 as a
+  * signed long — bit-identical to DuckDB's `md5_number_lower` (the
+  * equivalence the d7/d8 oracles pin). The shared cross-engine uniform
+  * 64-bit hash for seeded sampling and fingerprinting.
+  */
+case class Md5StrLower64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.md5Lower64Str(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.expressions.HashKernels.md5Lower64Str($t)")
+  override def prettyName: String = "md5_lower64"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /** `fingerprint_min(text)` → md5-hex min over word k-gram windows. */

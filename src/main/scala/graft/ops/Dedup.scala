@@ -158,6 +158,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark decontamination: per corpus document, how many of its token
+    * `gramTokens`-grams appear anywhere in the benchmark set, plus the
+    * keep verdict (zero overlap). The standard "remove eval-set
+    * contamination from training data" pass (13-gram overlap in the
+    * published recipes; the gram size is a parameter).
+    *
+    * Scale shape: benchmark sets are fixed-size (MBs) regardless of corpus
+    * size, so the distinct benchmark gram set is BROADCAST — the corpus is
+    * never shuffled to discover hits, its grams stream map-side through
+    * the broadcast join and only MATCHED (doc, gram) rows reach the
+    * per-doc count. Grams are md5-keyed so the join key is a fixed 32
+    * bytes instead of the gram text. Docs shorter than `gramTokens`
+    * contribute their single truncated window (fingerprint semantics).
+    *
+    * Returns (idCol, n_hit_grams, keep) — one row per corpus doc.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, gramTokens: Int = 13,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // tokens bound ONCE through a lambda variable (the d9 lesson: inlined
+    // HOF args re-evaluate per element — here split() would re-run per gram)
+    def gramsCol = element_at(
+      transform(array(TextFunctions.tokens(col(textCol))), ts =>
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(ts) - gramTokens, lit(0))),
+          i => md5(array_join(slice(ts, i + lit(1), lit(gramTokens)), " "))))), 1)
+    val benchGrams = benchmark.select(explode(gramsCol).as("gram")).distinct()
+    val hits = corpus.select(col(idCol), explode(gramsCol).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      // grams are distinct per doc, so plain count == distinct matched grams
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit_grams"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .withColumn("keep", col("n_hit_grams") === 0L)
+  }
+
   /** Brute n-gram Jaccard over an explicit pair sample (correctness oracle
     * for the LSH path; never run unsampled at scale).
     *

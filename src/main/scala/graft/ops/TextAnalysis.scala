@@ -41,4 +41,57 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
     docs.select(col(idCol), TextFunctions.fingerprint(col(textCol), k).as("fp"))
+
+  /** Within-document repetition stats (the Gopher/MassiveText-style
+    * repetition quality signals): distinct-token ratio and the duplicate
+    * fraction of token `gram`-grams inside each document. Pure HOFs — no
+    * shuffle, no explode; the token array and the gram array are each
+    * bound once through a lambda variable so split() and the gram build
+    * run once per row, not once per element.
+    *
+    * All ratios are exact-integer divisions — IEEE-identical across
+    * engines, no rounding needed.
+    */
+  def repetitionStats(docs: DataFrame, gram: Int = 3, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val stats = element_at(
+      transform(array(TextFunctions.tokens(col(textCol))), ts =>
+        element_at(transform(array(
+          transform(sequence(lit(0), greatest(size(ts) - gram, lit(0))),
+            i => array_join(slice(ts, i + lit(1), lit(gram)), " "))), gs =>
+          struct(
+            size(ts).cast("long").as("n_tokens"),
+            (size(array_distinct(ts)).cast("double") /
+              greatest(size(ts), lit(1))).as("distinct_token_ratio"),
+            size(gs).cast("long").as("n_grams"),
+            (lit(1.0) - size(array_distinct(gs)).cast("double") /
+              greatest(size(gs), lit(1))).as("gram_dup_ratio"))), 1)), 1)
+    docs.select(col(idCol), stats.as("st"))
+      .select(col(idCol), col("st.n_tokens").as("n_tokens"),
+        col("st.distinct_token_ratio").as("distinct_token_ratio"),
+        col("st.n_grams").as("n_grams"),
+        col("st.gram_dup_ratio").as("gram_dup_ratio"))
+  }
+
+  /** Corpus mixing stats per source: doc/token/char totals, each source's
+    * token share, and the upsample factor that would equalize token counts
+    * across sources (uniform target mix). One map-side-combined aggregation
+    * over the corpus; the share window runs over the aggregated rows only
+    * (source cardinality is bounded, so the single-partition window is
+    * O(sources), not O(corpus)).
+    */
+  def mixingStats(docs: DataFrame, srcCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    docs.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+      .select(col(srcCol), col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+          .as("token_share"),
+        ((sum(col("n_tokens")).over(w).cast("double") / count(lit(1)).over(w)) /
+          col("n_tokens").cast("double")).as("upsample_factor"))
+  }
 }

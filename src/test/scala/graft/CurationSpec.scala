@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.ops.{Dedup, Sampling, TextAnalysis}
+
+/** Corpus-curation operators: benchmark decontamination, stratified
+  * sampling, repetition signals, mixing stats. Plan-shape gates enforce
+  * the scale invariants (broadcast benchmark, rank-cutoff before the
+  * sample window).
+  */
+class CurationSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  test("decontaminate: gram overlap flagged, clean docs kept, benchmark broadcast") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares a 4-gram with bench
+      (2L, "totally different words here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "prefix alpha beta gamma delta suffix"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, gramTokens = 4)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(rows(1L)._1 >= 1 && !rows(1L)._2, s"doc 1 must be contaminated: $rows")
+    assert(rows(2L)._1 == 0 && rows(2L)._2, s"doc 2 must be clean: $rows")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark gram set must broadcast — the corpus never shuffles to find hits")
+  }
+
+  test("decontaminate: docs shorter than the gram use their truncated window") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "tiny doc"), (2L, "other text")).toDF("doc_id", "text")
+    val bench = Seq((100L, "tiny doc")).toDF("doc_id", "text")
+    val rows = Dedup.decontaminate(corpus, bench, gramTokens = 13)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!rows(1L) && rows(2L))
+  }
+
+  test("stratified sample: min(n, stratum size) rows per stratum, deterministic") {
+    val docs = Tables.documents(spark, dir)
+    val n = 3
+    def run() = Sampling.stratifiedSample(docs, col("lang"), n, "doc_id")
+      .select("doc_id", "lang").collect()
+    val a = run()
+    val perLang = a.groupBy(_.getString(1)).map { case (k, v) => k -> v.length }
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (l, c) =>
+      assert(perLang.getOrElse(l, 0).toLong == math.min(n.toLong, c),
+        s"stratum $l: got ${perLang.getOrElse(l, 0)} of $c (n=$n)")
+    }
+    assert(a.map(_.toString).sorted.sameElements(run().map(_.toString).sorted),
+      "seeded sample must be deterministic")
+  }
+
+  test("stratified sample: rank-cutoff filter runs below the window") {
+    val docs = Tables.documents(spark, dir)
+    val out = Sampling.stratifiedSample(docs, col("lang"), 3, "doc_id")
+    val plan = out.queryExecution.executedPlan.toString
+    // constant-folded cutoff 8*3*2^20; printed plans are top-down, so a
+    // LARGER index means the filter executes BEFORE the window
+    val cutoff = (8L * 3 * Sampling.RankM).toString
+    val wIdx = plan.indexOf("Window")
+    val fIdx = plan.indexOf(cutoff)
+    assert(wIdx >= 0 && fIdx >= 0, s"missing window or cutoff in:\n$plan")
+    assert(fIdx > wIdx,
+      "cutoff filter must sit under the window (map-side, pre-shuffle)")
+  }
+
+  test("repetition stats: repeated text scores high dup ratio, unique text zero") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "six completely distinct tokens right here")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(m(1L).getDouble(2) - 1.0 / 6) < 1e-12) // distinct_token_ratio
+    assert(math.abs(m(1L).getDouble(4) - 0.75) < 1e-12) // 4 grams, 1 distinct
+    assert(m(2L).getDouble(2) == 1.0 && m(2L).getDouble(4) == 0.0)
+  }
+
+  test("mixing stats: shares sum to 1, upsample factor inverts the share") {
+    val rows = TextAnalysis.mixingStats(Tables.documents(spark, dir)).collect()
+    val nSrc = rows.length
+    val shareSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    rows.foreach { r =>
+      val prod = r.getDouble(4) * r.getDouble(5) * nSrc
+      assert(math.abs(prod - 1.0) < 1e-9, s"share*upsample*nSrc = $prod")
+    }
+  }
+}

@@ -75,4 +75,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.map(_.getLong(4)).toSeq == colApi.map(_.getLong(0)).toSeq)
     assert(r.map(_.getSeq[Long](5)).toSeq == colApi.map(_.getSeq[Long](1)).toSeq)
   }
+
+  test("graft_md5_lower64 pins known DuckDB md5_number_lower values") {
+    // SELECT md5_number_lower('abc'), md5_number_lower('p4-0') in DuckDB;
+    // values ≥ 2^63 land as negative signed longs — the same 64-bit
+    // pattern both engines band/mod/compare on
+    val r = spark.sql(
+      "SELECT graft_md5_lower64('abc') AS a, graft_md5_lower64('p4-0') AS b")
+      .collect().head
+    assert(r.getLong(0) == java.lang.Long.parseUnsignedLong("8250560606382298838"))
+    assert(r.getLong(1) == java.lang.Long.parseUnsignedLong("10552995797209982114"))
+  }
 }
