@@ -615,6 +615,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Point-in-time (as-of) join — the feature-lookup primitive Spark has
+    // no native operator for: each purchase matches the latest view at or
+    // before it per user. One shuffle + window, NO join node (a range-join
+    // formulation is quadratic on skewed keys); DuckDB's native ASOF LEFT
+    // JOIN is the oracle.
+    "e5_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"))
+      val quotes = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("q_event_id"),
+          col("value").as("q_value"))
+      graft.ops.AsofJoin.asofLeft(probes, quotes, key = "user_id", ts = "ts",
+        quoteSeq = "q_event_id")
+        // micros, not nanos: DuckDB reads TIMESTAMP_NS at µs precision
+        // (same convention as e3)
+        .select(col("user_id"), col("p_event_id"),
+          expr("ts div 1000").as("p_ts_micros"),
+          col("q_event_id"), col("q_value"))
+        .orderBy(col("p_event_id"))
+    }),
+
+    // Quantile-threshold quality gate: keep docs at or above their
+    // language's p75 length — per-stratum thresholds from one bounded
+    // aggregation, broadcast back, filtered map-side (no corpus window).
+    "t7_quality_gate" -> ((s, dir) => {
+      TextAnalysis.quantileGate(Tables.documents(s, dir),
+        stratum = "lang", metric = "n_chars", q = 0.75)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Semi-structured props: JSON field extraction + exact integer rollup
     // (the metadata-sidecar shape of a real event pipeline).
     "e4_props_rollup" -> ((s, dir) => {
@@ -1125,6 +1157,32 @@ object SparkEntry {
         |  list_min(list_transform(range(1, greatest(len(toks)-2, 1)+1),
         |    i -> md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')))) AS fp
         |FROM t ORDER BY doc_id""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN pins the union-window formulation;
+    // quotes deduped per (user, ts) by max event_id on both sides so
+    // equal-timestamp ties are deterministic.
+    "e5_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_event_id,
+        |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS p_ts_micros
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, event_id AS q_event_id,
+        |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS q_ts, value AS q_value
+        |  FROM events WHERE event_type = 'view'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT p.user_id, p.p_event_id, p.p_ts_micros, v.q_event_id, v.q_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.p_ts_micros >= v.q_ts
+        |ORDER BY p.p_event_id""".stripMargin,
+    // quantile_cont == Spark percentile (the q4-pinned interpolation), so
+    // the per-lang threshold and the kept set are engine-exact.
+    "t7_quality_gate" ->
+      """WITH t AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.75) AS thr
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, lang, n_chars
+        |FROM documents JOIN t USING (lang)
+        |WHERE CAST(n_chars AS DOUBLE) >= thr
+        |ORDER BY doc_id""".stripMargin,
     "e4_props_rollup" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

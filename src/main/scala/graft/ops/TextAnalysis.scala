@@ -73,6 +73,31 @@ object TextAnalysis {
         col("st.gram_dup_ratio").as("gram_dup_ratio"))
   }
 
+  /** Quantile-threshold gate: keep rows whose `metric` is at or above the
+    * per-stratum `q`-quantile (e.g. drop the shortest 75% of docs per
+    * language). Thresholds come from ONE aggregation broadcast back onto
+    * the table — the corpus is filtered map-side, never windowed.
+    *
+    * Exact mode buffers every group value in the percentile aggregate —
+    * right for the oracle gate and up to ~10^8 rows per stratum, NOT for
+    * a 100 TB corpus. At scale pass `approx = true` (t-digest-style
+    * `approx_percentile`, constant memory per stratum) or pre-compute the
+    * threshold with `Percentiles.sortBased` (exact, one sort). Exact
+    * Spark `percentile` uses the same linear-interpolation formula as
+    * DuckDB's `quantile_cont` (pinned by the q4 oracle), so the exact
+    * threshold — and therefore the kept set — is engine-reproducible.
+    */
+  def quantileGate(df: DataFrame, stratum: String, metric: String,
+                   q: Double, approx: Boolean = false): DataFrame = {
+    val agg =
+      if (approx) expr(s"approx_percentile($metric, ${q}D, 10000)")
+      else expr(s"percentile($metric, ${q}D)")
+    val thr = df.groupBy(col(stratum)).agg(agg.cast("double").as("thr"))
+    df.join(broadcast(thr), Seq(stratum))
+      .filter(col(metric).cast("double") >= col("thr"))
+      .drop("thr")
+  }
+
   /** Corpus mixing stats per source: doc/token/char totals, each source's
     * token share, and the upsample factor that would equalize token counts
     * across sources (uniform target mix). One map-side-combined aggregation

@@ -90,6 +90,35 @@ class CurationSpec extends AnyFunSuite {
     assert(m(2L).getDouble(2) == 1.0 && m(2L).getDouble(4) == 0.0)
   }
 
+  test("quantile gate: kept rows meet their stratum threshold, others dropped") {
+    val docs = Tables.documents(spark, dir)
+    val kept = TextAnalysis.quantileGate(docs, "lang", "n_chars", 0.75)
+      .select("lang", "n_chars").collect()
+      .groupBy(_.getString(0)).map { case (k, v) => k -> v.map(_.getLong(1)) }
+    val all = docs.select("lang", "n_chars").collect()
+      .groupBy(_.getString(0)).map { case (k, v) => k -> v.map(_.getLong(1)) }
+    all.foreach { case (lang, xs) =>
+      val ks = kept.getOrElse(lang, Array.empty[Long])
+      assert(ks.nonEmpty && ks.length < xs.length,
+        s"$lang: gate must keep a strict non-empty subset (${ks.length}/${xs.length})")
+      assert(ks.min >= xs.sorted.apply((0.75 * (xs.length - 1)).floor.toInt),
+        s"$lang: kept minimum below the p75 neighborhood")
+    }
+  }
+
+  test("quantile gate: approx mode keeps a similar subset to exact") {
+    val docs = Tables.documents(spark, dir)
+    val exact = TextAnalysis.quantileGate(docs, "lang", "n_chars", 0.75)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val approx = TextAnalysis.quantileGate(docs, "lang", "n_chars", 0.75, approx = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // at 10k accuracy on small strata the digest is near-exact; allow a
+    // small boundary band
+    val sym = (exact diff approx) ++ (approx diff exact)
+    assert(approx.nonEmpty && sym.size <= exact.size / 5,
+      s"approx gate diverges: ${sym.size} of ${exact.size}")
+  }
+
   test("mixing stats: shares sum to 1, upsample factor inverts the share") {
     val rows = TextAnalysis.mixingStats(Tables.documents(spark, dir)).collect()
     val nSrc = rows.length
