@@ -50,6 +50,32 @@ class AsofSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
   }
 
+  test("asof-left: random data matches a brute-force reference") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    val probes = Seq.tabulate(300)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, 1000L + i))
+    val quotes = Seq.tabulate(200)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, i.toLong, rnd.nextDouble()))
+    // brute force: per probe, the quote with max ts <= probe ts; ties on
+    // ts resolved by max seq (the operator's declared dedupe rule)
+    val expected = probes.map { case (k, ts, pid) =>
+      val m = quotes.filter(q => q._1 == k && q._2 <= ts)
+        .sortBy(q => (q._2, q._3)).lastOption
+      pid -> m.map(_._3).getOrElse(-1L)
+    }.toMap
+    val out = AsofJoin.asofLeft(
+      probes.toDF("k", "ts", "p_id"),
+      quotes.toDF("k", "ts", "q_id", "q_value"),
+      key = "k", ts = "ts", quoteSeq = "q_id")
+    val got = out.collect().map(r => r.getLong(2) ->
+      (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got.size == probes.size)
+    val bad = expected.collect { case (p, e) if got(p) != e => (p, e, got(p)) }
+    assert(bad.isEmpty, s"mismatches (probe, expected, got): ${bad.take(5)}")
+  }
+
   test("asof-left: null quote payload fields do not resurrect older quotes") {
     val s = spark
     import s.implicits._
