@@ -525,6 +525,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // Epoch-mixing sampler: a 100-doc corpus sample allocated across
+    // sources by TOKEN share (downsample overrepresented sources) — the
+    // weighted flavor of p4. Quotas come from mixingStats' exact token
+    // shares; floor(x+0.5) rounding (not round(): banker's-vs-half-up
+    // differs across engines, q1's lesson).
+    "p5_weighted_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val quotas = TextAnalysis.mixingStats(docs)
+        .select(col("source").as("stratum"),
+          floor(col("token_share") * 100 + lit(0.5)).cast("long").as("n"))
+      graft.ops.Sampling.weightedSample(docs, col("source"), quotas, "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "t1_text_stats" -> ((s, dir) => {
       TextAnalysis.textStats(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_chars_text").cast("long").as("n_chars_text"),
@@ -1087,6 +1101,28 @@ object SparkEntry {
         |    < 8 * 10 * 1048576)
         |SELECT doc_id, lang, n_chars FROM f
         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) <= 10
+        |ORDER BY doc_id""".stripMargin,
+    // Quota = floor(token_share * 100 + 0.5) with token_share computed
+    // exactly as t6's oracle; same rank/cutoff machinery as p4 under the
+    // 'p5' seed, with the per-stratum quota inside the cutoff and QUALIFY.
+    "p5_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS cnt,
+        |    sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |q AS (
+        |  SELECT source, cnt,
+        |    CAST(floor(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () * 100 + 0.5) AS BIGINT) AS n
+        |  FROM s),
+        |f AS (
+        |  SELECT d.doc_id, d.source, d.n_chars,
+        |    CAST(md5_number_lower('p5-' || CAST(d.doc_id AS VARCHAR)) % 1048576 AS BIGINT) AS u,
+        |    q.cnt, q.n
+        |  FROM documents d JOIN q USING (source)
+        |  WHERE CAST(md5_number_lower('p5-' || CAST(d.doc_id AS VARCHAR)) % 1048576 AS BIGINT) * q.cnt
+        |    < 8 * q.n * 1048576)
+        |SELECT doc_id, source, n_chars FROM f
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY u, doc_id) <= n
         |ORDER BY doc_id""".stripMargin,
     // Exact-integer divisions only — no rounding, IEEE-identical.
     "t5_repetition" ->

@@ -52,4 +52,27 @@ object Sampling {
       .filter(col("rn") <= n)
       .drop("cnt", "rn")
   }
+
+  /** [[stratifiedSample]] with PER-STRATUM quotas — the epoch-mixing
+    * sampler: `quotas` is a tiny (stratum, n) frame (e.g. computed from
+    * `TextAnalysis.mixingStats` token shares) and each stratum yields
+    * exactly min(n, stratum size) rows. Same two-phase shape: quotas and
+    * per-stratum counts both broadcast, the rank cutoff
+    * `u · cnt < safety · n · M` filters map-side, and the row_number
+    * window only sees ~safety·n survivors per stratum.
+    */
+  def weightedSample(df: DataFrame, stratum: Column, quotas: DataFrame,
+                     idCol: String, seed: String = "p5",
+                     safety: Int = 8): DataFrame = {
+    val counts = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("u"), col(idCol))
+    df.withColumn("stratum", stratum)
+      .join(broadcast(counts), Seq("stratum"))
+      .join(broadcast(quotas), Seq("stratum"))
+      .withColumn("u", rank20(col(idCol), seed))
+      .filter(col("u") * col("cnt") < lit(safety.toLong) * col("n") * lit(RankM))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n"))
+      .drop("cnt", "rn", "n")
+  }
 }

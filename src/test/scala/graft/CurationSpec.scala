@@ -90,6 +90,25 @@ class CurationSpec extends AnyFunSuite {
     assert(m(2L).getDouble(2) == 1.0 && m(2L).getDouble(4) == 0.0)
   }
 
+  test("weighted sample: per-stratum quota honored, deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, dir)
+    val quotas = Seq(("en", 4L), ("de", 1L), ("fr", 2L), ("es", 2L), ("zh", 3L))
+      .toDF("stratum", "n")
+    def run() = graft.ops.Sampling
+      .weightedSample(docs, col("lang"), quotas, "doc_id")
+      .select("doc_id", "lang").collect()
+    val a = run()
+    val got = a.groupBy(_.getString(1)).map { case (k, v) => k -> v.length.toLong }
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Map("en" -> 4L, "de" -> 1L, "fr" -> 2L, "es" -> 2L, "zh" -> 3L)
+      .map { case (l, n) => l -> math.min(n, counts.getOrElse(l, 0L)) }
+    assert(got == want.filter(_._2 > 0), s"got $got want $want")
+    assert(a.map(_.toString).sorted.sameElements(run().map(_.toString).sorted))
+  }
+
   test("quantile gate: kept rows meet their stratum threshold, others dropped") {
     val docs = Tables.documents(spark, dir)
     val kept = TextAnalysis.quantileGate(docs, "lang", "n_chars", 0.75)
