@@ -539,6 +539,15 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // CCNet-style boilerplate signal: token 3-grams shared by >= 5 docs
+    // are boilerplate; each doc reports its boilerplate fraction. Gram
+    // doc-frequency is one shuffle-on-gram agg; the boilerplate set joins
+    // back as a plain equi-join (it grows with the corpus — not
+    // broadcastable, unlike d11's fixed-size benchmark).
+    "d12_boilerplate" -> ((s, dir) => {
+      Dedup.boilerplateRatio(Tables.documents(s, dir), gramTokens = 3, minDocs = 5)
+        .orderBy(col("doc_id"))
+    }),
     "t1_text_stats" -> ((s, dir) => {
       TextAnalysis.textStats(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_chars_text").cast("long").as("n_chars_text"),
@@ -1102,6 +1111,22 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars FROM f
         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) <= 10
         |ORDER BY doc_id""".stripMargin,
+    // Rows in e are distinct per (doc, gram), so count(*) == doc frequency.
+    "d12_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+        |    i -> md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')))) AS grams
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |c AS (SELECT gram, count(*) AS df FROM e GROUP BY gram),
+        |b AS (SELECT gram FROM c WHERE df >= 5),
+        |h AS (SELECT e.doc_id, count(*) AS nb FROM e JOIN b USING (gram) GROUP BY e.doc_id)
+        |SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  coalesce(h.nb, 0) AS n_bp_grams,
+        |  CAST(coalesce(h.nb, 0) AS DOUBLE) / greatest(len(grams), 1) AS bp_ratio
+        |FROM g LEFT JOIN h USING (doc_id) ORDER BY g.doc_id""".stripMargin,
     // Quota = floor(token_share * 100 + 0.5) with token_share computed
     // exactly as t6's oracle; same rank/cutoff machinery as p4 under the
     // 'p5' seed, with the per-stratum quota inside the cutoff and QUALIFY.

@@ -194,6 +194,44 @@ object Dedup {
       .withColumn("keep", col("n_hit_grams") === 0L)
   }
 
+  /** CCNet-style boilerplate measurement: a token `gramTokens`-gram is
+    * boilerplate when it appears in at least `minDocs` distinct documents;
+    * each document gets its boilerplate-gram count and fraction (the
+    * "remove template/navigation text" quality signal).
+    *
+    * Scale shape: per-doc DISTINCT grams (lambda-bound, computed once)
+    * explode to (doc, gram) rows; gram document-frequency is ONE
+    * shuffle-on-gram aggregation (rows are distinct per doc, so count(*)
+    * IS the doc frequency); the boilerplate set joins back on the gram
+    * hash — a plain equi-join, NOT broadcast, because unlike the
+    * decontamination benchmark the boilerplate set grows with the corpus.
+    * Per-doc re-aggregation then touches only matched grams. No stage
+    * holds unbounded per-key state.
+    *
+    * Returns (idCol, n_grams, n_bp_grams, bp_ratio) — one row per doc.
+    */
+  def boilerplateRatio(docs: DataFrame, gramTokens: Int = 3, minDocs: Int = 5,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val gramsCol = element_at(
+      transform(array(TextFunctions.tokens(col(textCol))), ts =>
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(ts) - gramTokens, lit(0))),
+          i => md5(array_join(slice(ts, i + lit(1), lit(gramTokens)), " "))))), 1)
+    val perDoc = docs.select(col(idCol), gramsCol.as("grams"))
+    val exploded = perDoc.select(col(idCol), explode(col("grams")).as("gram"))
+    val boilerplate = exploded.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df")).filter(col("df") >= minDocs)
+      .select(col("gram"))
+    val hits = exploded.join(boilerplate, Seq("gram"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_bp_grams"))
+    perDoc.select(col(idCol), size(col("grams")).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_bp_grams"), lit(0L)).as("n_bp_grams"))
+      .withColumn("bp_ratio",
+        col("n_bp_grams").cast("double") / greatest(col("n_grams"), lit(1)))
+  }
+
   /** Brute n-gram Jaccard over an explicit pair sample (correctness oracle
     * for the LSH path; never run unsampled at scale).
     *

@@ -77,6 +77,24 @@ class CurationSpec extends AnyFunSuite {
       "cutoff filter must sit under the window (map-side, pre-shuffle)")
   }
 
+  test("boilerplate ratio: a gram shared by minDocs docs is flagged, rare grams are not") {
+    val s = spark
+    import s.implicits._
+    // "click here now" appears in 3 docs (minDocs), unique tails don't
+    val docs = Seq(
+      (1L, "click here now alpha beta gamma"),
+      (2L, "click here now delta epsilon zeta"),
+      (3L, "click here now eta theta iota"),
+      (4L, "completely original content without repeats"))
+      .toDF("doc_id", "text")
+    val m = Dedup.boilerplateRatio(docs, gramTokens = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    Seq(1L, 2L, 3L).foreach { d =>
+      assert(m(d)._1 == 1L && m(d)._2 > 0, s"doc $d must flag the shared gram: $m")
+    }
+    assert(m(4L)._1 == 0L && m(4L)._2 == 0.0, s"clean doc flagged: $m")
+  }
+
   test("repetition stats: repeated text scores high dup ratio, unique text zero") {
     val s = spark
     import s.implicits._
