@@ -595,6 +595,18 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_index"))
     }),
 
+    // GPT-style sequence packing manifest: concatenate docs per
+    // (source, shard) in id order into 128-token streams; each doc
+    // reports stream offset, first sequence id, sequences spanned.
+    // shards=2 demonstrates the hot-stratum split (salting analogue).
+    "s9_pack" -> ((s, dir) => {
+      graft.ops.Packing.pack(Tables.documents(s, dir), budget = 128,
+        shards = 2, stratum = "source")
+        .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+          col("start_off"), col("seq_id"), col("n_seqs"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- events family (A2-adjacent; streaming-shaped batch) ----
     "e1_hourly_events" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -1250,6 +1262,22 @@ object SparkEntry {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same integer-div layout arithmetic; ROWS BETWEEN ... 1 PRECEDING
+    // mirrors Spark's rowsBetween(unboundedPreceding, -1).
+    "s9_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, doc_id % 2 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM d)
+        |SELECT doc_id, source, shard, n_tokens, start_off,
+        |  start_off // 128 AS seq_id,
+        |  (start_off + n_tokens - 1) // 128 - start_off // 128 + 1 AS n_seqs
+        |FROM o ORDER BY doc_id""".stripMargin,
     "s8_chunks" ->
       """WITH s AS (
         |  SELECT doc_id, lang,

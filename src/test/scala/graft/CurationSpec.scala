@@ -156,6 +156,29 @@ class CurationSpec extends AnyFunSuite {
       s"approx gate diverges: ${sym.size} of ${exact.size}")
   }
 
+  test("sequence packing: contiguous offsets per stream, spans consistent") {
+    val out = graft.ops.Packing.pack(Tables.documents(spark, dir),
+      budget = 128, shards = 2, stratum = "source")
+      .select("source", "shard", "doc_id", "n_tokens", "start_off", "seq_id", "n_seqs")
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (k, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.head.getLong(4) == 0L, s"stream $k must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(4) == a.getLong(4) + a.getLong(3),
+            s"stream $k: offsets not contiguous")
+        case _ =>
+      }
+    }
+    out.foreach { r =>
+      assert(r.getLong(5) == r.getLong(4) / 128, "seq_id = start_off div budget")
+      val lastSeq = (r.getLong(4) + r.getLong(3) - 1) / 128
+      assert(r.getLong(6) == lastSeq - r.getLong(5) + 1 && r.getLong(6) >= 1)
+    }
+  }
+
   test("mixing stats: shares sum to 1, upsample factor inverts the share") {
     val rows = TextAnalysis.mixingStats(Tables.documents(spark, dir)).collect()
     val nSrc = rows.length
