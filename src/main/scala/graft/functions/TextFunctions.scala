@@ -135,10 +135,56 @@ object TextFunctions {
     }
   }
 
+  /** Fused per-doc stat counters `[n_chars, n_tokens, n_punct, n_stop,
+    * n_nonws]` — one kernel pass (`TextStatsAll`) instead of two regexp
+    * passes + two tokenizations per row. Ratio/score compositions below
+    * derive from this array with plain long arithmetic; equality with the
+    * Column twins is spec-gated.
+    */
+  def textProfile(text: Column, stopwords: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.expressions.TextStatsAll(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), stopwords))
+
+  /** The stats/quality bundle from a bound profile array (see
+    * [[textProfile]]): identical arithmetic to the Column twins —
+    * integer-count divisions, so the values (and the oracle hashes) are
+    * unchanged.
+    */
+  private[graft] def statsFromProfile(p: Column): ProfileStats = {
+    val nChars = element_at(p, 1)
+    val nToks = element_at(p, 2)
+    ProfileStats(
+      nChars = nChars,
+      nTokens = nToks,
+      punctRatio = element_at(p, 3).cast("double") / greatest(nChars, lit(1L)),
+      stopwordRatio = element_at(p, 4).cast("double") / greatest(nToks, lit(1L)),
+      avgTokenLen = element_at(p, 5).cast("double") / greatest(nToks, lit(1L)))
+  }
+
+  private[graft] final case class ProfileStats(nChars: Column, nTokens: Column,
+                                               punctRatio: Column,
+                                               stopwordRatio: Column,
+                                               avgTokenLen: Column) {
+    def quality: Column =
+      lit(0.25) * when(nChars.between(50, 10000), 1.0).otherwise(0.0) +
+        lit(0.25) * when(punctRatio <= 0.2, 1.0).otherwise(0.0) +
+        lit(0.25) * when(stopwordRatio >= 0.05, 1.0).otherwise(0.0) +
+        lit(0.25) * when(avgTokenLen.between(2.0, 12.0), 1.0).otherwise(0.0)
+  }
+
   /** Simple quality score in [0,1]: penalizes extreme length, high
     * punctuation, very short tokens (boilerplate/garbage signals).
+    * Computed from the fused profile (one kernel pass per row); the
+    * lambda binding stops the optimizer re-inlining the kernel per
+    * derived ratio.
     */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    element_at(transform(array(textProfile(text, stopwords)),
+      p => statsFromProfile(p).quality), 1)
+
+  /** Column-composition twin of [[qualityScore]] (slow, trusted oracle). */
+  def qualityScoreHof(text: Column, stopwords: Seq[String]): Column = {
     val lenOk = when(length(text).between(50, 10000), 1.0).otherwise(0.0)
     val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
     val stopOk = when(wordSetRatio(text, stopwords) >= 0.05, 1.0).otherwise(0.0)

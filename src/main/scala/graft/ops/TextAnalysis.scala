@@ -15,17 +15,37 @@ object TextAnalysis {
     Seq("the", "a", "of", "and", "to", "is", "in", "that", "it", "for")
 
   /** Per-document stats: tokens, chars, punct ratio, stopword ratio,
-    * average token length, quality score.
+    * average token length, quality score — ONE fused kernel pass per row
+    * ([[TextFunctions.textProfile]]); every output derives from the bound
+    * counter array with long arithmetic, value-identical to the Column
+    * twins (spec-gated; t1's oracle hashes the result).
     */
-  def textStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def textStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bundle = element_at(
+      transform(array(TextFunctions.textProfile(col(textCol), defaultStopwords)), p => {
+        val s = TextFunctions.statsFromProfile(p)
+        struct(s.nChars.as("n_chars_text"), s.nTokens.as("n_tokens"),
+          s.punctRatio.as("punct_ratio"), s.stopwordRatio.as("stopword_ratio"),
+          s.avgTokenLen.as("avg_token_len"), s.quality.as("quality"))
+      }), 1)
+    docs.select(col(idCol), bundle.as("s"))
+      .select(col(idCol), col("s.n_chars_text").as("n_chars_text"),
+        col("s.n_tokens").as("n_tokens"), col("s.punct_ratio").as("punct_ratio"),
+        col("s.stopword_ratio").as("stopword_ratio"),
+        col("s.avg_token_len").as("avg_token_len"), col("s.quality").as("quality"))
+  }
+
+  /** Column-composition twin of [[textStats]] (slow, trusted oracle). */
+  private[graft] def textStatsHof(docs: DataFrame, idCol: String = "doc_id",
+                                  textCol: String = "text"): DataFrame =
     docs.select(
       col(idCol),
-      length(col(textCol)).as("n_chars_text"),
-      TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+      length(col(textCol)).cast("long").as("n_chars_text"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
       TextFunctions.punctRatio(col(textCol)).as("punct_ratio"),
       TextFunctions.wordSetRatio(col(textCol), defaultStopwords).as("stopword_ratio"),
       TextFunctions.avgTokenLen(col(textCol)).as("avg_token_len"),
-      TextFunctions.qualityScore(col(textCol), defaultStopwords).as("quality"))
+      TextFunctions.qualityScoreHof(col(textCol), defaultStopwords).as("quality"))
 
   /** Language ID via marker-stopword voting: per-language hit counts plus
     * the deterministic argmax prediction.
