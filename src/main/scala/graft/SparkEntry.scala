@@ -531,10 +531,18 @@ object SparkEntry {
     // shares; floor(x+0.5) rounding (not round(): banker's-vs-half-up
     // differs across engines, q1's lesson).
     "p5_weighted_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
-      val quotas = TextAnalysis.mixingStats(docs)
-        .select(col("source").as("stratum"),
-          floor(col("token_share") * 100 + lit(0.5)).cast("long").as("n"))
+      // ONE aggregation feeds both the quota AND the sampler's stratum
+      // count (quotas carry cnt) — the corpus is scanned twice total
+      // (stats pass + sample pass), exactly the oracle's shape
+      val per = docs.groupBy(col("source").as("stratum"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      val quotas = per.select(col("stratum"), col("cnt"),
+        floor(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy()) * 100 + lit(0.5))
+          .cast("long").as("n"))
       graft.ops.Sampling.weightedSample(docs, col("source"), quotas, "doc_id")
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
@@ -657,17 +665,19 @@ object SparkEntry {
     // JOIN is the oracle.
     "e5_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
+      // truncate to micros BEFORE the join, not just in the output:
+      // DuckDB reads TIMESTAMP_NS at µs precision, so an ns-precision
+      // match would diverge from the oracle (and from the streaming
+      // twin) whenever a probe and quote share a microsecond
       val probes = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"))
+        .select(col("user_id"), expr("ts div 1000").as("ts"),
+          col("event_id").as("p_event_id"))
       val quotes = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("event_id").as("q_event_id"),
-          col("value").as("q_value"))
+        .select(col("user_id"), expr("ts div 1000").as("ts"),
+          col("event_id").as("q_event_id"), col("value").as("q_value"))
       graft.ops.AsofJoin.asofLeft(probes, quotes, key = "user_id", ts = "ts",
         quoteSeq = "q_event_id")
-        // micros, not nanos: DuckDB reads TIMESTAMP_NS at µs precision
-        // (same convention as e3)
-        .select(col("user_id"), col("p_event_id"),
-          expr("ts div 1000").as("p_ts_micros"),
+        .select(col("user_id"), col("p_event_id"), col("ts").as("p_ts_micros"),
           col("q_event_id"), col("q_value"))
         .orderBy(col("p_event_id"))
     }),

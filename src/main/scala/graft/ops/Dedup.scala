@@ -176,13 +176,7 @@ object Dedup {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, gramTokens: Int = 13,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // tokens bound ONCE through a lambda variable (the d9 lesson: inlined
-    // HOF args re-evaluate per element — here split() would re-run per gram)
-    def gramsCol = element_at(
-      transform(array(TextFunctions.tokens(col(textCol))), ts =>
-        array_distinct(transform(
-          sequence(lit(0), greatest(size(ts) - gramTokens, lit(0))),
-          i => md5(array_join(slice(ts, i + lit(1), lit(gramTokens)), " "))))), 1)
+    def gramsCol = TextFunctions.md5TokenGrams(col(textCol), gramTokens)
     val benchGrams = benchmark.select(explode(gramsCol).as("gram")).distinct()
     val hits = corpus.select(col(idCol), explode(gramsCol).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
@@ -212,12 +206,8 @@ object Dedup {
     */
   def boilerplateRatio(docs: DataFrame, gramTokens: Int = 3, minDocs: Int = 5,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val gramsCol = element_at(
-      transform(array(TextFunctions.tokens(col(textCol))), ts =>
-        array_distinct(transform(
-          sequence(lit(0), greatest(size(ts) - gramTokens, lit(0))),
-          i => md5(array_join(slice(ts, i + lit(1), lit(gramTokens)), " "))))), 1)
-    val perDoc = docs.select(col(idCol), gramsCol.as("grams"))
+    val perDoc = docs.select(col(idCol),
+      TextFunctions.md5TokenGrams(col(textCol), gramTokens).as("grams"))
     val exploded = perDoc.select(col(idCol), explode(col("grams")).as("gram"))
     val boilerplate = exploded.groupBy(col("gram"))
       .agg(count(lit(1)).as("df")).filter(col("df") >= minDocs)

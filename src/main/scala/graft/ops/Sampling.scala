@@ -41,38 +41,50 @@ object Sampling {
     * safety ≥ 8. Strata with fewer than n rows return all their rows.
     */
   def stratifiedSample(df: DataFrame, stratum: Column, n: Int, idCol: String,
-                       seed: String = "p4", safety: Int = 8): DataFrame = {
-    val counts = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("stratum")).orderBy(col("u"), col(idCol))
-    df.withColumn("stratum", stratum)
-      .join(broadcast(counts), Seq("stratum"))
-      .withColumn("u", rank20(col(idCol), seed))
-      .filter(col("u") * col("cnt") < lit(safety.toLong * n * RankM))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= n)
-      .drop("cnt", "rn")
-  }
+                       seed: String = "p4", safety: Int = 8): DataFrame =
+    sampleImpl(df, stratum, quotas = None, constN = Some(n), idCol, seed, safety)
 
   /** [[stratifiedSample]] with PER-STRATUM quotas — the epoch-mixing
-    * sampler: `quotas` is a tiny (stratum, n) frame (e.g. computed from
-    * `TextAnalysis.mixingStats` token shares) and each stratum yields
-    * exactly min(n, stratum size) rows. Same two-phase shape: quotas and
-    * per-stratum counts both broadcast, the rank cutoff
-    * `u · cnt < safety · n · M` filters map-side, and the row_number
-    * window only sees ~safety·n survivors per stratum.
+    * sampler: `quotas` is a tiny (stratum, n [, cnt]) frame (e.g. computed
+    * from token shares) and each stratum yields exactly min(n, stratum
+    * size) rows. Pass `cnt` (the stratum row count) in `quotas` when an
+    * aggregation over `df` already produced it — that skips the sampler's
+    * own counting pass, one fewer corpus scan. Same two-phase shape:
+    * quotas/counts broadcast, the rank cutoff `u · cnt < safety · n · M`
+    * filters map-side, and the row_number window only sees ~safety·n
+    * survivors per stratum.
     */
   def weightedSample(df: DataFrame, stratum: Column, quotas: DataFrame,
                      idCol: String, seed: String = "p5",
-                     safety: Int = 8): DataFrame = {
-    val counts = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("cnt"))
+                     safety: Int = 8): DataFrame =
+    sampleImpl(df, stratum, Some(quotas), constN = None, idCol, seed, safety)
+
+  /** Shared two-phase core — the cutoff inequality is part of the sample's
+    * cross-engine DEFINITION (both oracles mirror it), so it lives in
+    * exactly one place. Output schema == input schema (helper columns are
+    * internal).
+    */
+  private def sampleImpl(df: DataFrame, stratum: Column, quotas: Option[DataFrame],
+                         constN: Option[Int], idCol: String, seed: String,
+                         safety: Int): DataFrame = {
+    val quotaHasCnt = quotas.exists(_.columns.contains("cnt"))
+    val base = df.withColumn("stratum", stratum)
+    val withCnt =
+      if (quotaHasCnt) base.join(broadcast(quotas.get), Seq("stratum"))
+      else {
+        val counts = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("cnt"))
+        val joined = base.join(broadcast(counts), Seq("stratum"))
+        quotas.fold(joined)(q => joined.join(broadcast(q), Seq("stratum")))
+      }
+    // a literal quota constant-folds the whole cutoff (plan-gated);
+    // a per-stratum quota keeps it as column arithmetic
+    val nCol = constN.fold(col("n"))(n => lit(n.toLong))
     val w = Window.partitionBy(col("stratum")).orderBy(col("u"), col(idCol))
-    df.withColumn("stratum", stratum)
-      .join(broadcast(counts), Seq("stratum"))
-      .join(broadcast(quotas), Seq("stratum"))
+    withCnt
       .withColumn("u", rank20(col(idCol), seed))
-      .filter(col("u") * col("cnt") < lit(safety.toLong) * col("n") * lit(RankM))
+      .filter(col("u") * col("cnt") < lit(safety.toLong) * nCol * lit(RankM))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("n"))
-      .drop("cnt", "rn", "n")
+      .filter(col("rn") <= nCol)
+      .drop("cnt", "rn", "n", "stratum", "u")
   }
 }

@@ -75,7 +75,15 @@ object AsofStream {
           // watermark (and everything after it) can still match
           val cut = quotes.lastIndexWhere(_.ts < wm)
           val keptQuotes = if (cut > 0) quotes.drop(cut) else quotes
-          if (pending.isEmpty && keptQuotes.isEmpty) {
+          // a RETENTION timeout (only ever armed when no probes were
+          // pending — see the getOrElse below) firing on an idle key IS
+          // the expiry: drop the quote buffer too. Quotes alone are never
+          // empty once a key has seen one, so keying removal off buffer
+          // emptiness would retain every key forever. A probe-wake
+          // timeout (st.probes non-empty at entry) must NOT expire the
+          // quotes — later probes may still need them.
+          val idleExpired = state.hasTimedOut && in.isEmpty && st.probes.isEmpty
+          if (idleExpired || (pending.isEmpty && keptQuotes.isEmpty)) {
             state.remove()
           } else {
             state.update(Buf(keptQuotes, pending))
