@@ -193,31 +193,33 @@ object Dedup {
     * each document gets its boilerplate-gram count and fraction (the
     * "remove template/navigation text" quality signal).
     *
-    * Scale shape: per-doc DISTINCT grams (lambda-bound, computed once)
-    * explode to (doc, gram) rows; gram document-frequency is ONE
-    * shuffle-on-gram aggregation (rows are distinct per doc, so count(*)
-    * IS the doc frequency); the boilerplate set joins back on the gram
-    * hash — a plain equi-join, NOT broadcast, because unlike the
-    * decontamination benchmark the boilerplate set grows with the corpus.
-    * Per-doc re-aggregation then touches only matched grams. No stage
-    * holds unbounded per-key state.
+    * Scale shape: per-doc DISTINCT grams (lambda-bound, computed once per
+    * pass) explode to (doc, n_grams, gram) rows — `n_grams` rides the
+    * explode so no third pass over the corpus is needed for the
+    * denominator. Gram document-frequency is ONE shuffle-on-gram
+    * aggregation (rows are distinct per doc, so count(*) IS the doc
+    * frequency); the boilerplate set left-joins back on the gram hash —
+    * a plain equi-join, NOT broadcast, because unlike the decontamination
+    * benchmark the boilerplate set grows with the corpus — and the
+    * per-doc rollup counts matched grams directly (grams are never empty
+    * — short docs yield their truncated window — so every doc survives
+    * the explode). No stage holds unbounded per-key state.
     *
     * Returns (idCol, n_grams, n_bp_grams, bp_ratio) — one row per doc.
     */
   def boilerplateRatio(docs: DataFrame, gramTokens: Int = 3, minDocs: Int = 5,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val perDoc = docs.select(col(idCol),
-      TextFunctions.md5TokenGrams(col(textCol), gramTokens).as("grams"))
-    val exploded = perDoc.select(col(idCol), explode(col("grams")).as("gram"))
+    val exploded = docs
+      .select(col(idCol), TextFunctions.md5TokenGrams(col(textCol), gramTokens).as("grams"))
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
     val boilerplate = exploded.groupBy(col("gram"))
       .agg(count(lit(1)).as("df")).filter(col("df") >= minDocs)
-      .select(col("gram"))
-    val hits = exploded.join(boilerplate, Seq("gram"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_bp_grams"))
-    perDoc.select(col(idCol), size(col("grams")).cast("long").as("n_grams"))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_grams"),
-        coalesce(col("n_bp_grams"), lit(0L)).as("n_bp_grams"))
+      .select(col("gram"), lit(1L).as("bp"))
+    exploded.join(boilerplate, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("n_grams")).as("n_grams"),
+        coalesce(sum(col("bp")), lit(0L)).as("n_bp_grams"))
       .withColumn("bp_ratio",
         col("n_bp_grams").cast("double") / greatest(col("n_grams"), lit(1)))
   }
