@@ -531,17 +531,18 @@ object SparkEntry {
     // shares; floor(x+0.5) rounding (not round(): banker's-vs-half-up
     // differs across engines, q1's lesson).
     "p5_weighted_sample" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       // ONE aggregation feeds both the quota AND the sampler's stratum
       // count (quotas carry cnt) — the corpus is scanned twice total
-      // (stats pass + sample pass), exactly the oracle's shape
+      // (stats pass + sample pass), exactly the oracle's shape. The token
+      // grand total is a one-row broadcast crossJoin, not an empty-
+      // partition window (same cost, no single-task window node).
       val per = docs.groupBy(col("source").as("stratum"))
         .agg(count(lit(1)).as("cnt"),
           sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
-      val quotas = per.select(col("stratum"), col("cnt"),
-        floor(col("n_tokens").cast("double") /
-          sum(col("n_tokens")).over(Window.partitionBy()) * 100 + lit(0.5))
+      val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"))
+      val quotas = per.crossJoin(broadcast(tot)).select(col("stratum"), col("cnt"),
+        floor(col("n_tokens").cast("double") / col("tot_tokens") * 100 + lit(0.5))
           .cast("long").as("n"))
       graft.ops.Sampling.weightedSample(docs, col("source"), quotas, "doc_id")
         .select(col("doc_id"), col("source"), col("n_chars"))
@@ -1241,8 +1242,11 @@ object SparkEntry {
         |    i -> md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')))) AS fp
         |FROM t ORDER BY doc_id""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN pins the union-window formulation;
-    // quotes deduped per (user, ts) by max event_id on both sides so
-    // equal-timestamp ties are deterministic.
+    // quotes deduped per (user, µs-truncated ts) by max event_id so
+    // equal-timestamp ties are deterministic. The dedupe key is the
+    // TRUNCATED timestamp on BOTH engines: partitioning the oracle by raw
+    // `ts` only matched because DuckDB 1.0 reads parquet timestamp[ns] at
+    // µs precision — a DuckDB with native ns would silently change the key.
     "e5_asof_join" ->
       """WITH p AS (
         |  SELECT user_id, event_id AS p_event_id,
@@ -1252,7 +1256,8 @@ object SparkEntry {
         |  SELECT user_id, event_id AS q_event_id,
         |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS q_ts, value AS q_value
         |  FROM events WHERE event_type = 'view'
-        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+        |                             ORDER BY event_id DESC) = 1)
         |SELECT p.user_id, p.p_event_id, p.p_ts_micros, v.q_event_id, v.q_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.p_ts_micros >= v.q_ts
         |ORDER BY p.p_event_id""".stripMargin,

@@ -59,32 +59,51 @@ object Sampling {
                      safety: Int = 8): DataFrame =
     sampleImpl(df, stratum, Some(quotas), constN = None, idCol, seed, safety)
 
+  // Sentinel-prefixed helper names so an input frame that happens to have
+  // a `stratum`/`cnt`/`n`/`u`/`rn` column is never silently clobbered.
+  private val SCol = "__graft_stratum"
+  private val CCol = "__graft_cnt"
+  private val NCol = "__graft_n"
+  private val UCol = "__graft_u"
+  private val RCol = "__graft_rn"
+
   /** Shared two-phase core — the cutoff inequality is part of the sample's
     * cross-engine DEFINITION (both oracles mirror it), so it lives in
     * exactly one place. Output schema == input schema (helper columns are
-    * internal).
+    * sentinel-prefixed internals; a collision with the input is an error,
+    * not a silent overwrite). Strata absent from `quotas` are treated as
+    * quota 0 and yield no rows — the inner join IS the quota semantics.
     */
   private def sampleImpl(df: DataFrame, stratum: Column, quotas: Option[DataFrame],
                          constN: Option[Int], idCol: String, seed: String,
                          safety: Int): DataFrame = {
-    val quotaHasCnt = quotas.exists(_.columns.contains("cnt"))
-    val base = df.withColumn("stratum", stratum)
+    val helpers = Seq(SCol, CCol, NCol, UCol, RCol)
+    val clash = df.columns.intersect(helpers)
+    require(clash.isEmpty, s"input columns collide with sampler internals: ${clash.mkString(",")}")
+    val q = quotas.map(_.withColumnRenamed("stratum", SCol)
+      .withColumnRenamed("n", NCol).withColumnRenamed("cnt", CCol))
+    val quotaHasCnt = q.exists(_.columns.contains(CCol))
+    val base = df.withColumn(SCol, stratum)
     val withCnt =
-      if (quotaHasCnt) base.join(broadcast(quotas.get), Seq("stratum"))
+      if (quotaHasCnt) base.join(broadcast(q.get), Seq(SCol))
       else {
-        val counts = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("cnt"))
-        val joined = base.join(broadcast(counts), Seq("stratum"))
-        quotas.fold(joined)(q => joined.join(broadcast(q), Seq("stratum")))
+        val counts = df.groupBy(stratum.as(SCol)).agg(count(lit(1)).as(CCol))
+        val joined = base.join(broadcast(counts), Seq(SCol))
+        q.fold(joined)(qq => joined.join(broadcast(qq), Seq(SCol)))
       }
     // a literal quota constant-folds the whole cutoff (plan-gated);
-    // a per-stratum quota keeps it as column arithmetic
-    val nCol = constN.fold(col("n"))(n => lit(n.toLong))
-    val w = Window.partitionBy(col("stratum")).orderBy(col("u"), col(idCol))
+    // a per-stratum quota keeps it as column arithmetic. The compare runs
+    // in decimal: u < 2^20 but cnt is unbounded, and a Long u*cnt flips
+    // sign (corrupting the sample) once a stratum passes ~8.8e12 rows —
+    // plausible at 100 TB. Same exact inequality, overflow-proof domain.
+    val nCol = constN.fold(col(NCol))(n => lit(n.toLong))
+    val w = Window.partitionBy(col(SCol)).orderBy(col(UCol), col(idCol))
     withCnt
-      .withColumn("u", rank20(col(idCol), seed))
-      .filter(col("u") * col("cnt") < lit(safety.toLong) * nCol * lit(RankM))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nCol)
-      .drop("cnt", "rn", "n", "stratum", "u")
+      .withColumn(UCol, rank20(col(idCol), seed))
+      .filter(col(UCol).cast("decimal(7,0)") * col(CCol).cast("decimal(19,0)") <
+        nCol.cast("decimal(20,0)") * lit(safety.toLong * RankM))
+      .withColumn(RCol, row_number().over(w))
+      .filter(col(RCol) <= nCol)
+      .drop(CCol, RCol, NCol, SCol, UCol)
   }
 }

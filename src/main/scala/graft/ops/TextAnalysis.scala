@@ -121,22 +121,25 @@ object TextAnalysis {
   /** Corpus mixing stats per source: doc/token/char totals, each source's
     * token share, and the upsample factor that would equalize token counts
     * across sources (uniform target mix). One map-side-combined aggregation
-    * over the corpus; the share window runs over the aggregated rows only
-    * (source cardinality is bounded, so the single-partition window is
-    * O(sources), not O(corpus)).
+    * over the corpus; the grand total is a one-row aggregate broadcast back
+    * onto the per-source rows — no single-partition window node anywhere
+    * in the plan (a `Window.partitionBy()` here would be O(sources) too,
+    * but it drags every per-source row to one task and warns on every run;
+    * the broadcast crossJoin is the same cost with a clean plan).
     */
   def mixingStats(docs: DataFrame, srcCol: String = "source",
                   textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy()
-    docs.groupBy(col(srcCol))
+    val per = docs.groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         sum(length(col(textCol)).cast("long")).as("n_chars"))
+    val tot = per.agg(sum(col("n_tokens")).as("__graft_tot_tokens"),
+      count(lit(1)).as("__graft_n_sources"))
+    per.crossJoin(broadcast(tot))
       .select(col(srcCol), col("n_docs"), col("n_tokens"), col("n_chars"),
-        (col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+        (col("n_tokens").cast("double") / col("__graft_tot_tokens"))
           .as("token_share"),
-        ((sum(col("n_tokens")).over(w).cast("double") / count(lit(1)).over(w)) /
+        ((col("__graft_tot_tokens").cast("double") / col("__graft_n_sources")) /
           col("n_tokens").cast("double")).as("upsample_factor"))
   }
 }
