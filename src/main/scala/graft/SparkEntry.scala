@@ -646,16 +646,10 @@ object SparkEntry {
     }),
     // Token counting: whitespace tokens + BPE-ish regex token classes
     // (letters / digits / single punctuation, the GPT-2 pretokenizer
-    // shape).
+    // shape). One fused kernel pass per row — the regexp Column twins
+    // (three regex scans) are the parity-spec oracle.
     "t4_token_classes" -> ((s, dir) => {
-      Tables.documents(s, dir).select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
-        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
-          .cast("long").as("n_bpe_tokens"),
-        size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)"))
-          .cast("long").as("n_word_tokens"),
-        size(expr("regexp_extract_all(text, '[0-9]+', 0)"))
-          .cast("long").as("n_num_tokens"))
+      TextAnalysis.tokenClasses(Tables.documents(s, dir))
         .orderBy(col("doc_id"))
     }),
 

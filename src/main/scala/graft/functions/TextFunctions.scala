@@ -161,6 +161,25 @@ object TextFunctions {
       graft.functions.expressions.TextStatsAll(
         org.apache.spark.sql.graftbridge.Bridge.expression(text), stopwords))
 
+  /** Fused token-class counters `[n_ws_tokens, n_bpe_tokens,
+    * n_word_tokens, n_num_tokens]` — one kernel pass (`TokenClasses`)
+    * instead of three `regexp_extract_all` scans + a tokenization.
+    * Equality with [[tokenClassProfileHof]] is spec-gated.
+    */
+  def tokenClassProfile(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.expressions.TokenClasses(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
+  /** Interpreted Column twin of [[tokenClassProfile]] (slow, trusted
+    * oracle): the exact regexes the kernel's state machine mirrors.
+    */
+  private[graft] def tokenClassProfileHof(text: Column): Column = {
+    def n(p: String) = size(regexp_extract_all(text, lit(p), lit(0))).cast("long")
+    array(tokenCount(text).cast("long"),
+      n("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), n("[A-Za-z]+"), n("[0-9]+"))
+  }
+
   /** The stats/quality bundle from a bound profile array (see
     * [[textProfile]]): identical arithmetic to the Column twins —
     * integer-count divisions, so the values (and the oracle hashes) are

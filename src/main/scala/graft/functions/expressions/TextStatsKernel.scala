@@ -58,6 +58,63 @@ object TextStatsKernel {
     }
     new GenericArrayData(Array(nChars, toks.length.toLong, nPunct, nStop, nNonWs))
   }
+
+  /** Fused token-class counter: ONE pass replaces the three
+    * `regexp_extract_all` scans of the BPE-ish pretokenizer query.
+    * Returns `[n_ws_tokens, n_bpe_tokens, n_word_tokens, n_num_tokens]`.
+    *
+    * Semantics are EXACTLY the Column twins' (parity-spec-gated):
+    *  - n_ws_tokens   = `size(split(trim(text), "\s+"))` — counted as
+    *    (runs of `\s` inside the 0x20-trimmed string) + 1, which is what
+    *    split-with-limit=-1 yields (leading/trailing non-0x20 whitespace
+    *    contributes empty tokens);
+    *  - the class counts mirror the left-to-right alternation
+    *    `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`: greedy ASCII letter/digit runs,
+    *    every other non-`\s` code point its own token. `\s` is Java's
+    *    ASCII class (no UNICODE_CHARACTER_CLASS) — exactly the regex the
+    *    twin compiles, so e.g. U+00A0 counts as a token, not whitespace.
+    */
+  def tokenClasses(text: UTF8String): ArrayData = {
+    val str = text.toString
+    var st = 0
+    var en = str.length
+    while (st < en && str.charAt(st) == ' ') st += 1
+    while (en > st && str.charAt(en - 1) == ' ') en -= 1
+    var nWs = 1L
+    var inWs = false
+    var i = st
+    while (i < en) {
+      val c = str.charAt(i)
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == 0x0b ||
+        c == '\f' || c == '\r'
+      if (isWs && !inWs) nWs += 1
+      inWs = isWs
+      i += 1
+    }
+    var nWord = 0L
+    var nNum = 0L
+    var nOther = 0L
+    var run = 0 // 0 = none, 1 = letter run, 2 = digit run
+    i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) {
+        if (run != 1) nWord += 1
+        run = 1
+      } else if (cp >= '0' && cp <= '9') {
+        if (run != 2) nNum += 1
+        run = 2
+      } else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+        cp == '\f' || cp == '\r') {
+        run = 0
+      } else {
+        nOther += 1
+        run = 0
+      }
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(Array(nWs, nWord + nNum + nOther, nWord, nNum))
+  }
 }
 
 /** `text_stats_all(text)` → array<long>
@@ -85,5 +142,25 @@ case class TextStatsAll(child: Expression, stopwords: Seq[String])
   }
 
   override def prettyName: String = "text_stats_all"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `token_classes(text)` → array<long>
+  * `[n_ws_tokens, n_bpe_tokens, n_word_tokens, n_num_tokens]`.
+  */
+case class TokenClasses(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    TextStatsKernel.tokenClasses(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.expressions.TextStatsKernel.tokenClasses($t)")
+
+  override def prettyName: String = "token_classes"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -57,6 +57,28 @@ object TextAnalysis {
           TextFunctions.langHits(col(textCol), l).as(s"${l}_hits")
         } :+ TextFunctions.langId(col(textCol)).as("pred_lang"): _*)
 
+  /** Token counting, whitespace + BPE-ish pretokenizer classes (the GPT-2
+    * alternation `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`): ONE fused kernel pass
+    * per row ([[TextFunctions.tokenClassProfile]]) instead of three regex
+    * scans — value-identical to the regexp Column twins (spec-gated).
+    */
+  def tokenClasses(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    // lambda-bind the profile array so the kernel runs ONCE per row (the
+    // textStats pattern — element_at×4 on the raw call would re-scan)
+    val bundle = element_at(
+      transform(array(TextFunctions.tokenClassProfile(col(textCol))), p =>
+        struct(element_at(p, 1).as("n_ws_tokens"),
+          element_at(p, 2).as("n_bpe_tokens"),
+          element_at(p, 3).as("n_word_tokens"),
+          element_at(p, 4).as("n_num_tokens"))), 1)
+    docs.select(col(idCol), bundle.as("s"))
+      .select(col(idCol), col("s.n_ws_tokens").as("n_ws_tokens"),
+        col("s.n_bpe_tokens").as("n_bpe_tokens"),
+        col("s.n_word_tokens").as("n_word_tokens"),
+        col("s.n_num_tokens").as("n_num_tokens"))
+  }
+
   /** Winnowing-style fingerprint per doc (word 3-gram rolling min-hash). */
   def fingerprints(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =

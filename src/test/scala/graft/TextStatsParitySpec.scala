@@ -40,6 +40,29 @@ class TextStatsParitySpec extends AnyFunSuite {
     }
   }
 
+  test("fused token-class kernel == regexp Column twin (corpus + edge cases)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val edge = Seq(
+      (1L, ""), (2L, "   "), (3L, "\tab12cd!"), (4L, "a1b2 c3!d4  x"),
+      (5L, "é🎉e 123abc... 4,5"), (6L, "\fverttab\rret\n"),
+      (7L, "ONLY-upper_lower 000111 ..."))
+      .toDF("doc_id", "text")
+    Seq(Tables.documents(spark, dir), edge).foreach { docs =>
+      val rows = docs.select(
+        TextFunctions.tokenClassProfile(col("text")).as("f"),
+        TextFunctions.tokenClassProfileHof(col("text")).as("h"),
+        col("doc_id")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"doc ${r.getLong(2)}: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+      }
+    }
+  }
+
   test("fused quality score == Column twin on the corpus") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions
