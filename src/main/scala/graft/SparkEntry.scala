@@ -31,6 +31,34 @@ object SparkEntry {
     Tables.embeddings(spark, dir).filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
+  /** The a1–a4 recall-eval query set (wider than embQueries' 5 so the
+    * recall scalar has resolution). Mirrored by the oracle GT's
+    * `WHERE q.vec_id < 20`.
+    */
+  private def recallQueries(spark: SparkSession, dir: String): DataFrame =
+    embQueries(spark, dir, nq = 20)
+
+  /** Under Verify only (system property `graft.predSidecar=1`): persist
+    * the (qid, id) prediction pairs — the single piece of a1–a4 that SQL
+    * cannot derive (KMeans clustering) — so [[oracleSql]] can inline them
+    * as VALUES and recompute ground truth + recall independently in
+    * DuckDB. Verify runs every query BEFORE dumping oracle_sql.json, so
+    * the sidecar is always fresh for the dump that references it. A no-op
+    * under Bench (per-run materialization would distort timings); the
+    * predictions are oracle-bounded (≤ 20 queries × k ids).
+    */
+  private def predSidecar(name: String, pred: DataFrame): DataFrame = {
+    if (sys.props.get("graft.predSidecar").contains("1")) {
+      val d = new java.io.File("target/pred_sidecar")
+      d.mkdirs()
+      val rows = pred.select(col("qid").cast("long"), col("id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val w = new java.io.PrintWriter(new java.io.File(d, s"$name.csv"))
+      try rows.foreach { case (q, i) => w.println(s"$q,$i") } finally w.close()
+    }
+    pred
+  }
+
   /** J1+K1+A1 via J2: exact flat-scan top-k (dot), batched-scan plan —
     * the base streams once and scores all queries per row
     * (`apps/nvdb_bench.cpp:47-159`); bit-identical to the broadcast-NLJ
@@ -241,14 +269,18 @@ object SparkEntry {
 
     // C1/C2/J5: IVF probe recall vs exact scan. Index build + GT are cached
     // DDL (build once, probe per execution — `nvdb_ivf_build` vs
-    // `nvdb_ivf_eval`). No SQL oracle (KMeans isn't SQL-expressible) ->
-    // rows-only check here; the recall gate lives in IvfSpec.
+    // `nvdb_ivf_eval`). KMeans isn't SQL-expressible, but the RECALL is:
+    // under Verify the predicted ids persist to a sidecar, oracleSql
+    // inlines them as VALUES, and DuckDB independently recomputes GT +
+    // exact-integer recall — hash-green, with only the clustering itself
+    // left to IvfSpec's recall gate.
     "a1_ivf_recall" -> ((s, dir) => {
       val base = embBase(s, dir)
-      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Ivf.recallVsExact(base, qs, nlist = 16, nprobe = 8, k = 10, ntrain = 2000,
-        cacheKey = dir)
+      val qs = recallQueries(s, dir)
+      val idx = Ivf.buildOrGet(s, base, dir, nlist = 16, ntrain = 2000)
+      val pred = predSidecar("a1_ivf_recall",
+        Ivf.search(idx.clustered(s), qs, idx.centroids, nprobe = 8, k = 10))
+      Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),
     // J5 with a FULL hash oracle: probing ALL nlist lists is exhaustive —
     // every base row sits in exactly one inverted list, so the partition-
@@ -285,18 +317,17 @@ object SparkEntry {
 
     // §3.2 staged composite: IVF probe for k_search = max(refine_k, k)
     // candidates -> exact-L2 refine to k -> recall vs GT
-    // (`apps/nvdb_ivf_eval.cpp:310-782`; widening at `:329`). Rows-only
-    // oracle; the recall ordering gate (refined >= unrefined, refine-skip
-    // identity) lives in IvfSpec.
+    // (`apps/nvdb_ivf_eval.cpp:310-782`; widening at `:329`). Sidecar
+    // hash oracle like a1; the recall ordering gate (refined >=
+    // unrefined, refine-skip identity) lives in IvfSpec.
     "a2_ivf_refine_recall" -> ((s, dir) => {
       val base = embBase(s, dir)
-      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val qs = recallQueries(s, dir)
       val idx = Ivf.buildOrGet(s, base, dir, nlist = 16, ntrain = 2000)
-      val pred = Ivf.searchRefined(idx.clustered(s), qs, idx.centroids,
-        nprobe = 4, k = 10, refineK = 30)
-      val gt = Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot)
-      Ivf.meanRecall(pred, gt, 10)
+      val pred = predSidecar("a2_ivf_refine_recall",
+        Ivf.searchRefined(idx.clustered(s), qs, idx.centroids,
+          nprobe = 4, k = 10, refineK = 30))
+      Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),
 
     // C3: IVF-PQ — coarse quantizer + residual product codes + ADC probe,
@@ -306,23 +337,26 @@ object SparkEntry {
     // recall gates live in PqSpec.
     "a3_pq_recall" -> ((s, dir) => {
       val base = embBase(s, dir)
-      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val qs = recallQueries(s, dir)
       val idx = Pq.buildOrGet(s, base, dir, nlist = 16, m = 8, ksub = 256,
         ntrain = 100000)
       val gt = Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot)
-      val adc = Pq.ivfpqSearch(idx, s, qs, nprobe = 8, k = 10)
+      val adc = predSidecar("a3_pq_recall.adc",
+        Pq.ivfpqSearch(idx, s, qs, nprobe = 8, k = 10))
       val cands = Pq.ivfpqSearch(idx, s, qs, nprobe = 8, k = 40)
         .groupBy("qid").agg(collect_list(col("id")).as("cand_ids"))
         .join(qs, Seq("qid")).select(col("qid"), col("qvec"), col("cand_ids"))
-      val refined = Search.refine(base, cands, 10)
-      Ivf.meanRecall(adc, gt, 10)
-        .select(col("mean_recall").as("adc_recall"), col("n_queries"))
-        .crossJoin(Ivf.meanRecall(refined, gt, 10)
-          .select(col("mean_recall").as("refined_recall")))
-        .select(round(col("adc_recall"), 4).as("adc_recall"),
-          round(col("refined_recall"), 4).as("refined_recall"),
-          col("n_queries"))
+      val refined = predSidecar("a3_pq_recall.refined",
+        Search.refine(base, cands, 10))
+      Ivf.recallHits(adc, gt, 10)
+        .select(col("n_hits").as("adc_hits"), col("n_queries"))
+        .crossJoin(Ivf.recallHits(refined, gt, 10)
+          .select(col("n_hits").as("refined_hits")))
+        .select(col("adc_hits"), col("refined_hits"), col("n_queries"),
+          (col("adc_hits").cast("double") / (lit(10L) * col("n_queries")))
+            .as("adc_recall"),
+          (col("refined_hits").cast("double") / (lit(10L) * col("n_queries")))
+            .as("refined_recall"))
     }),
 
     // C3 (OPQ variant): learned orthogonal rotation → IVF-PQ on the
@@ -332,17 +366,16 @@ object SparkEntry {
     // OpqSpec.
     "a4_opq_recall" -> ((s, dir) => {
       val base = embBase(s, dir)
-      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val qs = recallQueries(s, dir)
       val rot = Opq.trainRotationCached(dir, base, m = 8, ksub = 64,
         ntrain = 300, iters = 3)
       val idx = Pq.buildOrGet(s, Opq.rotateTable(base, rot, "vec"),
         s"$dir|opq", nlist = 16, m = 8, ksub = 256, ntrain = 100000)
-      val pred = Pq.ivfpqSearch(idx, s, Opq.rotateTable(qs, rot, "qvec"),
-        nprobe = 8, k = 10)
+      val pred = predSidecar("a4_opq_recall",
+        Pq.ivfpqSearch(idx, s, Opq.rotateTable(qs, rot, "qvec"),
+          nprobe = 8, k = 10))
       val gt = Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot)
-      Ivf.meanRecall(pred, gt, 10)
-        .select(round(col("mean_recall"), 4).as("mean_recall"), col("n_queries"))
+      Ivf.recallHits(pred, gt, 10)
     }),
 
     // J3 with a FULL hash oracle: the reference's composite stage B
@@ -1322,5 +1355,70 @@ object SparkEntry {
         |  CAST(64 + (octet_length(encode(text)) * 7) % 768 AS INTEGER) AS fake_height,
         |  CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS fake_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
-  )
+  ) ++ recallOracles
+
+  /** Ground truth for the a1–a4 recall oracles, recomputed in PURE SQL:
+    * exact dot top-10 for the 20 eval queries, ties broken (score DESC,
+    * id) — the exactness semantics a6 pins.
+    */
+  private val recallGtSql: String =
+    """gt AS (
+      |  SELECT q.vec_id AS qid, b.vec_id AS id
+      |  FROM embeddings q CROSS JOIN embeddings b
+      |  WHERE q.vec_id < 20
+      |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+      |    ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10)""".stripMargin
+
+  /** Read a [[predSidecar]] dump back as a SQL VALUES list. */
+  private def sidecarValues(name: String): Option[String] = {
+    val f = new java.io.File(s"target/pred_sidecar/$name.csv")
+    if (!f.exists) None
+    else {
+      val src = scala.io.Source.fromFile(f)
+      val pairs =
+        try src.getLines().filter(_.nonEmpty).map { l =>
+          val Array(q, i) = l.split(","); s"($q,$i)"
+        }.toVector
+        finally src.close()
+      if (pairs.isEmpty) None else Some(pairs.mkString(","))
+    }
+  }
+
+  /** Hash oracles for the a-family recall scalars. KMeans clustering is
+    * not SQL-expressible, but everything downstream of the predicted ids
+    * is: the sidecar (written while the query ran, before this map is
+    * dumped) supplies the ids as VALUES and DuckDB recomputes ground
+    * truth and the exact-integer recall itself. Entries appear only when
+    * the matching sidecar exists — without it the driver falls back to
+    * the rows-only check, same as before.
+    */
+  private def recallOracles: Map[String, String] = {
+    def single(name: String): Option[(String, String)] =
+      sidecarValues(name).map { vals =>
+        name ->
+          s"""WITH pred(qid, id) AS (VALUES $vals),
+             |$recallGtSql
+             |SELECT n_hits, n_queries,
+             |  CAST(n_hits AS DOUBLE) / (10 * n_queries) AS mean_recall
+             |FROM (SELECT
+             |  (SELECT count(*) FROM pred p JOIN gt g ON p.qid = g.qid AND p.id = g.id) AS n_hits,
+             |  (SELECT count(DISTINCT qid) FROM pred) AS n_queries)""".stripMargin
+      }
+    val a3 = for {
+      adc <- sidecarValues("a3_pq_recall.adc")
+      ref <- sidecarValues("a3_pq_recall.refined")
+    } yield "a3_pq_recall" ->
+      s"""WITH adc(qid, id) AS (VALUES $adc),
+         |ref(qid, id) AS (VALUES $ref),
+         |$recallGtSql
+         |SELECT adc_hits, refined_hits, n_queries,
+         |  CAST(adc_hits AS DOUBLE) / (10 * n_queries) AS adc_recall,
+         |  CAST(refined_hits AS DOUBLE) / (10 * n_queries) AS refined_recall
+         |FROM (SELECT
+         |  (SELECT count(*) FROM adc p JOIN gt g ON p.qid = g.qid AND p.id = g.id) AS adc_hits,
+         |  (SELECT count(*) FROM ref p JOIN gt g ON p.qid = g.qid AND p.id = g.id) AS refined_hits,
+         |  (SELECT count(DISTINCT qid) FROM adc) AS n_queries)""".stripMargin
+    (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall")
+      .flatMap(single) ++ a3).toMap
+  }
 }

@@ -33,6 +33,11 @@ object Verify {
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a1-a4 persist their predicted ids under Verify so oracleSql (dumped
+    // below, AFTER every query ran) can inline them as VALUES — see
+    // SparkEntry.predSidecar. Off elsewhere: bench timings must not pay
+    // the extra materialization.
+    System.setProperty("graft.predSidecar", "1")
     // dev aid: SPARK_GRAFT_VERIFY_ONLY=q1_pricing_summary,e4_props_rollup
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)

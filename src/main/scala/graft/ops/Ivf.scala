@@ -238,6 +238,21 @@ object Ivf {
       .select((size(array_intersect(col("pred_ids"), col("gt_ids"))).cast("double") / k).as("recall"))
       .agg(avg(col("recall")).as("mean_recall"), count(lit(1)).as("n_queries"))
 
+  /** Exact-integer recall scalars: one row (n_hits, n_queries,
+    * mean_recall). Unlike [[meanRecall]]'s avg() over per-query doubles
+    * (summation-order-dependent across engines), total-hits with ONE
+    * division `n_hits / (k·n_queries)` is IEEE-exact — this is the
+    * hash-oracle-safe recall shape (a1–a4).
+    */
+  def recallHits(pred: DataFrame, gt: DataFrame, k: Int): DataFrame =
+    pred.groupBy("qid").agg(collect_list(col("id")).as("pred_ids"))
+      .join(gt, Seq("qid"))
+      .agg(sum(size(array_intersect(col("pred_ids"), col("gt_ids"))))
+        .cast("long").as("n_hits"), count(lit(1)).as("n_queries"))
+      .select(col("n_hits"), col("n_queries"),
+        (col("n_hits").cast("double") / (lit(k.toLong) * col("n_queries")))
+          .as("mean_recall"))
+
   /** End-to-end IVF recall evaluation vs the exact scan
     * (`apps/nvdb_ivf_eval.cpp` recall loop): returns one row
     * (mean_recall, n_queries). Index build + GT are cached DDL — the
