@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.ops.{Dedup, Ivf, Metric, Opq, Pq, Search, TextAnalysis, TopK}
+import graft.ops.{Dedup, Ivf, LshAnn, Metric, Opq, Pq, Search, TextAnalysis, TopK}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -313,6 +313,20 @@ object SparkEntry {
       Ivf.search(idx.clustered(s), rqs, idx.centroids, nprobe = 16, k = 10)
         .select(col("qid"), col("id"))
         .orderBy(col("qid"), col("id"))
+    }),
+
+    // C4's HNSW-role stand-in: sign-LSH candidate generation + exact
+    // re-score — the graph-ANN operating point on the recall/latency
+    // frontier, answered by a bucketed equi-join instead of per-query
+    // pointer chasing (SURVEY §2.7). Sidecar hash oracle like a1 (seeded
+    // Gaussian planes aren't SQL-expressible; the recall computation is);
+    // the frontier sweep itself is gated in EvalSpec.
+    "a8_lsh_recall" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val qs = recallQueries(s, dir)
+      val pred = predSidecar("a8_lsh_recall",
+        LshAnn.search(base, qs, k = 10, Metric.Dot, nPlanes = 4, nTables = 16))
+      Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),
 
     // §3.2 staged composite: IVF probe for k_search = max(refine_k, k)
@@ -1418,7 +1432,7 @@ object SparkEntry {
          |  (SELECT count(*) FROM adc p JOIN gt g ON p.qid = g.qid AND p.id = g.id) AS adc_hits,
          |  (SELECT count(*) FROM ref p JOIN gt g ON p.qid = g.qid AND p.id = g.id) AS refined_hits,
          |  (SELECT count(DISTINCT qid) FROM adc) AS n_queries)""".stripMargin
-    (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall")
-      .flatMap(single) ++ a3).toMap
+    (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall",
+      "a8_lsh_recall").flatMap(single) ++ a3).toMap
   }
 }

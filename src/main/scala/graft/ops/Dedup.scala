@@ -318,18 +318,8 @@ object Dedup {
                         vecCol: String = "embedding", nPlanes: Int = 12,
                         nTables: Int = 4, seed: Long = 42L): DataFrame = {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
-    val sigCols = (0 until nTables).map { t =>
-      val rnd = new scala.util.Random(seed * 1000003L + t)
-      val bits = (0 until nPlanes).map { p =>
-        val plane = Array.fill(dim)(rnd.nextGaussian().toFloat)
-        when(VectorFunctions.dot(col(vecCol), typedLit(plane)) >= 0.0, lit(1L << p))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), bits.as("key"))
-    }
-    val banded = emb
-      .select(col(idCol), explode(array(sigCols: _*)).as("tk"))
-      .select(col(idCol), col("tk.t").as("t"), col("tk.key").as("key"))
+    // shared with the LSH-ANN candidate generator — same planes, same RNG
+    val banded = LshAnn.signBuckets(emb, idCol, vecCol, dim, nPlanes, nTables, seed)
     val l = banded.select(col("t"), col("key"), col(idCol).as("a"))
     val r = banded.select(col("t"), col("key"), col(idCol).as("b"))
     val cand = l.join(r, Seq("t", "key")).filter(col("a") < col("b"))

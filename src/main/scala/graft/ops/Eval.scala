@@ -67,4 +67,43 @@ object Eval {
       .toDF("nprobe", "refine_k", "mean_recall", "avg_s", "p50_s", "p95_s",
         "p99_s", "qps")
   }
+
+  /** Sweep the sign-LSH (HNSW-role) candidate generator over
+    * (nPlanes, nTables) operating points — the graph-ANN answer on the
+    * same recall/latency frontier as [[ivfSweep]]
+    * (`apps/nvdb_hnsw_eval.cpp:99-130`: same loop, (M, efSearch) knobs).
+    * Emits the same RESULT line shape tagged `gen=lsh`; returns one row
+    * per point: (nplanes, ntables, mean_recall, avg_s, p50_s, p95_s,
+    * p99_s, qps).
+    */
+  def lshSweep(spark: SparkSession, base: DataFrame, queries: DataFrame,
+               gt: DataFrame, k: Int, points: Seq[(Int, Int)],
+               runs: Int = 3, seed: Long = 42L,
+               emit: String => Unit = println): DataFrame = {
+    val nQueries = queries.count()
+    val rows = points.map { case (nPlanes, nTables) =>
+      def job(): Double = {
+        val pred = LshAnn.search(base, queries, k, Metric.Dot, nPlanes,
+          nTables, seed)
+        Ivf.meanRecall(pred, gt, k).collect()(0).getDouble(0)
+      }
+      job() // warmup
+      var recall = 0.0
+      val times = Seq.fill(runs) {
+        val t0 = System.nanoTime()
+        recall = job()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val st = LatencyStats.ofLatencies(times)
+      def d(v: Double) = f"$v%.6f"
+      emit(s"RESULT gen=lsh nplanes=$nPlanes ntables=$nTables Q=$nQueries" +
+        s" k=$k mean_recall=${d(recall)} avg_s=${d(st.avg)}" +
+        s" p50_s=${d(st.p50)} p95_s=${d(st.p95)}" +
+        s" p99_s=${d(st.p99)} qps=${d(st.qps)}")
+      (nPlanes, nTables, recall, st.avg, st.p50, st.p95, st.p99, st.qps)
+    }
+    import spark.implicits._
+    rows.toDF("nplanes", "ntables", "mean_recall", "avg_s", "p50_s",
+      "p95_s", "p99_s", "qps")
+  }
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Sign-LSH (random-hyperplane) approximate nearest-neighbor search — the
+  * HNSW-role candidate generator on the recall/latency frontier
+  * (`/root/reference/apps/nvdb_hnsw_build.cpp:38-49`,
+  * `nvdb_hnsw_search.cpp:33-43`, frontier point `Performance.md:454`).
+  *
+  * A graph traversal is per-query pointer chasing — the wrong shape for a
+  * scan-oriented 1000-executor engine (SURVEY §2.7). The frontier niche
+  * HNSW occupies (sub-linear candidate generation at high recall) is
+  * served Spark-natively by multi-table Charikar sign-LSH, which is pure
+  * bucketed equi-join:
+  *
+  *  - base: each vector hashes into `nTables` sign-pattern buckets
+  *    (the sign bits of `nPlanes` seeded Gaussian projections) — a narrow
+  *    projection; the bucket table carries only (t, key, id);
+  *  - queries: hashed identically — tiny side, always broadcast;
+  *  - search: candidates = base ids sharing any (table, bucket) key,
+  *    deduped, exact-scored against their query, map-side top-k'd.
+  *
+  * No graph state, no cross join; the only shuffle is the candidate
+  * dedupe. Recall/cost knobs are (nPlanes ↓recall per table but smaller
+  * buckets, nTables ↑recall ↑cost) in place of HNSW's (M, efSearch).
+  */
+object LshAnn {
+
+  /** Exploded (id, t, key) sign-bucket rows. Plane RNG is EXACTLY
+    * [[Dedup.embeddingNearDups]]'s (`seed·1000003 + t` per table) so the
+    * d4-pinned signatures and these buckets stay mutually reproducible.
+    */
+  private[ops] def signBuckets(df: DataFrame, idCol: String, vecCol: String,
+                               dim: Int, nPlanes: Int, nTables: Int,
+                               seed: Long): DataFrame = {
+    val sigCols = (0 until nTables).map { t =>
+      val rnd = new scala.util.Random(seed * 1000003L + t)
+      val bits = (0 until nPlanes).map { p =>
+        val plane = Array.fill(dim)(rnd.nextGaussian().toFloat)
+        when(VectorFunctions.dot(col(vecCol), typedLit(plane)) >= 0.0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bits.as("key"))
+    }
+    df.select(col(idCol), explode(array(sigCols: _*)).as("tk"))
+      .select(col(idCol), col("tk.t").as("t"), col("tk.key").as("key"))
+  }
+
+  /** ANN top-k: sign-LSH candidate generation + exact re-score.
+    * base: (idCol, vecCol); queries: (qid, qvec).
+    * Returns (qid, id, score, rank) — [[Ivf.search]]'s shape, so the two
+    * generators plug into the same eval harness.
+    */
+  def search(base: DataFrame, queries: DataFrame, k: Int,
+             metric: Metric = Metric.Dot, nPlanes: Int = 12, nTables: Int = 4,
+             seed: Long = 42L, idCol: String = "id",
+             vecCol: String = "vec"): DataFrame = {
+    val dim = base.select(size(col(vecCol))).head().getInt(0)
+    val baseBuckets = signBuckets(base, idCol, vecCol, dim, nPlanes, nTables, seed)
+    val queryBuckets = signBuckets(queries, "qid", "qvec", dim, nPlanes, nTables, seed)
+    val cand = baseBuckets.join(broadcast(queryBuckets), Seq("t", "key"))
+      .select(col("qid"), col(idCol)).distinct()
+    val scored = cand
+      .join(base.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col(idCol), (metric match {
+        case Metric.Dot    => VectorFunctions.dot(col(vecCol), col("qvec"))
+        case Metric.Cosine => VectorFunctions.cosine(col(vecCol), col("qvec"))
+        case Metric.L2     => VectorFunctions.l2Sq(col(vecCol), col("qvec"))
+      }).as("score"))
+    TopK.perGroup(scored, "qid", idCol, "score", k, metric.larger)
+  }
+}

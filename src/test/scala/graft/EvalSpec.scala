@@ -52,6 +52,35 @@ class EvalSpec extends AnyFunSuite {
     assert(sweep.forall(_.getDouble(7) > 0), "qps must be positive")
   }
 
+  test("lsh sweep: HNSW-role generator on the same frontier, recall rises with tables") {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 12)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val gt = Search.groundTruth(base, queries, 10, Metric.Dot).cache()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    // 4-bit buckets: the 500-vector spec base needs coarse hashes for
+    // non-trivial bucket sizes (the production knob scales with N)
+    val sweep = Eval.lshSweep(spark, base, queries, gt, k = 10,
+      points = Seq((4, 1), (4, 4), (4, 8)), runs = 1, emit = lines += _)
+      .collect()
+    assert(sweep.length == 3 && lines.length == 3)
+    val keys = Seq("gen", "nplanes", "ntables", "Q", "k", "mean_recall",
+      "avg_s", "p50_s", "p95_s", "p99_s", "qps")
+    lines.foreach { ln =>
+      assert(ln.startsWith("RESULT "), ln)
+      val kv = ln.stripPrefix("RESULT ").split(" ")
+        .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      assert(kv.keySet == keys.toSet, s"keys ${kv.keySet} in: $ln")
+      assert(kv("gen") == "lsh" && kv("Q") == "12" && kv("k") == "10")
+    }
+    val byTables = sweep.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(byTables(8) >= byTables(1) - 1e-9,
+      s"recall not monotone in tables: $byTables")
+    assert(byTables(8) > 0.5, s"8-table recall too low: $byTables")
+    assert(sweep.forall(_.getDouble(7) > 0), "qps must be positive")
+  }
+
   test("staged and interleaved refine pipelines return identical rows") {
     // the reference's PIPELINE=staged|interleaved knob
     // (apps/nvdb_ivf_eval.cpp:465-466,666): same results, different
