@@ -42,6 +42,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Two GCs with a drain window between: the first enqueues the dead
+    // broadcast/shuffle weak refs of the runs just finished, Spark's
+    // ContextCleaner then performs its ASYNC deletions inside the sleep
+    // instead of inside the next query's timed runs (r5: e4 read a
+    // 10.6 s p99 from exactly this — cleaner work for the d-family's
+    // shuffles landing mid-sample), and the second GC reclaims what the
+    // cleaner released. Dead time between queries only — never timed.
+    def settle(): Unit = {
+      System.gc()
+      Thread.sleep(400)
+      System.gc()
+    }
+
     // dev aid: SPARK_GRAFT_BENCH_ONLY=v6_dot_l2_recall,d2_minhash
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -53,7 +66,7 @@ object Bench {
           val action = () => q(spark, sfDir).write
             .format("noop").mode("overwrite").save()
           action() // warmup: codegen, JIT, broadcast build
-          System.gc() // settle the heap before timing starts
+          settle() // heap + cleaner quiet before timing starts
           val first = timeOne(action)
           // sub-second queries are scheduler/GC-noise-dominated: 5-run
           // medians swung ±1.5× round-over-round on untouched code (r4
@@ -65,12 +78,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Seq.empty[Double]
         }
-      // between queries (outside any timed region): a driver GC lets
-      // Spark's ContextCleaner reclaim the accumulated broadcasts/shuffles
-      // of the sweep — without it heap pressure builds until a full-GC
-      // stall lands inside some later query's timed run (measured one
-      // 230 s q1 sample in a 37-query sweep)
-      System.gc()
+      // between queries (outside any timed region): without this, heap
+      // pressure and deferred cleaner work build up until a stall lands
+      // inside some later query's timed run (measured: a 230 s q1 sample
+      // in a 37-query sweep, a 10.6 s e4 p99 in the 56-query r5 sweep)
+      settle()
       (name, samples)
     }
 

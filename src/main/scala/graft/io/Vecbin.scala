@@ -139,6 +139,27 @@ object Vecbin {
     f.write(bb.array())
   }
 
+  /** Default row cap for the single-file exporters. */
+  val DefaultMaxExportRows: Long = 10000000L
+
+  /** Driver-bottleneck guard for the single-file exporters: they funnel
+    * the whole table through one `toLocalIterator` — byte-compatible
+    * tooling parity with the reference's files, NOT a scale path. Pointing
+    * one at a big table silently serializes the cluster through the
+    * driver, so beyond the cap this refuses loudly. The 100 TB paths are
+    * parquet ([[graft.io.QuantizedTables]]) or, for a deliberate large
+    * export, raising `graft.vecbin.maxExportRows`.
+    */
+  private def guardExport(count: Long, path: String): Unit = {
+    val cap = sys.props.get("graft.vecbin.maxExportRows").map(_.toLong)
+      .getOrElse(DefaultMaxExportRows)
+    require(count <= cap,
+      s"single-file export of $count rows to $path exceeds the driver-side " +
+        s"cap of $cap. This writer streams every row through the driver — " +
+        "use the parquet path for large tables, or raise the " +
+        "graft.vecbin.maxExportRows system property for a deliberate export.")
+  }
+
   /** Single-file export (id-ordered). `df` columns per dtype as in [[read]].
     * Int8 scales stream to a sidecar buffer then append (4 bytes/row).
     */
@@ -149,6 +170,7 @@ object Vecbin {
       case _ => df.selectExpr("size(vec)").head().getInt(0)
     }
     val count = df.count()
+    guardExport(count, path)
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path), 1 << 20))
     try {
@@ -218,6 +240,7 @@ object Vecbin {
   def writeRaw12(df: DataFrame, path: String): Unit = {
     val dim = df.selectExpr("size(vec)").head().getInt(0)
     val count = df.count()
+    guardExport(count, path)
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path), 1 << 20))
     try {
@@ -284,6 +307,7 @@ object Vecbin {
               nBase: Long, metric: Int = 1): Unit = {
     graft.ops.Search.requireGroundTruth(gt, k)
     val q = gt.count()
+    guardExport(q, path)
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path), 1 << 20))
     try {

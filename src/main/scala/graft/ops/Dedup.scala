@@ -80,20 +80,41 @@ object Dedup {
     */
   def minhashLshPairs64(docs: DataFrame, shingleSize: Int = 5, bands: Int = 4,
                         rowsPerBand: Int = 2, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text"): DataFrame =
+    bandedPairs(docs, idCol, sig64BandKeys(shingleSize, bands, rowsPerBand, textCol))
+
+  /** The banded sig64 key array shared by the pair join and the bucket
+    * diagnostic. The signature is bound ONCE through a lambda variable: an
+    * array() of bands×rows element_at(sig, ·) references would let
+    * Catalyst inline (and re-run) the whole kernel per component —
+    * measured 6× on d9.
+    */
+  private def sig64BandKeys(shingleSize: Int, bands: Int, rowsPerBand: Int,
+                            textCol: String): org.apache.spark.sql.Column = {
     val sig = VectorFunctions.minhashSig64(col(textCol), shingleSize,
       bands * rowsPerBand)
-    // bind the signature ONCE through a lambda variable: an array() of
-    // bands×rows element_at(sig, ·) references would let Catalyst inline
-    // (and re-run) the whole kernel per component — measured 6× on d9
-    val keys = element_at(
+    element_at(
       transform(array(sig), s =>
         array((0 until bands).map { b =>
           concat_ws("|", (0 until rowsPerBand).map(r =>
             element_at(s, b * rowsPerBand + r + 1).cast("string")): _*)
         }: _*)), 1)
-    bandedPairs(docs, idCol, keys)
   }
+
+  /** Bucket occupancy of the sig64 banding — the scale diagnostic: a
+    * misconfigured band width surfaces here as corpus-sized buckets long
+    * before the O(bucket²) pair expansion blows anything up. Returns
+    * (band, key, n_ids), largest bucket first; the scale gate asserts
+    * max(n_ids) stays bounded by duplicate-cluster size, not corpus size.
+    */
+  def lsh64BucketSizes(docs: DataFrame, shingleSize: Int = 5, bands: Int = 4,
+                       rowsPerBand: Int = 2, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      posexplode(sig64BandKeys(shingleSize, bands, rowsPerBand, textCol))
+        .as(Seq("band", "key")))
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n_ids"))
+      .orderBy(col("n_ids").desc)
 
   /** Verified near-dup pairs: LSH candidates re-checked with true n-gram
     * Jaccard >= threshold (explicit candidate-then-verify, like refine).

@@ -59,6 +59,19 @@ class VecbinSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("driver-side export refuses tables beyond the row cap") {
+    val p = tmp("huge.f32.vecbin")
+    sys.props("graft.vecbin.maxExportRows") = "100"
+    try {
+      val e = intercept[IllegalArgumentException](
+        Vecbin.write(base, p, Vecbin.DtypeF32)) // 500 rows > cap 100
+      assert(e.getMessage.contains("driver-side"))
+      assert(!new java.io.File(p).exists(), "no partial file on refusal")
+    } finally sys.props -= "graft.vecbin.maxExportRows"
+    Vecbin.write(base, p, Vecbin.DtypeF32) // default cap: fine
+    assert(Vecbin.readHeader(p).count == 500)
+  }
+
   test("corrupt magic and truncated payload are rejected") {
     val p = tmp("bad.vecbin")
     Vecbin.write(base.limit(10), p, Vecbin.DtypeF32)
