@@ -47,11 +47,12 @@ object SparkEntry {
     * under Bench (per-run materialization would distort timings); the
     * predictions are oracle-bounded (≤ 20 queries × k ids).
     */
-  private def predSidecar(name: String, pred: DataFrame): DataFrame = {
+  private def predSidecar(name: String, pred: DataFrame,
+                          aCol: String = "qid", bCol: String = "id"): DataFrame = {
     if (sys.props.get("graft.predSidecar").contains("1")) {
       val d = new java.io.File("target/pred_sidecar")
       d.mkdirs()
-      val rows = pred.select(col("qid").cast("long"), col("id").cast("long"))
+      val rows = pred.select(col(aCol).cast("long"), col(bCol).cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       val w = new java.io.PrintWriter(new java.io.File(d, s"$name.csv"))
       try rows.foreach { case (q, i) => w.println(s"$q,$i") } finally w.close()
@@ -458,10 +459,16 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
     // Embedding-cosine near-dup pairs via sign-LSH bucket join (no cross
-    // join). Rows-only here (seeded Gaussian hyperplanes aren't
-    // SQL-expressible); the collision/verify gate lives in DedupSpec.
+    // join). The Gaussian planes aren't SQL-expressible, but the verify
+    // stage is: the bucket-colliding candidate pairs persist to a sidecar
+    // under Verify and DuckDB recomputes cosine + threshold + aggregate
+    // from the embeddings itself (the kernel's exact dot/(sqrt·sqrt)
+    // formulation, v9-pinned) — full hash oracle; the collision gate
+    // stays in PipelineSpec.
     "d4_embedding_dups" -> ((s, dir) => {
-      Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.95)
+      val cand = predSidecar("d4_embedding_dups",
+        Dedup.embeddingCandidates(Tables.embeddings(s, dir)), "a", "b")
+      cand.filter(col("cos") >= 0.95)
         .agg(count(lit(1)).as("n_pairs"),
           coalesce(round(avg(col("cos")), 4), lit(0.0)).as("mean_cos"))
     }),
@@ -1383,20 +1390,24 @@ object SparkEntry {
       |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
       |    ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10)""".stripMargin
 
-  /** Read a [[predSidecar]] dump back as a SQL VALUES list. */
-  private def sidecarValues(name: String): Option[String] = {
+  /** Read a [[predSidecar]] dump back as SQL VALUES tuples. None = no
+    * sidecar written (query ran outside Verify); Some(empty) = the query
+    * ran and genuinely produced zero pairs.
+    */
+  private def sidecarPairs(name: String): Option[Vector[String]] = {
     val f = new java.io.File(s"target/pred_sidecar/$name.csv")
     if (!f.exists) None
     else {
       val src = scala.io.Source.fromFile(f)
-      val pairs =
-        try src.getLines().filter(_.nonEmpty).map { l =>
-          val Array(q, i) = l.split(","); s"($q,$i)"
-        }.toVector
-        finally src.close()
-      if (pairs.isEmpty) None else Some(pairs.mkString(","))
+      try Some(src.getLines().filter(_.nonEmpty).map { l =>
+        val Array(q, i) = l.split(","); s"($q,$i)"
+      }.toVector)
+      finally src.close()
     }
   }
+
+  private def sidecarValues(name: String): Option[String] =
+    sidecarPairs(name).filter(_.nonEmpty).map(_.mkString(","))
 
   /** Hash oracles for the a-family recall scalars. KMeans clustering is
     * not SQL-expressible, but everything downstream of the predicted ids
@@ -1432,7 +1443,27 @@ object SparkEntry {
          |  (SELECT count(*) FROM adc p JOIN gt g ON p.qid = g.qid AND p.id = g.id) AS adc_hits,
          |  (SELECT count(*) FROM ref p JOIN gt g ON p.qid = g.qid AND p.id = g.id) AS refined_hits,
          |  (SELECT count(DISTINCT qid) FROM adc) AS n_queries)""".stripMargin
+    // d4: the sign-LSH candidate pairs come from the sidecar; DuckDB
+    // recomputes cosine from the embeddings with the kernel's exact
+    // dot/(sqrt·sqrt) shape (v9-pinned), applies the threshold, and
+    // aggregates. An empty candidate set still pins the (0, 0.0) output.
+    val d4 = sidecarPairs("d4_embedding_dups").map {
+      case pairs if pairs.isEmpty =>
+        "d4_embedding_dups" ->
+          "SELECT CAST(0 AS BIGINT) AS n_pairs, CAST(0.0 AS DOUBLE) AS mean_cos"
+      case pairs =>
+        "d4_embedding_dups" ->
+          s"""WITH cand(a, b) AS (VALUES ${pairs.mkString(",")}),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |scored AS (
+             |  SELECT list_dot_product(ea.v, eb.v) /
+             |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+             |  FROM cand JOIN e ea ON cand.a = ea.vec_id JOIN e eb ON cand.b = eb.vec_id)
+             |SELECT count(*) AS n_pairs,
+             |  coalesce(round(avg(cos), 4), 0.0) AS mean_cos
+             |FROM scored WHERE cos >= 0.95""".stripMargin
+    }
     (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall",
-      "a8_lsh_recall").flatMap(single) ++ a3).toMap
+      "a8_lsh_recall").flatMap(single) ++ a3 ++ d4).toMap
   }
 }

@@ -337,7 +337,19 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double, idCol: String = "vec_id",
                         vecCol: String = "embedding", nPlanes: Int = 12,
-                        nTables: Int = 4, seed: Long = 42L): DataFrame = {
+                        nTables: Int = 4, seed: Long = 42L): DataFrame =
+    embeddingCandidates(emb, idCol, vecCol, nPlanes, nTables, seed)
+      .filter(col("cos") >= threshold)
+
+  /** The candidate+cosine stage of [[embeddingNearDups]], pre-threshold:
+    * (a, b, cos) for every bucket-colliding pair. Exposed separately so
+    * the candidate set can persist to the d4 sidecar — the Gaussian
+    * planes aren't SQL-expressible, but cosine-verify-over-candidates is,
+    * which turns d4's oracle from rows-only into a full hash check.
+    */
+  def embeddingCandidates(emb: DataFrame, idCol: String = "vec_id",
+                          vecCol: String = "embedding", nPlanes: Int = 12,
+                          nTables: Int = 4, seed: Long = 42L): DataFrame = {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     // shared with the LSH-ANN candidate generator — same planes, same RNG
     val banded = LshAnn.signBuckets(emb, idCol, vecCol, dim, nPlanes, nTables, seed)
@@ -350,6 +362,5 @@ object Dedup {
     cand.join(va, Seq("a")).join(vb, Seq("b"))
       .select(col("a"), col("b"),
         VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cos"))
-      .filter(col("cos") >= threshold)
   }
 }
