@@ -49,18 +49,59 @@ object LshAnn {
       .select(col(idCol), col("tk.t").as("t"), col("tk.key").as("key"))
   }
 
+  /** Multi-probe query buckets (Lv et al., VLDB'07): besides its own sign
+    * bucket, each query probes the `probes` neighbor buckets reached by
+    * flipping its lowest-|margin| sign bits — the hyperplanes it sits
+    * closest to, i.e. the buckets its near neighbors most likely fell
+    * into. Queries-only and tiny (the side is broadcast); the base table
+    * and its bucket layout are untouched, so recall rises WITHOUT adding
+    * tables (which would re-hash the full corpus at scale).
+    * Emits (probes+1) (t, key) rows per query per table; plane RNG is
+    * bit-identical to [[signBuckets]].
+    */
+  private def multiProbeBuckets(df: DataFrame, idCol: String, vecCol: String,
+                                dim: Int, nPlanes: Int, nTables: Int,
+                                seed: Long, probes: Int): DataFrame = {
+    val tk = (0 until nTables).map { t =>
+      val rnd = new scala.util.Random(seed * 1000003L + t)
+      val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+      val projs = array(planes.map(p =>
+        VectorFunctions.dot(col(vecCol), typedLit(p))): _*)
+      // bind the projection array once; key, margins, and flips all read it
+      val keys = element_at(transform(array(projs), pr => {
+        val key = (0 until nPlanes).map(j =>
+          when(element_at(pr, j + 1) >= 0.0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        val ranked = array_sort(transform(sequence(lit(0), lit(nPlanes - 1)), j =>
+          struct(abs(element_at(pr, j + 1)).as("m"), j.as("j"))))
+        val flips = transform(slice(ranked, 1, probes), s =>
+          key.bitwiseXOR(pow(lit(2.0), s.getField("j")).cast("long")))
+        concat(array(key), flips)
+      }), 1)
+      struct(lit(t).as("t"), keys.as("keys"))
+    }
+    df.select(col(idCol), explode(array(tk: _*)).as("x"))
+      .select(col(idCol), col("x.t").as("t"), explode(col("x.keys")).as("key"))
+  }
+
   /** ANN top-k: sign-LSH candidate generation + exact re-score.
     * base: (idCol, vecCol); queries: (qid, qvec).
+    * `probes` > 0 turns on multi-probe (extra neighbor buckets per query;
+    * candidates are a superset, so with exact re-scoring recall is
+    * monotone in `probes` at zero base-side cost).
     * Returns (qid, id, score, rank) — [[Ivf.search]]'s shape, so the two
     * generators plug into the same eval harness.
     */
   def search(base: DataFrame, queries: DataFrame, k: Int,
              metric: Metric = Metric.Dot, nPlanes: Int = 12, nTables: Int = 4,
              seed: Long = 42L, idCol: String = "id",
-             vecCol: String = "vec"): DataFrame = {
+             vecCol: String = "vec", probes: Int = 0): DataFrame = {
     val dim = base.select(size(col(vecCol))).head().getInt(0)
     val baseBuckets = signBuckets(base, idCol, vecCol, dim, nPlanes, nTables, seed)
-    val queryBuckets = signBuckets(queries, "qid", "qvec", dim, nPlanes, nTables, seed)
+    val queryBuckets =
+      if (probes > 0)
+        multiProbeBuckets(queries, "qid", "qvec", dim, nPlanes, nTables, seed, probes)
+      else signBuckets(queries, "qid", "qvec", dim, nPlanes, nTables, seed)
     val cand = baseBuckets.join(broadcast(queryBuckets), Seq("t", "key"))
       .select(col("qid"), col(idCol)).distinct()
     val scored = cand

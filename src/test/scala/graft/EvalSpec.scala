@@ -81,6 +81,25 @@ class EvalSpec extends AnyFunSuite {
     assert(sweep.forall(_.getDouble(7) > 0), "qps must be positive")
   }
 
+  test("multi-probe lsh: neighbor buckets raise recall at fixed table count") {
+    import graft.ops.LshAnn
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 12)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val gt = Search.groundTruth(base, queries, 10, Metric.Dot).cache()
+    def recall(probes: Int): Double =
+      Ivf.meanRecall(LshAnn.search(base, queries, k = 10, Metric.Dot,
+        nPlanes = 6, nTables = 2, probes = probes), gt, 10)
+        .collect()(0).getDouble(0)
+    val r0 = recall(0)
+    val r3 = recall(3)
+    // candidates are a superset under exact re-scoring: monotone, and at
+    // 6 planes × 2 tables the 3 extra neighbor buckets should move it
+    assert(r3 >= r0, s"multi-probe lowered recall: $r0 -> $r3")
+    assert(r3 > r0 + 0.05, s"multi-probe did not move recall: $r0 -> $r3")
+  }
+
   test("staged and interleaved refine pipelines return identical rows") {
     // the reference's PIPELINE=staged|interleaved knob
     // (apps/nvdb_ivf_eval.cpp:465-466,666): same results, different
