@@ -100,6 +100,20 @@ class EvalSpec extends AnyFunSuite {
     assert(r3 > r0 + 0.05, s"multi-probe did not move recall: $r0 -> $r3")
   }
 
+  test("lsh search plan: bucket equi-join with broadcast query side, no cartesian") {
+    import graft.ops.LshAnn
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 12)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val plan = LshAnn.search(base, queries, k = 10, nPlanes = 6, nTables = 2,
+      probes = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH search degenerated to an all-pairs join:\n$plan")
+  }
+
   test("staged and interleaved refine pipelines return identical rows") {
     // the reference's PIPELINE=staged|interleaved knob
     // (apps/nvdb_ivf_eval.cpp:465-466,666): same results, different
