@@ -92,18 +92,36 @@ object LshAnn {
     * Returns (qid, id, score, rank) — [[Ivf.search]]'s shape, so the two
     * generators plug into the same eval harness.
     */
-  def search(base: DataFrame, queries: DataFrame, k: Int,
-             metric: Metric = Metric.Dot, nPlanes: Int = 12, nTables: Int = 4,
-             seed: Long = 42L, idCol: String = "id",
-             vecCol: String = "vec", probes: Int = 0): DataFrame = {
+  /** Distinct (qid, id) candidates from the bucket equi-join. */
+  private def candidates(base: DataFrame, queries: DataFrame, nPlanes: Int,
+                         nTables: Int, seed: Long, idCol: String,
+                         vecCol: String, probes: Int): DataFrame = {
     val dim = base.select(size(col(vecCol))).head().getInt(0)
     val baseBuckets = signBuckets(base, idCol, vecCol, dim, nPlanes, nTables, seed)
     val queryBuckets =
       if (probes > 0)
         multiProbeBuckets(queries, "qid", "qvec", dim, nPlanes, nTables, seed, probes)
       else signBuckets(queries, "qid", "qvec", dim, nPlanes, nTables, seed)
-    val cand = baseBuckets.join(broadcast(queryBuckets), Seq("t", "key"))
+    baseBuckets.join(broadcast(queryBuckets), Seq("t", "key"))
       .select(col("qid"), col(idCol)).distinct()
+  }
+
+  /** Per-query candidate-set size — the probe-cost axis of the frontier
+    * (the LSH analogue of IVF's scanned-list fraction): (qid, n_cand).
+    * Sub-linearity in the base size is the whole point of the operator;
+    * the 200k-row ScaleSpec gates it.
+    */
+  def candidateCounts(base: DataFrame, queries: DataFrame, nPlanes: Int = 12,
+                      nTables: Int = 4, seed: Long = 42L, idCol: String = "id",
+                      vecCol: String = "vec", probes: Int = 0): DataFrame =
+    candidates(base, queries, nPlanes, nTables, seed, idCol, vecCol, probes)
+      .groupBy("qid").agg(count(lit(1)).as("n_cand"))
+
+  def search(base: DataFrame, queries: DataFrame, k: Int,
+             metric: Metric = Metric.Dot, nPlanes: Int = 12, nTables: Int = 4,
+             seed: Long = 42L, idCol: String = "id",
+             vecCol: String = "vec", probes: Int = 0): DataFrame = {
+    val cand = candidates(base, queries, nPlanes, nTables, seed, idCol, vecCol, probes)
     val scored = cand
       .join(base.select(col(idCol), col(vecCol)), Seq(idCol))
       .join(broadcast(queries), Seq("qid"))

@@ -112,4 +112,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(scored < n / 2, s"pruning ineffective: scored $scored of $n")
     assigned.unpersist()
   }
+
+  test("LSH ANN at 200k rows: self-match survives bucketing, candidates sub-linear") {
+    import graft.ops.LshAnn
+    val queries = base.filter(col("id") % 20000 === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    // every query IS a base row: identical vector ⇒ identical sign
+    // pattern in every table ⇒ its own bucket always contains it, so the
+    // L2 rank-1 self-match must survive ANY bucketing configuration
+    val t0 = System.nanoTime()
+    val top1 = LshAnn.search(base, queries, k = 1, Metric.L2,
+      nPlanes = 14, nTables = 4, probes = 2).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(top1.length == 10)
+    top1.foreach(r => assert(r.getAs[Long]("qid") == r.getAs[Long]("id"),
+      s"self-match lost: ${r}"))
+    // probe cost: with 2^14 buckets/table the candidate set must be a
+    // vanishing fraction of the base — this is the operator's reason to
+    // exist; corpus-sized candidates mean the bucketing collapsed
+    val cands = LshAnn.candidateCounts(base, queries,
+      nPlanes = 14, nTables = 4, probes = 2)
+      .agg(max(col("n_cand")), avg(col("n_cand"))).collect()(0)
+    info(f"LSH ANN: 10 queries in $secs%.2f s, max cand ${cands.getLong(0)}, " +
+      f"avg ${cands.getDouble(1)}%.0f of $n rows")
+    assert(cands.getLong(0) < n / 10, s"candidates not sub-linear: $cands")
+  }
 }
