@@ -33,10 +33,15 @@ object Verify {
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // a1-a4 persist their predicted ids under Verify so oracleSql (dumped
-    // below, AFTER every query ran) can inline them as VALUES — see
-    // SparkEntry.predSidecar. Off elsewhere: bench timings must not pay
-    // the extra materialization.
+    // a1-a4/a8/d4 persist their predicted ids under Verify so oracleSql
+    // (dumped below, AFTER every query ran) can inline them as VALUES —
+    // see SparkEntry.predSidecar. Off elsewhere: bench timings must not
+    // pay the extra materialization. Stale sidecars are cleared first: a
+    // query that fails THIS run must fall back to the rows-only check,
+    // not pair a previous run's ids with a fresh oracle (a false
+    // hash-mismatch, strictly worse than no_oracle).
+    val sidecars = new java.io.File("target/pred_sidecar")
+    if (sidecars.isDirectory) sidecars.listFiles().foreach(_.delete())
     System.setProperty("graft.predSidecar", "1")
     // dev aid: SPARK_GRAFT_VERIFY_ONLY=q1_pricing_summary,e4_props_rollup
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
