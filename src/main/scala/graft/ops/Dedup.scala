@@ -231,16 +231,28 @@ object Dedup {
   def boilerplateRatio(docs: DataFrame, gramTokens: Int = 3, minDocs: Int = 5,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val exploded = docs
-      .select(col(idCol), TextFunctions.md5TokenGrams(col(textCol), gramTokens).as("grams"))
-      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
-        explode(col("grams")).as("gram"))
+      .select(col(idCol), explode(
+        TextFunctions.md5TokenGrams(col(textCol), gramTokens)).as("gram"))
     val boilerplate = exploded.groupBy(col("gram"))
       .agg(count(lit(1)).as("df")).filter(col("df") >= minDocs)
-      .select(col("gram"), lit(1L).as("bp"))
-    exploded.join(boilerplate, Seq("gram"), "left")
-      .groupBy(col(idCol))
-      .agg(max(col("n_grams")).as("n_grams"),
-        coalesce(sum(col("bp")), lit(0L)).as("n_bp_grams"))
+      .select(col("gram"))
+    // only MATCHED grams regroup by doc (inner join): the boilerplate hit
+    // set is usually a sliver of the corpus grams, so the doc-side
+    // aggregation shuffles that sliver, not the full exploded table (the
+    // old left-join+group shape paid a third full corpus-grams shuffle).
+    // The per-doc denominator re-runs the gram kernel map-side instead —
+    // one extra linear CPU pass for one fewer corpus-wide shuffle, the
+    // right trade where network, not md5, is the scarce resource. (It
+    // must be the kernel, not token arithmetic: grams are DISTINCT per
+    // doc, so the count is not tokens−k+1 on repetitive docs.)
+    val matched = exploded.join(boilerplate, Seq("gram"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_bp_grams"))
+    docs.select(col(idCol),
+      size(TextFunctions.md5TokenGrams(col(textCol), gramTokens))
+        .cast("long").as("n_grams"))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_bp_grams"), lit(0L)).as("n_bp_grams"))
       .withColumn("bp_ratio",
         col("n_bp_grams").cast("double") / greatest(col("n_grams"), lit(1)))
   }
