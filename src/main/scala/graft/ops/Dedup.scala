@@ -144,23 +144,7 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 8, bands: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(64 % bands == 0, s"bands=$bands must divide 64")
-    val bits = 64 / bands
-    val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val sig = VectorFunctions.simhashMd5(TextFunctions.tokens(col(textCol)))
-    // ONE kernel eval per row: the lambda binds the signature, the
-    // generator materializes (sig, band, key) structs, and downstream
-    // field extraction reads the generator's output attribute instead of
-    // re-inlining the kernel (the d9 lesson)
-    val packed = element_at(
-      transform(array(sig), s =>
-        array((0 until bands).map { b =>
-          struct(s.as("sig"), lit(b).as("band"),
-            shiftrightunsigned(s, bits * b).bitwiseAND(lit(mask)).as("key"))
-        }: _*)), 1)
-    val banded = docs.select(col(idCol), explode(packed).as("x"))
-      .select(col(idCol), col("x.sig").as("sig"),
-        col("x.band").as("band"), col("x.key").as("key"))
+    val banded = simhashBanded(docs, bands, idCol, textCol)
     // same one-scan bucket-expansion shape as bandedPairs, carrying the
     // signature so Hamming verifies inside the bucket (struct ordering
     // sorts by id first, so a < b holds after sort_array)
@@ -178,6 +162,41 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** The (id, sig, band, key) frame shared by the simhash pair join and
+    * the bucket diagnostic. ONE kernel eval per row: the lambda binds the
+    * signature, the generator materializes (sig, band, key) structs, and
+    * downstream field extraction reads the generator's output attribute
+    * instead of re-inlining the kernel (the d9 lesson).
+    */
+  private def simhashBanded(docs: DataFrame, bands: Int, idCol: String,
+                            textCol: String): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val sig = VectorFunctions.simhashMd5(TextFunctions.tokens(col(textCol)))
+    val packed = element_at(
+      transform(array(sig), s =>
+        array((0 until bands).map { b =>
+          struct(s.as("sig"), lit(b).as("band"),
+            shiftrightunsigned(s, bits * b).bitwiseAND(lit(mask)).as("key"))
+        }: _*)), 1)
+    docs.select(col(idCol), explode(packed).as("x"))
+      .select(col(idCol), col("x.sig").as("sig"),
+        col("x.band").as("band"), col("x.key").as("key"))
+  }
+
+  /** Bucket occupancy of the simhash banding — d10's analogue of
+    * [[lsh64BucketSizes]]: (band, key, n_ids), largest first. Slice-width
+    * misconfiguration (too few bands for the corpus) shows up here as
+    * corpus-sized buckets before the pair expansion hurts.
+    */
+  def simhashBucketSizes(docs: DataFrame, bands: Int = 4,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    simhashBanded(docs, bands, idCol, textCol)
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n_ids"))
+      .orderBy(col("n_ids").desc)
 
   /** Benchmark decontamination: per corpus document, how many of its token
     * `gramTokens`-grams appear anywhere in the benchmark set, plus the

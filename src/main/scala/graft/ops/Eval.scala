@@ -78,13 +78,13 @@ object Eval {
     */
   def lshSweep(spark: SparkSession, base: DataFrame, queries: DataFrame,
                gt: DataFrame, k: Int, points: Seq[(Int, Int)],
-               runs: Int = 3, seed: Long = 42L,
+               runs: Int = 3, seed: Long = 42L, probes: Int = 0,
                emit: String => Unit = println): DataFrame = {
     val nQueries = queries.count()
     val rows = points.map { case (nPlanes, nTables) =>
       def job(): Double = {
         val pred = LshAnn.search(base, queries, k, Metric.Dot, nPlanes,
-          nTables, seed)
+          nTables, seed, probes = probes)
         Ivf.meanRecall(pred, gt, k).collect()(0).getDouble(0)
       }
       job() // warmup
@@ -96,8 +96,8 @@ object Eval {
       }
       val st = LatencyStats.ofLatencies(times)
       def d(v: Double) = f"$v%.6f"
-      emit(s"RESULT gen=lsh nplanes=$nPlanes ntables=$nTables Q=$nQueries" +
-        s" k=$k mean_recall=${d(recall)} avg_s=${d(st.avg)}" +
+      emit(s"RESULT gen=lsh nplanes=$nPlanes ntables=$nTables probes=$probes" +
+        s" Q=$nQueries k=$k mean_recall=${d(recall)} avg_s=${d(st.avg)}" +
         s" p50_s=${d(st.p50)} p95_s=${d(st.p95)}" +
         s" p99_s=${d(st.p99)} qps=${d(st.qps)}")
       (nPlanes, nTables, recall, st.avg, st.p50, st.p95, st.p99, st.qps)

@@ -69,6 +69,17 @@ class CurationScaleSpec extends AnyFunSuite {
     assert(maxBucket <= 64, s"max LSH bucket $maxBucket — band width collapsed?")
   }
 
+  test("d10 simhash: slice buckets bounded, near-dup pairs linear in n") {
+    val nPairs = Dedup.simhashNearDups(docs, maxHamming = 8).count()
+    // family near-dups differ in one token: most survive hamming<=8;
+    // verified pairs must stay Θ(n), never corpus²
+    assert(nPairs >= n / 10 && nPairs <= 6 * n, s"pairs=$nPairs for n=$n")
+    val maxBucket = Dedup.simhashBucketSizes(docs).limit(1).collect()(0).getLong(2)
+    // 16-bit slices over 100k docs: expected occupancy ~n/2^16 plus
+    // family clusters — corpus-sized means the slice width collapsed
+    assert(maxBucket <= 256, s"max simhash bucket $maxBucket")
+  }
+
   test("s9 packing: hot stratum splits across shards, no corpus-sized window") {
     val packed = Packing.pack(docs, budget = 2048, shards = 64, stratum = "source")
     assert(packed.count() == n)

@@ -65,8 +65,8 @@ class EvalSpec extends AnyFunSuite {
       points = Seq((4, 1), (4, 4), (4, 8)), runs = 1, emit = lines += _)
       .collect()
     assert(sweep.length == 3 && lines.length == 3)
-    val keys = Seq("gen", "nplanes", "ntables", "Q", "k", "mean_recall",
-      "avg_s", "p50_s", "p95_s", "p99_s", "qps")
+    val keys = Seq("gen", "nplanes", "ntables", "probes", "Q", "k",
+      "mean_recall", "avg_s", "p50_s", "p95_s", "p99_s", "qps")
     lines.foreach { ln =>
       assert(ln.startsWith("RESULT "), ln)
       val kv = ln.stripPrefix("RESULT ").split(" ")
