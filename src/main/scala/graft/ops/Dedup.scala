@@ -255,15 +255,17 @@ object Dedup {
     val boilerplate = exploded.groupBy(col("gram"))
       .agg(count(lit(1)).as("df")).filter(col("df") >= minDocs)
       .select(col("gram"))
-    // only MATCHED grams regroup by doc (inner join): the boilerplate hit
-    // set is usually a sliver of the corpus grams, so the doc-side
-    // aggregation shuffles that sliver, not the full exploded table (the
-    // old left-join+group shape paid a third full corpus-grams shuffle).
-    // The per-doc denominator re-runs the gram kernel map-side instead —
-    // one extra linear CPU pass for one fewer corpus-wide shuffle, the
-    // right trade where network, not md5, is the scarce resource. (It
-    // must be the kernel, not token arithmetic: grams are DISTINCT per
-    // doc, so the count is not tokens−k+1 on repetitive docs.)
+    // only MATCHED grams regroup by doc (inner join) and the per-doc
+    // denominator is a separate map-side kernel pass. Measured with a
+    // noop-write sink and warmup (200k docs, BENCH_SCALE): 11-13 s vs
+    // 18.3 s for the left-join + full-regroup shape — ~1.5× even on the
+    // WORST-case corpus where near-dup families make nearly every gram
+    // boilerplate (matched set == whole exploded table); on realistic
+    // corpora the matched sliver is far smaller and the gap widens.
+    // (Caution when re-measuring: a count() sink lets Catalyst eliminate
+    // both shapes' joins/aggs and times nothing. The denominator must be
+    // the kernel, not tokens−k+1 arithmetic: grams are DISTINCT per doc,
+    // so repetitive docs have fewer.)
     val matched = exploded.join(boilerplate, Seq("gram"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_bp_grams"))
     docs.select(col(idCol),

@@ -53,14 +53,27 @@ object BenchScale {
     val corpusBytes = new java.io.File(corpusPath).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
 
+    // dev aid: SPARK_GRAFT_SCALE_ONLY=d12_boilerplate; SPARK_GRAFT_SCALE_RUNS=3
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val runsPer = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
     def run(name: String)(op: => Map[String, Double]): Unit = {
+      if (!only.forall(_.contains(name))) return
+      op // warmup: codegen + JIT, not recorded (same discipline as Bench)
       System.gc()
-      val w0 = tally.write.get(); val r0 = tally.read.get()
-      val t0 = System.nanoTime()
-      val extra = op
-      val sec = (System.nanoTime() - t0) / 1e9
+      var extra = Map.empty[String, Double]
+      val samples = Seq.fill(runsPer) {
+        val t0 = System.nanoTime()
+        extra = op
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sec = samples.min // best-of: single-JVM cold-cache noise is one-sided
+      // shuffle bytes for exactly one run: delta around a final measured pass
       Thread.sleep(700) // listener bus drain
+      val w0 = tally.write.get(); val r0 = tally.read.get()
+      op
+      Thread.sleep(700)
       results(name) = Map(
         "sec" -> sec,
         "shuffle_write_mb" -> (tally.write.get() - w0) / 1e6,
@@ -85,9 +98,12 @@ object BenchScale {
       Map("rows" -> hits.count().toDouble,
         "n_contaminated" -> hits.filter(!col("keep")).count().toDouble)
     }
+    // noop WRITE, not count(): count over this left join lets Catalyst
+    // eliminate the join entirely (unique right keys), timing nothing
     run("d12_boilerplate") {
-      Map("rows" -> Dedup.boilerplateRatio(docs, gramTokens = 3, minDocs = 5)
-        .count().toDouble)
+      Dedup.boilerplateRatio(docs, gramTokens = 3, minDocs = 5)
+        .write.format("noop").mode("overwrite").save()
+      Map("rows" -> n.toDouble)
     }
     run("p4_stratified_sample") {
       Map("rows" -> Sampling.stratifiedSample(docs, col("lang"), 1000, "doc_id")
@@ -99,8 +115,10 @@ object BenchScale {
         .agg(count(lit(1)).as("c")).agg(max(col("c"))).collect()(0).getLong(0)
       Map("rows" -> packed.count().toDouble, "max_window_group" -> maxGroup.toDouble)
     }
+    // noop write again: count() of a pure projection prunes the kernel
     run("t1_text_stats") {
-      Map("rows" -> TextAnalysis.textStats(docs).count().toDouble)
+      TextAnalysis.textStats(docs).write.format("noop").mode("overwrite").save()
+      Map("rows" -> n.toDouble)
     }
 
     def j(d: Double) = if (d == d.floor && d.abs < 1e15) d.toLong.toString else f"$d%.3f"
