@@ -47,15 +47,30 @@ object SparkEntry {
     * under Bench (per-run materialization would distort timings); the
     * predictions are oracle-bounded (≤ 20 queries × k ids).
     */
+  /** Driver-collect bound for a sidecar dump (Vecbin.guardExport's policy
+    * applied here): the a-family is ≤ 20×k pairs, but d4's candidate set
+    * scales with the verify corpus — past this bound the sidecar is
+    * SKIPPED with a loud note and the driver falls back to the rows-only
+    * oracle, instead of an unbounded collect() / a multi-MB VALUES blob.
+    */
+  private val sidecarMaxRows = 50000
+
   private def predSidecar(name: String, pred: DataFrame,
                           aCol: String = "qid", bCol: String = "id"): DataFrame = {
     if (sys.props.get("graft.predSidecar").contains("1")) {
       val d = new java.io.File("target/pred_sidecar")
       d.mkdirs()
       val rows = pred.select(col(aCol).cast("long"), col(bCol).cast("long"))
+        .limit(sidecarMaxRows + 1)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-      val w = new java.io.PrintWriter(new java.io.File(d, s"$name.csv"))
-      try rows.foreach { case (q, i) => w.println(s"$q,$i") } finally w.close()
+      if (rows.length > sidecarMaxRows) {
+        System.err.println(s"[sidecar] $name: > $sidecarMaxRows pairs — " +
+          "skipping VALUES oracle (rows-only fallback)")
+        new java.io.File(d, s"$name.csv").delete()
+      } else {
+        val w = new java.io.PrintWriter(new java.io.File(d, s"$name.csv"))
+        try rows.foreach { case (q, i) => w.println(s"$q,$i") } finally w.close()
+      }
     }
     pred
   }
@@ -1150,13 +1165,14 @@ object SparkEntry {
         |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.25 ORDER BY a, b""".stripMargin,
     // Same truncated-window gram semantics as the Spark side (docs shorter
     // than the gram size contribute their single truncated window); grams
-    // md5-keyed on both sides.
+    // keyed by md5_number_lower == the engine's md5Lower64 (d7/d8-pinned)
+    // — 8-byte longs, the scale-path join key.
     "d11_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-3, 1)+1),
-        |    i -> md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+3], ' ')))) AS grams
+        |    i -> md5_number_lower(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+3], ' ')))) AS grams
         |  FROM t),
         |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
         |hits AS (
@@ -1188,7 +1204,7 @@ object SparkEntry {
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
-        |    i -> md5(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')))) AS grams
+        |    i -> md5_number_lower(array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')))) AS grams
         |  FROM t),
         |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
         |c AS (SELECT gram, count(*) AS df FROM e GROUP BY gram),
@@ -1427,7 +1443,7 @@ object SparkEntry {
              |  CAST(n_hits AS DOUBLE) / (10 * n_queries) AS mean_recall
              |FROM (SELECT
              |  (SELECT count(*) FROM pred p JOIN gt g ON p.qid = g.qid AND p.id = g.id) AS n_hits,
-             |  (SELECT count(DISTINCT qid) FROM pred) AS n_queries)""".stripMargin
+             |  (SELECT count(DISTINCT qid) FROM gt) AS n_queries)""".stripMargin
       }
     val a3 = for {
       adc <- sidecarValues("a3_pq_recall.adc")
@@ -1442,7 +1458,7 @@ object SparkEntry {
          |FROM (SELECT
          |  (SELECT count(*) FROM adc p JOIN gt g ON p.qid = g.qid AND p.id = g.id) AS adc_hits,
          |  (SELECT count(*) FROM ref p JOIN gt g ON p.qid = g.qid AND p.id = g.id) AS refined_hits,
-         |  (SELECT count(DISTINCT qid) FROM adc) AS n_queries)""".stripMargin
+         |  (SELECT count(DISTINCT qid) FROM gt) AS n_queries)""".stripMargin
     // d4: the sign-LSH candidate pairs come from the sidecar; DuckDB
     // recomputes cosine from the embeddings with the kernel's exact
     // dot/(sqrt·sqrt) shape (v9-pinned), applies the threshold, and

@@ -66,20 +66,20 @@ object TextFunctions {
     concat_ws("|", (0 until rows).map(r => element_at(sig, r + 1)): _*)
   }
 
-  /** Distinct md5-keyed token `k`-grams (space-joined windows; docs
+  /** Distinct 64-bit-keyed token `k`-grams (space-joined windows; docs
     * shorter than `k` contribute their single truncated window — the
-    * fingerprint semantics the d11/d12 oracles pin). The token array is
-    * bound ONCE through a lambda variable: inlined HOF arguments
-    * re-evaluate per element, so split() would otherwise re-run per gram
-    * (the d9 lesson). Shared by decontamination and boilerplate — edit
-    * here and BOTH oracles re-gate the change.
+    * fingerprint semantics the d11/d12 oracles pin). Fused kernel: one
+    * md5 per window, and the gram join/shuffle key is an 8-byte long
+    * instead of 32 hex bytes — at 200k docs this is the widest column of
+    * d12's shuffle rows. md5Lower64 == DuckDB `md5_number_lower`
+    * (d7/d8-pinned), so the oracles recompute the same keys with
+    * `md5_number_lower(window)`. Shared by decontamination and
+    * boilerplate — edit here and BOTH oracles re-gate the change.
     */
-  def md5TokenGrams(text: Column, k: Int): Column =
-    element_at(
-      transform(array(tokens(text)), ts =>
-        array_distinct(transform(
-          sequence(lit(0), greatest(size(ts) - k, lit(0))),
-          i => md5(array_join(slice(ts, i + lit(1), lit(k)), " "))))), 1)
+  def tokenGrams64(text: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.expressions.TokenGrams64(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), k))
 
   /** Jaccard similarity of distinct character n-gram sets. */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {

@@ -172,6 +172,41 @@ object HashKernels {
     new GenericArrayData(mins)
   }
 
+  /** Distinct 64-bit keys of word `k`-gram windows (tokens = `\s+` splits
+    * of the trimmed text, windows joined with single spaces):
+    * md5Lower64(window) per window, first-occurrence order. Short docs
+    * yield their single (possibly shorter) window. The long-key scale
+    * flavor of the hex gram set: the d11/d12 join/shuffle key drops from
+    * 32 hex bytes to one 8-byte long, and the oracle swap is mechanical
+    * because md5Lower64 == DuckDB `md5_number_lower` (d7/d8-pinned).
+    */
+  def tokenGrams64(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.trim().toString.split("\\s+")
+    val nWin = math.max(toks.length - k + 1, 1)
+    val md = threadMd5()
+    val sb = new java.lang.StringBuilder
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    var w = 0
+    while (w < nWin) {
+      sb.setLength(0)
+      var j = w
+      val end = math.min(w + k, toks.length)
+      while (j < end) {
+        if (j > w) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val b = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      seen.add(md5Lower64(md, b, 0, b.length))
+      w += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Fingerprint: min over word `k`-gram windows (tokens = `\s+` splits of
     * the trimmed text, windows joined with single spaces) of md5_hex.
     * Short docs yield their single (possibly shorter) window.
@@ -256,6 +291,22 @@ case class Md5StrLower64(child: Expression)
       s"graft.functions.expressions.HashKernels.md5Lower64Str($t)")
   override def prettyName: String = "md5_lower64"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `token_grams64(text)` → array<long> of distinct md5Lower64 word k-gram
+  * keys (the narrow gram join key for decontamination / boilerplate).
+  */
+case class TokenGrams64(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.tokenGrams64(t.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.expressions.HashKernels.tokenGrams64($t, $k)")
+  override def prettyName: String = "token_grams64"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** `fingerprint_min(text)` → md5-hex min over word k-gram windows. */

@@ -208,15 +208,16 @@ object Dedup {
     * size, so the distinct benchmark gram set is BROADCAST — the corpus is
     * never shuffled to discover hits, its grams stream map-side through
     * the broadcast join and only MATCHED (doc, gram) rows reach the
-    * per-doc count. Grams are md5-keyed so the join key is a fixed 32
-    * bytes instead of the gram text. Docs shorter than `gramTokens`
-    * contribute their single truncated window (fingerprint semantics).
+    * per-doc count. Grams are md5Lower64-keyed so the join key is one
+    * 8-byte long instead of the gram text (or its 32-byte hex). Docs
+    * shorter than `gramTokens` contribute their single truncated window
+    * (fingerprint semantics).
     *
     * Returns (idCol, n_hit_grams, keep) — one row per corpus doc.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, gramTokens: Int = 13,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def gramsCol = TextFunctions.md5TokenGrams(col(textCol), gramTokens)
+    def gramsCol = TextFunctions.tokenGrams64(col(textCol), gramTokens)
     val benchGrams = benchmark.select(explode(gramsCol).as("gram")).distinct()
     val hits = corpus.select(col(idCol), explode(gramsCol).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
@@ -251,7 +252,7 @@ object Dedup {
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val exploded = docs
       .select(col(idCol), explode(
-        TextFunctions.md5TokenGrams(col(textCol), gramTokens)).as("gram"))
+        TextFunctions.tokenGrams64(col(textCol), gramTokens)).as("gram"))
     val boilerplate = exploded.groupBy(col("gram"))
       .agg(count(lit(1)).as("df")).filter(col("df") >= minDocs)
       .select(col("gram"))
@@ -269,7 +270,7 @@ object Dedup {
     val matched = exploded.join(boilerplate, Seq("gram"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_bp_grams"))
     docs.select(col(idCol),
-      size(TextFunctions.md5TokenGrams(col(textCol), gramTokens))
+      size(TextFunctions.tokenGrams64(col(textCol), gramTokens))
         .cast("long").as("n_grams"))
       .join(matched, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),

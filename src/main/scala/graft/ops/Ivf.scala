@@ -231,11 +231,16 @@ object Ivf {
 
   /** Mean recall@k of predictions vs ground truth: one row
     * (mean_recall, n_queries). pred: (qid, id, ...) top-k rows.
+    * The denominator is EVERY ground-truth query — a query with zero
+    * predictions (possible under sparse LSH configs) scores 0 hits
+    * rather than dropping out, matching the reference's divide-by-all-Q
+    * (`apps/nvdb_hnsw_eval.cpp:185`).
     */
   def meanRecall(pred: DataFrame, gt: DataFrame, k: Int): DataFrame =
-    pred.groupBy("qid").agg(collect_list(col("id")).as("pred_ids"))
-      .join(gt, Seq("qid"))
-      .select((size(array_intersect(col("pred_ids"), col("gt_ids"))).cast("double") / k).as("recall"))
+    gt.join(pred.groupBy("qid").agg(collect_list(col("id")).as("pred_ids")),
+        Seq("qid"), "left")
+      .select((coalesce(size(array_intersect(col("pred_ids"), col("gt_ids"))), lit(0))
+        .cast("double") / k).as("recall"))
       .agg(avg(col("recall")).as("mean_recall"), count(lit(1)).as("n_queries"))
 
   /** Exact-integer recall scalars: one row (n_hits, n_queries,
@@ -245,9 +250,9 @@ object Ivf {
     * hash-oracle-safe recall shape (a1–a4).
     */
   def recallHits(pred: DataFrame, gt: DataFrame, k: Int): DataFrame =
-    pred.groupBy("qid").agg(collect_list(col("id")).as("pred_ids"))
-      .join(gt, Seq("qid"))
-      .agg(sum(size(array_intersect(col("pred_ids"), col("gt_ids"))))
+    gt.join(pred.groupBy("qid").agg(collect_list(col("id")).as("pred_ids")),
+        Seq("qid"), "left")
+      .agg(sum(coalesce(size(array_intersect(col("pred_ids"), col("gt_ids"))), lit(0)))
         .cast("long").as("n_hits"), count(lit(1)).as("n_queries"))
       .select(col("n_hits"), col("n_queries"),
         (col("n_hits").cast("double") / (lit(k.toLong) * col("n_queries")))
