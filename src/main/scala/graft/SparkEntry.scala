@@ -336,12 +336,17 @@ object SparkEntry {
     // frontier, answered by a bucketed equi-join instead of per-query
     // pointer chasing (SURVEY §2.7). Sidecar hash oracle like a1 (seeded
     // Gaussian planes aren't SQL-expressible; the recall computation is);
-    // the frontier sweep itself is gated in EvalSpec.
+    // the frontier sweep itself is gated in EvalSpec. Operating point
+    // picked from the measured (planes × tables × probes) grid: recall
+    // 0.95 at 4 tables × 4 multi-probes — query-side probes carry the
+    // recall (free at corpus scale) instead of the old 16-table config
+    // whose bucket table was 16× the base (4× here).
     "a8_lsh_recall" -> ((s, dir) => {
       val base = embBase(s, dir)
       val qs = recallQueries(s, dir)
       val pred = predSidecar("a8_lsh_recall",
-        LshAnn.search(base, qs, k = 10, Metric.Dot, nPlanes = 4, nTables = 16))
+        LshAnn.search(base, qs, k = 10, Metric.Dot, nPlanes = 4, nTables = 4,
+          probes = 4))
       Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),
 

@@ -69,19 +69,22 @@ object Eval {
   }
 
   /** Sweep the sign-LSH (HNSW-role) candidate generator over
-    * (nPlanes, nTables) operating points — the graph-ANN answer on the
-    * same recall/latency frontier as [[ivfSweep]]
+    * (nPlanes, nTables, probes) operating points — the graph-ANN answer
+    * on the same recall/latency frontier as [[ivfSweep]]
     * (`apps/nvdb_hnsw_eval.cpp:99-130`: same loop, (M, efSearch) knobs).
-    * Emits the same RESULT line shape tagged `gen=lsh`; returns one row
-    * per point: (nplanes, ntables, mean_recall, avg_s, p50_s, p95_s,
-    * p99_s, qps).
+    * The third axis is multi-probe (query-side neighbor buckets): recall
+    * spent there costs nothing corpus-side, whereas every extra TABLE
+    * re-hashes the full base — at 100 TB the frontier should climb
+    * probes-first, tables-last. Emits the same RESULT line shape tagged
+    * `gen=lsh`; returns one row per point: (nplanes, ntables, probes,
+    * mean_recall, avg_s, p50_s, p95_s, p99_s, qps).
     */
   def lshSweep(spark: SparkSession, base: DataFrame, queries: DataFrame,
-               gt: DataFrame, k: Int, points: Seq[(Int, Int)],
-               runs: Int = 3, seed: Long = 42L, probes: Int = 0,
+               gt: DataFrame, k: Int, points: Seq[(Int, Int, Int)],
+               runs: Int = 3, seed: Long = 42L,
                emit: String => Unit = println): DataFrame = {
     val nQueries = queries.count()
-    val rows = points.map { case (nPlanes, nTables) =>
+    val rows = points.map { case (nPlanes, nTables, probes) =>
       def job(): Double = {
         val pred = LshAnn.search(base, queries, k, Metric.Dot, nPlanes,
           nTables, seed, probes = probes)
@@ -100,10 +103,10 @@ object Eval {
         s" Q=$nQueries k=$k mean_recall=${d(recall)} avg_s=${d(st.avg)}" +
         s" p50_s=${d(st.p50)} p95_s=${d(st.p95)}" +
         s" p99_s=${d(st.p99)} qps=${d(st.qps)}")
-      (nPlanes, nTables, recall, st.avg, st.p50, st.p95, st.p99, st.qps)
+      (nPlanes, nTables, probes, recall, st.avg, st.p50, st.p95, st.p99, st.qps)
     }
     import spark.implicits._
-    rows.toDF("nplanes", "ntables", "mean_recall", "avg_s", "p50_s",
+    rows.toDF("nplanes", "ntables", "probes", "mean_recall", "avg_s", "p50_s",
       "p95_s", "p99_s", "qps")
   }
 }

@@ -62,7 +62,7 @@ class EvalSpec extends AnyFunSuite {
     // 4-bit buckets: the 500-vector spec base needs coarse hashes for
     // non-trivial bucket sizes (the production knob scales with N)
     val sweep = Eval.lshSweep(spark, base, queries, gt, k = 10,
-      points = Seq((4, 1), (4, 4), (4, 8)), runs = 1, emit = lines += _)
+      points = Seq((4, 1, 0), (4, 4, 0), (4, 8, 0)), runs = 1, emit = lines += _)
       .collect()
     assert(sweep.length == 3 && lines.length == 3)
     val keys = Seq("gen", "nplanes", "ntables", "probes", "Q", "k",
@@ -74,11 +74,11 @@ class EvalSpec extends AnyFunSuite {
       assert(kv.keySet == keys.toSet, s"keys ${kv.keySet} in: $ln")
       assert(kv("gen") == "lsh" && kv("Q") == "12" && kv("k") == "10")
     }
-    val byTables = sweep.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    val byTables = sweep.map(r => r.getInt(1) -> r.getDouble(3)).toMap
     assert(byTables(8) >= byTables(1) - 1e-9,
       s"recall not monotone in tables: $byTables")
     assert(byTables(8) > 0.5, s"8-table recall too low: $byTables")
-    assert(sweep.forall(_.getDouble(7) > 0), "qps must be positive")
+    assert(sweep.forall(_.getDouble(8) > 0), "qps must be positive")
   }
 
   test("multi-probe lsh: neighbor buckets raise recall at fixed table count") {
@@ -98,6 +98,27 @@ class EvalSpec extends AnyFunSuite {
     // 6 planes × 2 tables the 3 extra neighbor buckets should move it
     assert(r3 >= r0, s"multi-probe lowered recall: $r0 -> $r3")
     assert(r3 > r0 + 0.05, s"multi-probe did not move recall: $r0 -> $r3")
+  }
+
+  test("lsh frontier quality: recall >= 0.95 within 8 tables, probes carry it") {
+    // The round-6 weak point was recall 0.9 needing 16 tables (a 16× base
+    // bucket expansion). The frontier must reach >= 0.95 spending
+    // QUERY-side budget (multi-probe) within an 8-table corpus cost — and
+    // the same (planes, tables) point without probes must sit well below,
+    // proving the recall comes from the probes, not the tables.
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 12)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val gt = Search.groundTruth(base, queries, 10, Metric.Dot).cache()
+    val sweep = Eval.lshSweep(spark, base, queries, gt, k = 10,
+      points = Seq((4, 8, 0), (4, 8, 4)), runs = 1, emit = _ => ())
+      .collect()
+    val byProbes = sweep.map(r => r.getInt(2) -> r.getDouble(3)).toMap
+    assert(byProbes(4) >= 0.95,
+      s"frontier below 0.95 at 8 tables x 4 probes: $byProbes")
+    assert(byProbes(4) >= byProbes(0) + 0.1,
+      s"probes did not carry the recall: $byProbes")
   }
 
   test("lsh search plan: bucket equi-join with broadcast query side, no cartesian") {
