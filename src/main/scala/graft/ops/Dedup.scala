@@ -299,6 +299,11 @@ object Dedup {
       .select(col("a"), col("b"), jac.as("jaccard"))
   }
 
+  /** [[connectedComponentsStats]] result: the (node, component) labels
+    * plus the convergence evidence the scale gates assert on.
+    */
+  final case class CcResult(labels: DataFrame, iterations: Int, converged: Boolean)
+
   /** Connected components over a near-dup pair graph (a, b) by iterative
     * min-label propagation: each node adopts the smallest component id
     * among itself and its neighbors until a fixed point. Duplicate
@@ -307,7 +312,15 @@ object Dedup {
     * Returns (node, component) — component = smallest node id reachable.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          aCol: String = "a", bCol: String = "b"): DataFrame = {
+                          aCol: String = "a", bCol: String = "b"): DataFrame =
+    connectedComponentsStats(pairs, maxIter, aCol, bCol).labels
+
+  /** [[connectedComponents]] with its convergence stats exposed — the
+    * iteration count bounds the shuffle count (one label shuffle per
+    * iteration), which is what the 100k-corpus scale gate asserts.
+    */
+  def connectedComponentsStats(pairs: DataFrame, maxIter: Int = 20,
+                               aCol: String = "a", bCol: String = "b"): CcResult = {
     val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
       .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
       .distinct().cache()
@@ -345,7 +358,7 @@ object Dedup {
         s"[graft] connectedComponents did NOT converge in $maxIter iterations; " +
           "components may be split. Raise maxIter for deep duplicate chains.")
     }
-    labels
+    CcResult(labels, it, converged)
   }
 
   /** Keeper selection: one row per document, with its duplicate-cluster

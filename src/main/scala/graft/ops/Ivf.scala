@@ -72,9 +72,14 @@ object Ivf {
 
   /** Write the assigned base partitioned by cluster_id — the on-disk
     * inverted lists. Probing then prunes partitions at file level.
+    * Repartitioned on cluster_id first: a raw partitionBy writes one file
+    * per (input partition × cluster), which at nlist=1024 over a 12-split
+    * corpus is ~12k small files — the classic partitioned-write explosion;
+    * clustering the shuffle first caps it at one file per inverted list.
     */
   def writeClustered(assigned: DataFrame, path: String): Unit =
-    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    assigned.repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
   /** IVF probe search: score only the `nprobe` nearest clusters per query.
     *

@@ -29,21 +29,30 @@ import graft.functions.VectorFunctions
   */
 object LshAnn {
 
-  /** Exploded (id, t, key) sign-bucket rows. Plane RNG is EXACTLY
+  /** The seeded per-table plane matrix. RNG is EXACTLY
     * [[Dedup.embeddingNearDups]]'s (`seed·1000003 + t` per table) so the
     * d4-pinned signatures and these buckets stay mutually reproducible.
+    */
+  private def tablePlanes(dim: Int, nPlanes: Int, t: Int,
+                          seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed * 1000003L + t)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Exploded (id, t, key) sign-bucket rows: ONE fused kernel call per
+    * table ([[graft.functions.expressions.SignKey]] — the vector converts
+    * once and the plane matrix streams from a single reference object),
+    * bit-identical to the per-plane `when(dot ≥ 0)` composition.
     */
   private[ops] def signBuckets(df: DataFrame, idCol: String, vecCol: String,
                                dim: Int, nPlanes: Int, nTables: Int,
                                seed: Long): DataFrame = {
     val sigCols = (0 until nTables).map { t =>
-      val rnd = new scala.util.Random(seed * 1000003L + t)
-      val bits = (0 until nPlanes).map { p =>
-        val plane = Array.fill(dim)(rnd.nextGaussian().toFloat)
-        when(VectorFunctions.dot(col(vecCol), typedLit(plane)) >= 0.0, lit(1L << p))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), bits.as("key"))
+      val key = org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.expressions.SignKey(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col(vecCol)),
+          tablePlanes(dim, nPlanes, t, seed)))
+      struct(lit(t).as("t"), key.as("key"))
     }
     df.select(col(idCol), explode(array(sigCols: _*)).as("tk"))
       .select(col(idCol), col("tk.t").as("t"), col("tk.key").as("key"))
@@ -63,10 +72,12 @@ object LshAnn {
                                 dim: Int, nPlanes: Int, nTables: Int,
                                 seed: Long, probes: Int): DataFrame = {
     val tk = (0 until nTables).map { t =>
-      val rnd = new scala.util.Random(seed * 1000003L + t)
-      val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
-      val projs = array(planes.map(p =>
-        VectorFunctions.dot(col(vecCol), typedLit(p))): _*)
+      // fused projection kernel (query side is tiny, but the margins need
+      // the raw dots — same reference-object shape as the base side)
+      val projs = org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.expressions.PlaneProjections(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col(vecCol)),
+          tablePlanes(dim, nPlanes, t, seed)))
       // bind the projection array once; key, margins, and flips all read it
       val keys = element_at(transform(array(projs), pr => {
         val key = (0 until nPlanes).map(j =>

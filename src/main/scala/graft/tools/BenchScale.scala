@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Packing, Sampling, TextAnalysis}
+import graft.ops.{Dedup, Eval, Ivf, Metric, Packing, Pq, Sampling, Search, TextAnalysis}
 
 /** Cumulative shuffle-byte tally across all tasks — the measurement
   * behind the "shuffle ∝ candidates, not corpus²" scale gates. Listener
@@ -24,19 +24,32 @@ class ShuffleTally extends SparkListener {
   }
 }
 
-/** Scale evidence for the curation/dedup/packing family: the oracle gate
-  * runs at 500–5,000 docs, far below where LSH invariants can break, so
-  * this main builds a ≥100k-doc corpus ([[SyntheticCorpus]]) and records
-  * per-operator wall time, result cardinalities, the d9 bucket-occupancy
-  * tail, and per-operator shuffle bytes into `BENCH_SCALE.json`. The
-  * pass/fail versions of these invariants live in `CurationScaleSpec`;
-  * this artifact is the recorded-numbers side.
+/** Scale evidence above the oracle gate's toy sizes, recorded into
+  * `BENCH_SCALE.json`:
   *
-  * Env: SPARK_GRAFT_SCALE_N (docs, default 200000), SPARK_GRAFT_CPUS.
+  *  - curation/dedup/packing family on a ≥100k-doc [[SyntheticCorpus]]:
+  *    per-op wall time, cardinalities, bucket tails, per-op shuffle
+  *    bytes, connected-components convergence;
+  *  - ANN family on a ≥1M-vector [[SyntheticVectors]] corpus: IVF
+  *    build/probe frontier (recall + latency + scanned rows per nprobe —
+  *    probe cost must track nprobe/nlist, not the corpus), sign-LSH
+  *    frontier points, PQ compression ratio vs the flat table, refine
+  *    shuffle bytes against a plain vs bucketed base, and the
+  *    staged|interleaved pipeline flavors.
+  *
+  * The pass/fail versions of these invariants live in `CurationScaleSpec`
+  * and `AnnScaleSpec`; this artifact is the recorded-numbers side.
+  *
+  * Env: SPARK_GRAFT_SCALE_N (docs, default 200000), SPARK_GRAFT_ANN_N
+  * (vectors, default 1000000), SPARK_GRAFT_ANN_DIM (default 384),
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_SCALE_ONLY (name filter, both families),
+  * SPARK_GRAFT_SCALE_RUNS (default 2).
   */
 object BenchScale {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "200000").toLong
+    val annN = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "1000000").toLong
+    val annDim = sys.env.getOrElse("SPARK_GRAFT_ANN_DIM", "384").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench-scale"),
@@ -45,41 +58,51 @@ object BenchScale {
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
 
-    // materialize through parquet so every op pays a realistic scan
-    val corpusPath = "target/scale_corpus"
-    SyntheticCorpus.documents(spark, n)
-      .write.mode("overwrite").parquet(corpusPath)
-    val docs = spark.read.parquet(corpusPath)
-    val corpusBytes = new java.io.File(corpusPath).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    def dirBytes(path: String): Long = {
+      val f = new java.io.File(path)
+      if (!f.isDirectory) 0L
+      else f.listFiles().map(c => if (c.isDirectory) dirBytes(c.getPath) else c.length()).sum
+    }
 
-    // dev aid: SPARK_GRAFT_SCALE_ONLY=d12_boilerplate; SPARK_GRAFT_SCALE_RUNS=3
+    // dev aid: SPARK_GRAFT_SCALE_ONLY=d12_boilerplate,ann_ivf; SPARK_GRAFT_SCALE_RUNS=3
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val runsPer = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
-    def run(name: String)(op: => Map[String, Double]): Unit = {
+    def measure(into: scala.collection.mutable.LinkedHashMap[String, Map[String, Double]],
+                name: String, op: () => Map[String, Double]): Unit = {
       if (!only.forall(_.contains(name))) return
-      op // warmup: codegen + JIT, not recorded (same discipline as Bench)
+      op() // warmup: codegen + JIT, not recorded (same discipline as Bench)
       System.gc()
       var extra = Map.empty[String, Double]
       val samples = Seq.fill(runsPer) {
         val t0 = System.nanoTime()
-        extra = op
+        extra = op()
         (System.nanoTime() - t0) / 1e9
       }
       val sec = samples.min // best-of: single-JVM cold-cache noise is one-sided
       // shuffle bytes for exactly one run: delta around a final measured pass
       Thread.sleep(700) // listener bus drain
       val w0 = tally.write.get(); val r0 = tally.read.get()
-      op
+      op()
       Thread.sleep(700)
-      results(name) = Map(
+      into(name) = Map(
         "sec" -> sec,
         "shuffle_write_mb" -> (tally.write.get() - w0) / 1e6,
         "shuffle_read_mb" -> (tally.read.get() - r0) / 1e6) ++ extra
-      println(f"[scale] $name%-22s ${sec}%8.2f s  ${results(name)("shuffle_write_mb")}%9.1f MB shuffled  $extra")
+      println(f"[scale] $name%-22s ${sec}%8.2f s  ${into(name)("shuffle_write_mb")}%9.1f MB shuffled  $extra")
     }
+
+    // ---------------- curation family (n docs) ----------------
+    // materialize through parquet so every op pays a realistic scan
+    val corpusPath = "target/scale_corpus"
+    SyntheticCorpus.documents(spark, n)
+      .write.mode("overwrite").parquet(corpusPath)
+    val docs = spark.read.parquet(corpusPath)
+    val corpusBytes = dirBytes(corpusPath)
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
+    def run(name: String)(op: => Map[String, Double]): Unit =
+      measure(results, name, () => op)
 
     run("d9_lsh64_pairs") {
       Map("n_pairs" -> Dedup.minhashLshPairs64(docs).count().toDouble)
@@ -120,12 +143,155 @@ object BenchScale {
       TextAnalysis.textStats(docs).write.format("noop").mode("overwrite").save()
       Map("rows" -> n.toDouble)
     }
+    // transitive dedup over the real d9 candidate pairs — the one dedup op
+    // whose cost is iterations × one-label-shuffle; convergence depth and
+    // component structure are the scale story
+    run("cc_components") {
+      val pairs = Dedup.minhashLshPairs64(docs)
+      val cc = Dedup.connectedComponentsStats(pairs)
+      val nNodes = cc.labels.count()
+      val nComp = cc.labels.select("component").distinct().count()
+      cc.labels.unpersist()
+      Map("iterations" -> cc.iterations.toDouble,
+        "converged" -> (if (cc.converged) 1.0 else 0.0),
+        "n_nodes" -> nNodes.toDouble, "n_components" -> nComp.toDouble)
+    }
+
+    // ---------------- ANN family (annN vectors) ----------------
+    val annResults = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
+    def runAnn(name: String)(op: => Map[String, Double]): Unit =
+      measure(annResults, name, () => op)
+    var ivfFrontier: Array[org.apache.spark.sql.Row] = Array.empty
+    var lshFrontier: Array[org.apache.spark.sql.Row] = Array.empty
+    val annOn = only.forall(_.exists(_.startsWith("ann_")))
+    if (annOn) {
+      val k = 10
+      val nlist = 1024
+      val vecPath = s"target/scale_vectors_${annN}_$annDim"
+      if (!new java.io.File(s"$vecPath/_SUCCESS").isFile)
+        SyntheticVectors.table(spark, annN, annDim, nCenters = 4096)
+          .write.mode("overwrite").parquet(vecPath)
+      val base = spark.read.parquet(vecPath)
+      val flatBytes = dirBytes(vecPath)
+      val queries = base.filter(col("id") < 64)
+        .select(col("id").as("qid"), col("vec").as("qvec")).cache()
+      queries.count()
+
+      // exact-scan anchor: the latency a pruned probe must beat, and the GT
+      runAnn("ann_exact_scan") {
+        Map("rows" -> Search.exactTopKBatched(base, queries, k, Metric.Dot)
+          .count().toDouble)
+      }
+      val gt = Ivf.cachedGroundTruth(s"annscale_$annN", base, queries, k, Metric.Dot)
+
+      // index build is DDL (cached on disk across JVMs) — measured once,
+      // not best-of: a cached hit records ~0 and says so
+      val buildCached =
+        new java.io.File(s"target/ivf_cache/${Ivf.cacheDigest(s"annscale_$annN|$nlist|200000|42")}/_SUCCESS").isFile
+      val tBuild = System.nanoTime()
+      val idx = Ivf.buildOrGet(spark, base, s"annscale_$annN", nlist = nlist,
+        ntrain = 200000)
+      annResults("ann_ivf_build") = Map(
+        "sec" -> (System.nanoTime() - tBuild) / 1e9,
+        "nlist" -> nlist.toDouble,
+        "cached" -> (if (buildCached) 1.0 else 0.0))
+      val clustered = idx.clustered(spark)
+
+      // scanned rows per nprobe (deterministic, from the inverted-list
+      // sizes): the "probe cost ∝ nprobe/nlist, not corpus" axis
+      val listSizes = clustered.groupBy("cluster_id").count().cache()
+      listSizes.count()
+      def scannedRows(np: Int): Long =
+        queries.select(explode(Ivf.nearestCentroids(col("qvec"), idx.centroids, np))
+            .as("cluster_id"))
+          .join(listSizes, Seq("cluster_id"))
+          .agg(sum("count")).collect()(0).getLong(0)
+
+      val nprobes = Seq(8, 32, 128)
+      val sweep = Eval.ivfSweep(spark, idx, base, queries, gt, k,
+        nprobes = nprobes, refineKs = Seq(0), runs = runsPer)
+      val scannedByNp = typedLit(nprobes.map(np => np -> scannedRows(np)).toMap)
+      ivfFrontier = sweep.withColumn("scanned_rows",
+          element_at(scannedByNp, col("nprobe")))
+        .collect()
+
+      // sign-LSH frontier: probes carry recall at fixed corpus cost
+      lshFrontier = Eval.lshSweep(spark, base, queries, gt, k,
+        points = Seq((12, 4, 0), (12, 4, 8), (12, 8, 8)), runs = runsPer)
+        .collect()
+      runAnn("ann_lsh_cands") {
+        val m = graft.ops.LshAnn.candidateCounts(base, queries,
+          nPlanes = 12, nTables = 4, probes = 8)
+          .agg(avg("n_cand")).collect()(0).getDouble(0)
+        Map("mean_cand" -> m, "frac_of_corpus" -> m / annN)
+      }
+
+      // PQ compression: the index-bytes-≪-flat invariant
+      // (`Performance.md:553-568,621-623`)
+      val books = Pq.train(base, m = 8, ksub = 256, ntrain = 65536)
+      val pqPath = s"target/scale_pq_${annN}_$annDim"
+      Pq.encode(base, books).write.mode("overwrite").parquet(pqPath)
+      val pqBytes = dirBytes(pqPath)
+      annResults("ann_pq_bytes") = Map(
+        "flat_mb" -> flatBytes / 1e6, "pq_mb" -> pqBytes / 1e6,
+        "ratio" -> flatBytes.toDouble / math.max(pqBytes, 1L))
+
+      // refine join against plain vs bucketed base: candidates too big to
+      // broadcast (2048 queries × refineK=100), so the plain join must
+      // shuffle the full base while the bucketed one shuffles ONLY the
+      // candidate side — the co-located join writeBucketedBase sells
+      val refQs = base.filter(col("id") < 2048)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val cands = Ivf.search(clustered, refQs, idx.centroids, nprobe = 16, k = 100)
+        .groupBy("qid").agg(collect_list(col("id")).as("cand_ids"))
+        .join(refQs, Seq("qid"))
+        .select(col("qid"), col("qvec"), col("cand_ids")).cache()
+      cands.count()
+      runAnn("ann_refine_plain") {
+        Map("rows" -> Search.refine(base, cands, k).count().toDouble)
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_scale_bucketed")
+      val orphan = new java.io.File("spark-warehouse/graft_scale_bucketed")
+      if (orphan.isDirectory) {
+        java.nio.file.Files.walk(orphan.toPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      Search.writeBucketedBase(base, "graft_scale_bucketed", buckets = cpus.toInt)
+      val bucketed = spark.table("graft_scale_bucketed")
+      runAnn("ann_refine_bucketed") {
+        Map("rows" -> Search.refine(bucketed, cands, k).count().toDouble)
+      }
+      cands.unpersist()
+
+      // PIPELINE=staged|interleaved (`ivf_eval.cpp:465-466`): same rows,
+      // different composition — record which wins at this scale
+      runAnn("ann_pipeline_staged") {
+        Map("rows" -> Ivf.searchRefined(clustered, queries, idx.centroids,
+          nprobe = 32, k = k, refineK = 100, pipeline = "staged").count().toDouble)
+      }
+      runAnn("ann_pipeline_interleaved") {
+        Map("rows" -> Ivf.searchRefined(clustered, queries, idx.centroids,
+          nprobe = 32, k = k, refineK = 100, pipeline = "interleaved").count().toDouble)
+      }
+      listSizes.unpersist()
+    }
 
     def j(d: Double) = if (d == d.floor && d.abs < 1e15) d.toLong.toString else f"$d%.3f"
-    val body = results.map { case (name, m) =>
-      s""""$name":{${m.map { case (k, v) => s""""$k":${j(v)}""" }.mkString(",")}}"""
-    }.mkString(",")
-    val line = s"""{"n_docs":$n,"cpus":$cpus,"corpus_mb":${j(corpusBytes / 1e6)},"ops":{$body}}"""
+    def section(m: scala.collection.mutable.LinkedHashMap[String, Map[String, Double]]) =
+      m.map { case (name, vals) =>
+        s""""$name":{${vals.map { case (kk, v) => s""""$kk":${j(v)}""" }.mkString(",")}}"""
+      }.mkString(",")
+    val ivfJson = ivfFrontier.map { r =>
+      s"""{"nprobe":${r.getInt(0)},"recall":${j(r.getDouble(2))},"avg_s":${j(r.getDouble(3))},"scanned_rows":${r.getLong(8)}}"""
+    }.mkString("[", ",", "]")
+    val lshJson = lshFrontier.map { r =>
+      s"""{"nplanes":${r.getInt(0)},"ntables":${r.getInt(1)},"probes":${r.getInt(2)},"recall":${j(r.getDouble(3))},"avg_s":${j(r.getDouble(4))}}"""
+    }.mkString("[", ",", "]")
+    val line =
+      s"""{"n_docs":$n,"cpus":$cpus,"corpus_mb":${j(corpusBytes / 1e6)},"ops":{${section(results)}},""" +
+        s""""ann":{"n_vec":$annN,"dim":$annDim,"ops":{${section(annResults)}},""" +
+        s""""ivf_frontier":$ivfJson,"lsh_frontier":$lshJson}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE.json"), line + "\n")
     spark.stop()
     println(line)

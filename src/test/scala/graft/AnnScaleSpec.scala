@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.ops.{Ivf, Metric, Pq, Search}
+import graft.tools.SyntheticVectors
+
+/** Scale gates for the ANN index family — the invariants that only show
+  * above the 2k-vector oracle scale, run on a 200k-vector synthetic
+  * corpus (the recorded-numbers twin at 1M×384d lands in
+  * `BENCH_SCALE.json` via `graft.tools.BenchScale`):
+  *
+  *  - IVF probe recall is monotone in nprobe and exact at full probe
+  *    (the frontier's two endpoints);
+  *  - probe COST tracks nprobe/nlist — scanned inverted-list rows, the
+  *    deterministic cost axis, grow with the probed fraction and stay
+  *    far below the corpus for small nprobe (partition pruning is real,
+  *    not cosmetic);
+  *  - PQ codes compress the index an order of magnitude below the flat
+  *    vectors (`Performance.md:553-568`: the reason PQ exists).
+  */
+class AnnScaleSpec extends AnyFunSuite {
+
+  private val n = 200000L
+  private val dim = 64
+  private val nlist = 64
+  private val k = 10
+
+  lazy val spark: SparkSession = GraftSession.local(8)
+  private lazy val base = {
+    val b = SyntheticVectors.table(spark, n, dim, nCenters = 512).cache()
+    assert(b.count() == n)
+    b
+  }
+  private lazy val queries = base.filter(col("id") < 32)
+    .select(col("id").as("qid"), col("vec").as("qvec"))
+  private lazy val idx =
+    Ivf.buildOrGet(spark, base, s"annspec_${n}_$dim", nlist = nlist, ntrain = 20000)
+
+  test("ivf probe: recall monotone in nprobe, full probe exact at 200k") {
+    val gt = Search.groundTruth(base, queries, k, Metric.Dot).cache()
+    val clustered = idx.clustered(spark)
+    def recall(np: Int): Double =
+      Ivf.meanRecall(
+        Ivf.search(clustered, queries, idx.centroids, np, k), gt, k)
+        .collect()(0).getDouble(0)
+    val r1 = recall(1)
+    val r8 = recall(8)
+    val rFull = recall(nlist)
+    assert(r8 >= r1 - 1e-9, s"recall not monotone: nprobe1=$r1 nprobe8=$r8")
+    assert(rFull == 1.0, s"full probe not exact: $rFull")
+    // pruned probe must already be useful — clusters concentrate true
+    // neighbors, the property IVF sells
+    assert(r8 > 0.5, s"nprobe=8/$nlist recall $r8 — clustering useless?")
+    gt.unpersist()
+  }
+
+  test("probe cost tracks nprobe/nlist, not the corpus") {
+    val clustered = idx.clustered(spark)
+    val listSizes = clustered.groupBy("cluster_id").count().cache()
+    def scanned(np: Int): Long =
+      queries.select(explode(Ivf.nearestCentroids(col("qvec"), idx.centroids, np))
+          .as("cluster_id"))
+        .join(listSizes, Seq("cluster_id"))
+        .agg(sum("count")).collect()(0).getLong(0)
+    val s2 = scanned(2)
+    val s16 = scanned(16)
+    val nQ = queries.count()
+    // 32 queries × 2/64 lists ≈ n/32 rows if lists were uniform; gate at a
+    // loose multiple — corpus-sized means pruning is cosmetic
+    assert(s2 < nQ * n / 8, s"nprobe=2 scanned $s2 of ${nQ * n} — no pruning")
+    val ratio = s16.toDouble / s2
+    assert(ratio > 3 && ratio < 24,
+      s"scanned rows don't track nprobe (16/2 → $ratio, expected ≈8)")
+    listSizes.unpersist()
+  }
+
+  test("pq index bytes an order of magnitude below flat vectors") {
+    def dirBytes(path: String): Long = {
+      val f = new java.io.File(path)
+      if (!f.isDirectory) 0L
+      else f.listFiles().map(c =>
+        if (c.isDirectory) dirBytes(c.getPath) else c.length()).sum
+    }
+    val flatPath = "target/annspec_flat"
+    val pqPath = "target/annspec_pq"
+    base.write.mode("overwrite").parquet(flatPath)
+    val books = Pq.train(base, m = 8, ksub = 256, ntrain = 8192)
+    Pq.encode(base, books).write.mode("overwrite").parquet(pqPath)
+    val flat = dirBytes(flatPath)
+    val pq = dirBytes(pqPath)
+    // 64-dim floats = 256 B/vec vs 8 PQ bytes: the raw ratio is 32×;
+    // parquet framing eats some of it — gate at 8×
+    assert(pq * 8 < flat, s"pq $pq B not ≪ flat $flat B")
+  }
+}

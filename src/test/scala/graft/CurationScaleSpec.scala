@@ -99,6 +99,45 @@ class CurationScaleSpec extends AnyFunSuite {
     perLang.foreach { case (l, c) => assert(c == 1000, s"$l: $c") }
   }
 
+  test("cc: d9 pair graph converges fast into family-shaped components") {
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    val pairs = Dedup.minhashLshPairs64(docs).cache()
+    val nPairs = pairs.count()
+    Thread.sleep(700)
+    val w0 = tally.write.get()
+    val cc = Dedup.connectedComponentsStats(pairs)
+    Thread.sleep(700)
+    val shuffled = tally.write.get() - w0
+    spark.sparkContext.removeSparkListener(tally)
+    assert(cc.converged, s"cc did not converge in ${cc.iterations} iterations")
+    // families are near-cliques: min-label propagation needs ~2 hops plus
+    // the fixed-point check — deep chains here mean the pair graph is wrong
+    assert(cc.iterations <= 12, s"cc took ${cc.iterations} iterations")
+    val labels = cc.labels
+    val maxComp = labels.groupBy("component").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    // chance cross-family collisions chain a few 5-doc families (measured
+    // 95 at 100k); a catastrophic merge reads corpus-sized — gate well
+    // between the two
+    assert(maxComp <= 256,
+      s"giant component of $maxComp nodes — families merged catastrophically")
+    // one component per duplicate family (5 consecutive ids): chance
+    // cross-family collisions may merge a few, never an order of magnitude
+    val nComp = labels.select("component").distinct().count()
+    val nFam = labels.select(expr("node div 5")).distinct().count()
+    assert(nComp <= nFam && nComp >= (0.8 * nFam).toLong,
+      s"components $nComp vs pair-covered families $nFam")
+    // cost model: every iteration shuffles the label table + edge join,
+    // both Θ(edges) — quadratic blow-up or an unbounded re-derivation
+    // shows up as shuffle ≫ iterations × edge bytes (32 B/edge row, both
+    // directions, with join/agg framing overhead ≈ 4×)
+    assert(shuffled < 128L * nPairs * 2 * cc.iterations,
+      s"cc shuffled $shuffled B over ${cc.iterations} iters for $nPairs pairs")
+    labels.unpersist()
+    pairs.unpersist()
+  }
+
   test("d11 decontamination: map-side gram match at scale, hits found") {
     val bench = docs.filter(col("doc_id") % 97 === 0)
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
