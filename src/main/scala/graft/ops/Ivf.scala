@@ -217,14 +217,21 @@ object Ivf {
     else {
       val kSearch = math.max(refineK, k)
       val cands = search(assignedBase, queries, centroids, nprobe, kSearch, metric, idCol, vecCol)
+      // Candidate sides are Q×k_search rows — bounded by the query batch,
+      // always ≪ the base — so they carry an explicit broadcast hint: the
+      // base then streams in place. Without it, Catalyst has no stats for
+      // the probe-derived side and sort-merge-joins, shuffle-writing the
+      // ENTIRE base per refine (measured 1.56 GB at 1M×384d for a
+      // 6,400-row candidate set).
       if (pipeline == "staged") {
         val lists = cands
           .groupBy("qid").agg(collect_list(col("id")).as("cand_ids"))
           .join(queries, Seq("qid"))
           .select(col("qid"), col("qvec"), col("cand_ids"))
-        Search.refine(assignedBase.select(col(idCol), col(vecCol)), lists, k, idCol, vecCol)
+        Search.refine(assignedBase.select(col(idCol), col(vecCol)),
+          broadcast(lists), k, idCol, vecCol)
       } else {
-        val scored = cands.select(col("qid"), col("id"))
+        val scored = broadcast(cands.select(col("qid"), col("id")))
           .join(assignedBase.select(col(idCol).as("id"), col(vecCol).as("base_vec")), Seq("id"))
           .join(broadcast(queries), Seq("qid"))
           .select(col("qid"), col("id"),

@@ -91,7 +91,10 @@ object Pq {
         .groupBy("qid").agg(collect_list(col("id")).as("cand_ids"))
         .join(queries, Seq("qid"))
         .select(col("qid"), col("qvec"), col("cand_ids"))
-      Search.refine(base.select(col(idCol), col(vecCol)), cands, k, idCol, vecCol)
+      // query-batch-bounded candidate side: broadcast so the base streams
+      // in place (see Ivf.searchRefined)
+      Search.refine(base.select(col(idCol), col(vecCol)), broadcast(cands),
+        k, idCol, vecCol)
     }
   }
 

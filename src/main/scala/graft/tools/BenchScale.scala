@@ -167,13 +167,24 @@ object BenchScale {
     if (annOn) {
       val k = 10
       val nlist = 1024
-      val vecPath = s"target/scale_vectors_${annN}_$annDim"
+      // 1024-center mixture with unit noise: k-means can recover the
+      // generative partition (near-balanced inverted lists), while the
+      // noise pushes some true neighbors across cluster boundaries — the
+      // recall-vs-nprobe curve is real, not saturated at 1. (A 4096-center
+      // noise-0.3 corpus measured recall 1.0 everywhere with badly skewed
+      // k-means lists — scanned rows 17× the per-query expectation.)
+      val annKey = s"annscale_${annN}_c1024n10"
+      val vecPath = s"target/scale_vectors_${annN}_${annDim}_c1024n10"
       if (!new java.io.File(s"$vecPath/_SUCCESS").isFile)
-        SyntheticVectors.table(spark, annN, annDim, nCenters = 4096)
+        SyntheticVectors.table(spark, annN, annDim, nCenters = 1024, noise = 1.0)
           .write.mode("overwrite").parquet(vecPath)
       val base = spark.read.parquet(vecPath)
       val flatBytes = dirBytes(vecPath)
-      val queries = base.filter(col("id") < 64)
+      // 16-query batches: at nprobe=8 the probed union is ~1.5% of the
+      // lists, so partition pruning has something to prune — a 64-query
+      // batch at nprobe=32 touches most of the table and the latency axis
+      // degenerates to a full scan regardless of the index
+      val queries = base.filter(col("id") < 16)
         .select(col("id").as("qid"), col("vec").as("qvec")).cache()
       queries.count()
 
@@ -182,14 +193,14 @@ object BenchScale {
         Map("rows" -> Search.exactTopKBatched(base, queries, k, Metric.Dot)
           .count().toDouble)
       }
-      val gt = Ivf.cachedGroundTruth(s"annscale_$annN", base, queries, k, Metric.Dot)
+      val gt = Ivf.cachedGroundTruth(annKey, base, queries, k, Metric.Dot)
 
       // index build is DDL (cached on disk across JVMs) — measured once,
       // not best-of: a cached hit records ~0 and says so
       val buildCached =
-        new java.io.File(s"target/ivf_cache/${Ivf.cacheDigest(s"annscale_$annN|$nlist|200000|42")}/_SUCCESS").isFile
+        new java.io.File(s"target/ivf_cache/${Ivf.cacheDigest(s"$annKey|$nlist|200000|42")}/_SUCCESS").isFile
       val tBuild = System.nanoTime()
-      val idx = Ivf.buildOrGet(spark, base, s"annscale_$annN", nlist = nlist,
+      val idx = Ivf.buildOrGet(spark, base, annKey, nlist = nlist,
         ntrain = 200000)
       annResults("ann_ivf_build") = Map(
         "sec" -> (System.nanoTime() - tBuild) / 1e9,
@@ -236,10 +247,13 @@ object BenchScale {
         "flat_mb" -> flatBytes / 1e6, "pq_mb" -> pqBytes / 1e6,
         "ratio" -> flatBytes.toDouble / math.max(pqBytes, 1L))
 
-      // refine join against plain vs bucketed base: candidates too big to
-      // broadcast (2048 queries × refineK=100), so the plain join must
-      // shuffle the full base while the bucketed one shuffles ONLY the
-      // candidate side — the co-located join writeBucketedBase sells
+      // refine join against plain vs bucketed base, measured in the
+      // BIG-BATCH regime (autoBroadcast off — the 100 TB case where the
+      // candidate set exceeds the broadcast budget): the plain join must
+      // shuffle the full base, while the bucketed base reads its buckets
+      // in place and ONLY the candidate side shuffles — the co-located
+      // join writeBucketedBase sells. (With broadcastable candidates the
+      // two are identical: the base never shuffles either way.)
       val refQs = base.filter(col("id") < 2048)
         .select(col("id").as("qid"), col("vec").as("qvec"))
       val cands = Ivf.search(clustered, refQs, idx.centroids, nprobe = 16, k = 100)
@@ -247,9 +261,6 @@ object BenchScale {
         .join(refQs, Seq("qid"))
         .select(col("qid"), col("qvec"), col("cand_ids")).cache()
       cands.count()
-      runAnn("ann_refine_plain") {
-        Map("rows" -> Search.refine(base, cands, k).count().toDouble)
-      }
       spark.sql("DROP TABLE IF EXISTS graft_scale_bucketed")
       val orphan = new java.io.File("spark-warehouse/graft_scale_bucketed")
       if (orphan.isDirectory) {
@@ -259,9 +270,16 @@ object BenchScale {
       }
       Search.writeBucketedBase(base, "graft_scale_bucketed", buckets = cpus.toInt)
       val bucketed = spark.table("graft_scale_bucketed")
-      runAnn("ann_refine_bucketed") {
-        Map("rows" -> Search.refine(bucketed, cands, k).count().toDouble)
-      }
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        runAnn("ann_refine_plain") {
+          Map("rows" -> Search.refine(base, cands, k).count().toDouble)
+        }
+        runAnn("ann_refine_bucketed") {
+          Map("rows" -> Search.refine(bucketed, cands, k).count().toDouble)
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       cands.unpersist()
 
       // PIPELINE=staged|interleaved (`ivf_eval.cpp:465-466`): same rows,
