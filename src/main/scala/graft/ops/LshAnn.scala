@@ -133,7 +133,12 @@ object LshAnn {
              seed: Long = 42L, idCol: String = "id",
              vecCol: String = "vec", probes: Int = 0): DataFrame = {
     val cand = candidates(base, queries, nPlanes, nTables, seed, idCol, vecCol, probes)
-    val scored = cand
+    // candidates are query-batch-bounded (Q × mean bucket occupancy) and
+    // 16 B/row — broadcast them so the re-score streams the base in
+    // place; without the hint Catalyst has no stats for the bucket-join
+    // output and sort-merge-joins, shuffling the full base (measured
+    // 10 s of the 13.7 s multi-probe point at 1M×384d)
+    val scored = broadcast(cand)
       .join(base.select(col(idCol), col(vecCol)), Seq(idCol))
       .join(broadcast(queries), Seq("qid"))
       .select(col("qid"), col(idCol), (metric match {

@@ -167,16 +167,18 @@ object BenchScale {
     if (annOn) {
       val k = 10
       val nlist = 1024
-      // 1024-center mixture with unit noise: k-means can recover the
-      // generative partition (near-balanced inverted lists), while the
-      // noise pushes some true neighbors across cluster boundaries — the
-      // recall-vs-nprobe curve is real, not saturated at 1. (A 4096-center
-      // noise-0.3 corpus measured recall 1.0 everywhere with badly skewed
-      // k-means lists — scanned rows 17× the per-query expectation.)
-      val annKey = s"annscale_${annN}_c1024n10"
-      val vecPath = s"target/scale_vectors_${annN}_${annDim}_c1024n10"
+      // UNIFORM corpus (every id its own center): a mixture corpus makes
+      // the frontier degenerate — any index that recovers the generative
+      // centers puts each query's entire top-10 in one inverted list, so
+      // recall reads 1.0 at every nprobe (measured for both a 4096- and a
+      // 1024-center mixture). On isotropic data the k-means cells cut
+      // real neighborhoods and recall climbs with nprobe — the honest
+      // textbook curve (and near-balanced lists for the scanned-rows
+      // axis).
+      val annKey = s"annscale_${annN}_uni"
+      val vecPath = s"target/scale_vectors_${annN}_${annDim}_uni"
       if (!new java.io.File(s"$vecPath/_SUCCESS").isFile)
-        SyntheticVectors.table(spark, annN, annDim, nCenters = 1024, noise = 1.0)
+        SyntheticVectors.table(spark, annN, annDim, nCenters = annN.toInt)
           .write.mode("overwrite").parquet(vecPath)
       val base = spark.read.parquet(vecPath)
       val flatBytes = dirBytes(vecPath)
@@ -197,8 +199,8 @@ object BenchScale {
 
       // index build is DDL (cached on disk across JVMs) — measured once,
       // not best-of: a cached hit records ~0 and says so
-      val buildCached =
-        new java.io.File(s"target/ivf_cache/${Ivf.cacheDigest(s"$annKey|$nlist|200000|42")}/_SUCCESS").isFile
+      val buildCached = new java.io.File(
+        s"target/ivf_cache/${Ivf.cacheDigest(s"$annKey|$nlist|200000|42")}/_SUCCESS").isFile
       val tBuild = System.nanoTime()
       val idx = Ivf.buildOrGet(spark, base, annKey, nlist = nlist,
         ntrain = 200000)
