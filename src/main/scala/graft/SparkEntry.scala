@@ -568,8 +568,8 @@ object SparkEntry {
     // slices, the bucket self-join, and the Hamming verification are all
     // reproduced in SQL. Completes the dedup family's oracle coverage:
     // exact (d1/d5), MinHash hex (d2), MinHash sig64 (d7), MinHash-LSH
-    // candidates (d9), SimHash fingerprint (d8) + banded pairs (here);
-    // only the seeded-Gaussian embedding LSH (d4) stays rows-only.
+    // candidates (d9), SimHash fingerprint (d8) + banded pairs (here),
+    // and the embedding LSH (d4) via its candidate-pair sidecar.
     "d10_simhash_dups" -> ((s, dir) => {
       Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 8, bands = 4)
         .orderBy(col("a"), col("b"))

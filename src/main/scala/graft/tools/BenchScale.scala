@@ -167,18 +167,16 @@ object BenchScale {
     if (annOn) {
       val k = 10
       val nlist = 1024
-      // UNIFORM corpus (every id its own center): a mixture corpus makes
-      // the frontier degenerate — any index that recovers the generative
-      // centers puts each query's entire top-10 in one inverted list, so
-      // recall reads 1.0 at every nprobe (measured for both a 4096- and a
-      // 1024-center mixture). On isotropic data the k-means cells cut
-      // real neighborhoods and recall climbs with nprobe — the honest
-      // textbook curve (and near-balanced lists for the scanned-rows
-      // axis).
-      val annKey = s"annscale_${annN}_uni"
-      val vecPath = s"target/scale_vectors_${annN}_${annDim}_uni"
+      // Low-intrinsic-dimension corpus (see SyntheticVectors.lowRank):
+      // a recoverable mixture saturates recall at 1.0 for every nprobe,
+      // and iid-uniform data breaks the cost axis (k-means centroids
+      // collapse — measured: the 8 nearest of 1024 lists held ~80% of
+      // 1M vectors). The low-rank manifold gives both axes honestly:
+      // near-balanced lists AND a recall curve that climbs with nprobe.
+      val annKey = s"annscale_${annN}_lr8"
+      val vecPath = s"target/scale_vectors_${annN}_${annDim}_lr8"
       if (!new java.io.File(s"$vecPath/_SUCCESS").isFile)
-        SyntheticVectors.table(spark, annN, annDim, nCenters = annN.toInt)
+        SyntheticVectors.lowRank(spark, annN, annDim, intrinsic = 8)
           .write.mode("overwrite").parquet(vecPath)
       val base = spark.read.parquet(vecPath)
       val flatBytes = dirBytes(vecPath)
@@ -220,7 +218,7 @@ object BenchScale {
           .join(listSizes, Seq("cluster_id"))
           .agg(sum("count")).collect()(0).getLong(0)
 
-      val nprobes = Seq(8, 32, 128)
+      val nprobes = Seq(1, 8, 32, 128)
       val sweep = Eval.ivfSweep(spark, idx, base, queries, gt, k,
         nprobes = nprobes, refineKs = Seq(0), runs = runsPer)
       val scannedByNp = typedLit(nprobes.map(np => np -> scannedRows(np)).toMap)

@@ -26,6 +26,17 @@ object SyntheticVectors {
   private def u(h: org.apache.spark.sql.Column) =
     (pmod(h, lit(20001L)) - lit(10000L)).cast("double") / 10000.0
 
+  /** Driver-side twin of [[u]] for plan-constant matrices: splitmix64
+    * finalizer, then the same 20001-bucket fold to [-1, 1].
+    */
+  private def uLocal(x0: Long): Double = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d4a12905e02cb5L
+    z ^= (z >>> 31)
+    (java.lang.Math.floorMod(z, 20001L) - 10000L) / 10000.0
+  }
+
   def table(spark: SparkSession, n: Long, dim: Int, nCenters: Int,
             noise: Double = 0.3, seed: Long = 42L): DataFrame = {
     require(n > 0 && dim > 0 && nCenters > 0)
@@ -34,5 +45,55 @@ object SyntheticVectors {
         (u(xxhash64(pmod(col("id"), lit(nCenters.toLong)), d, lit(seed))) +
           u(xxhash64(col("id"), d, lit(seed + 1))) * noise).cast("float"))
         .as("vec"))
+  }
+
+  /** Unit-normalized corpus with LOW INTRINSIC DIMENSION: `x_i = A z_i /
+    * |A z_i|` with `z_i` uniform in `[-1,1]^intrinsic` and `A` a fixed
+    * seeded `dim × intrinsic` mixing matrix (a plan literal — no RNG
+    * state, fully reproducible, generated distributed).
+    *
+    * Why this shape and not iid-uniform or a tight mixture — both were
+    * measured and both make an ANN frontier degenerate, in opposite
+    * directions:
+    *
+    *  - a mixture whose generative centers k-means can recover puts each
+    *    query's entire top-k inside one inverted list → recall reads 1.0
+    *    at every nprobe;
+    *  - iid uniform in high dim has no neighbor contrast (distance
+    *    concentration), and k-means centroids collapse toward the mean —
+    *    at 1M×384d the 8 nearest lists held ~80% of the corpus, so
+    *    "probe cost ∝ nprobe/nlist" fails even though recall climbs.
+    *
+    * Real embedding tables are neither: they concentrate near a
+    * low-dimensional manifold. Restricting the data to an
+    * `intrinsic`-dim subspace restores genuine nearest-neighbor
+    * contrast (k-means cells partition the manifold into near-balanced
+    * cells; a query's top-k straddles a few adjacent cells, so recall
+    * climbs with nprobe without saturating at 1) and gives sign-LSH real
+    * angular structure. Normalizing to unit length makes Dot ≡ Cosine ≡
+    * monotone-in-L2, so the Euclidean k-means probe and a dot-product
+    * ground truth rank identically — no metric-mismatch artifacts in
+    * the recorded frontier.
+    */
+  def lowRank(spark: SparkSession, n: Long, dim: Int, intrinsic: Int = 8,
+              seed: Long = 42L): DataFrame = {
+    require(n > 0 && dim > 0 && intrinsic > 0 && intrinsic <= dim)
+    val mix: Seq[Seq[Double]] = Seq.tabulate(dim, intrinsic)((d, j) =>
+      uLocal(seed * 0x51_7c_c1b7L + d.toLong * intrinsic + j))
+    val a = typedLit(mix)
+    spark.range(n)
+      .select(col("id"),
+        transform(sequence(lit(1), lit(intrinsic)), j =>
+          u(xxhash64(col("id"), j, lit(seed)))).as("z"))
+      .select(col("id"),
+        transform(sequence(lit(1), lit(dim)), d =>
+          aggregate(sequence(lit(1), lit(intrinsic)), lit(0.0d), (acc, j) =>
+            acc + element_at(element_at(a, d), j) * element_at(col("z"), j)))
+          .as("x"))
+      .select(col("id"), col("x"),
+        sqrt(aggregate(col("x"), lit(0.0d), (acc, e) => acc + e * e)).as("nrm"))
+      .select(col("id"),
+        transform(col("x"), e => (e / greatest(col("nrm"), lit(1e-12d)))
+          .cast("float")).as("vec"))
   }
 }

@@ -30,15 +30,18 @@ class AnnScaleSpec extends AnyFunSuite {
   private val k = 10
 
   lazy val spark: SparkSession = GraftSession.local(8)
+  // same generator as the recorded 1M run — these gates must gate the
+  // corpus BENCH_SCALE actually measures (a recoverable mixture passes
+  // them trivially: recall 1.0 at every nprobe)
   private lazy val base = {
-    val b = SyntheticVectors.table(spark, n, dim, nCenters = 512).cache()
+    val b = SyntheticVectors.lowRank(spark, n, dim, intrinsic = 8).cache()
     assert(b.count() == n)
     b
   }
   private lazy val queries = base.filter(col("id") < 32)
     .select(col("id").as("qid"), col("vec").as("qvec"))
   private lazy val idx =
-    Ivf.buildOrGet(spark, base, s"annspec_${n}_$dim", nlist = nlist, ntrain = 20000)
+    Ivf.buildOrGet(spark, base, s"annspec_lr8_${n}_$dim", nlist = nlist, ntrain = 20000)
 
   test("ivf probe: recall monotone in nprobe, full probe exact at 200k") {
     val gt = Search.groundTruth(base, queries, k, Metric.Dot).cache()
