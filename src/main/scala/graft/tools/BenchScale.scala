@@ -191,7 +191,30 @@ object BenchScale {
       // exact-scan anchor: the latency a pruned probe must beat, and the GT
       runAnn("ann_exact_scan") {
         Map("rows" -> Search.exactTopKBatched(base, queries, k, Metric.Dot)
-          .count().toDouble)
+          .count().toDouble, "stored_mb" -> flatBytes / 1e6)
+      }
+
+      // storage-format ladder (`Performance.md:191,242-255`: FP16 rides
+      // the bandwidth ceiling, INT8 1.8-1.9x over it): same batched scan,
+      // scoring fused against the stored representation — the wall-clock
+      // trend should track bytes-per-vector, and the recorded stored_mb
+      // pins the 2x / 4x storage cut alongside
+      val f16Path = s"target/scale_f16_${annN}_$annDim"
+      if (!new java.io.File(s"$f16Path/_SUCCESS").isFile)
+        graft.io.QuantizedTables.writeF16(base, f16Path)
+      val i8Path = s"target/scale_i8_${annN}_$annDim"
+      if (!new java.io.File(s"$i8Path/_SUCCESS").isFile)
+        graft.io.QuantizedTables.writeI8(base, i8Path)
+      val f16base = graft.io.QuantizedTables.readF16(spark, f16Path)
+      val i8base = graft.io.QuantizedTables.readI8(spark, i8Path)
+      runAnn("ann_scan_f16") {
+        Map("rows" -> Search.exactTopKBatchedHalf(f16base, queries, k,
+          bitsCol = "bits").count().toDouble,
+          "stored_mb" -> dirBytes(f16Path) / 1e6)
+      }
+      runAnn("ann_scan_i8") {
+        Map("rows" -> Search.exactTopKBatchedI8(i8base, queries, k)
+          .count().toDouble, "stored_mb" -> dirBytes(i8Path) / 1e6)
       }
       val gt = Ivf.cachedGroundTruth(annKey, base, queries, k, Metric.Dot)
 
@@ -218,7 +241,7 @@ object BenchScale {
           .join(listSizes, Seq("cluster_id"))
           .agg(sum("count")).collect()(0).getLong(0)
 
-      val nprobes = Seq(1, 8, 32, 128)
+      val nprobes = Seq(1, 2, 4, 8, 32, 128)
       val sweep = Eval.ivfSweep(spark, idx, base, queries, gt, k,
         nprobes = nprobes, refineKs = Seq(0), runs = runsPer)
       val scannedByNp = typedLit(nprobes.map(np => np -> scannedRows(np)).toMap)
