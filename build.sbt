@@ -36,4 +36,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the bench). Room + flushing keeps the JIT alive for the whole sweep.
   "-XX:ReservedCodeCacheSize=512m",
   "-XX:+UseCodeCacheFlushing",
+  // MLlib's netlib picks its SIMD VectorBLAS implementation only when the
+  // incubating Vector API module is present; without it every KMeans
+  // distance computation in IVF/PQ/OPQ training falls back to scalar F2J
+  // (the 1M-vector IVF build spent ~230 s of 337 s in training that way).
+  "--add-modules=jdk.incubator.vector",
 )

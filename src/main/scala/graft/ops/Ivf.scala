@@ -168,7 +168,8 @@ object Ivf {
     */
   def buildOrGet(spark: org.apache.spark.sql.SparkSession, base: => DataFrame,
                  cacheKey: String, nlist: Int, ntrain: Int,
-                 seed: Long = 42L): Index = {
+                 seed: Long = 42L,
+                 onPhase: (String, Double) => Unit = (_, _) => ()): Index = {
     val key = s"$cacheKey|$nlist|$ntrain|$seed"
     indexCache.computeIfAbsent(key, _ => {
       val path = s"target/ivf_cache/${cacheDigest(key)}"
@@ -177,8 +178,14 @@ object Ivf {
         case Some(c) if new java.io.File(s"$path/_SUCCESS").isFile =>
           Index(c, path)
         case _ =>
+          // phase split: train cost is corpus-independent (bounded sample),
+          // assign+write is the full-corpus pass — the axis that scales
+          val t0 = System.nanoTime()
           val cents = train(base, nlist, ntrain, seed)
+          val t1 = System.nanoTime()
+          onPhase("train", (t1 - t0) / 1e9)
           writeClustered(assign(base, cents), path)
+          onPhase("assign_write", (System.nanoTime() - t1) / 1e9)
           saveMatrix(centFile, cents)
           Index(cents, path)
       }

@@ -223,12 +223,14 @@ object BenchScale {
       val buildCached = new java.io.File(
         s"target/ivf_cache/${Ivf.cacheDigest(s"$annKey|$nlist|200000|42")}/_SUCCESS").isFile
       val tBuild = System.nanoTime()
+      val buildPhases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val idx = Ivf.buildOrGet(spark, base, annKey, nlist = nlist,
-        ntrain = 200000)
+        ntrain = 200000, onPhase = (p, s) => buildPhases(p) = s)
       annResults("ann_ivf_build") = Map(
         "sec" -> (System.nanoTime() - tBuild) / 1e9,
         "nlist" -> nlist.toDouble,
-        "cached" -> (if (buildCached) 1.0 else 0.0))
+        "cached" -> (if (buildCached) 1.0 else 0.0)) ++
+        buildPhases.map { case (p, s) => s"${p}_sec" -> s }
       val clustered = idx.clustered(spark)
 
       // scanned rows per nprobe (deterministic, from the inverted-list
@@ -259,6 +261,23 @@ object BenchScale {
           .agg(avg("n_cand")).collect()(0).getDouble(0)
         Map("mean_cand" -> m, "frac_of_corpus" -> m / annN)
       }
+
+      // online (single-query) probe latency — the serving-path number the
+      // reference's eval reports per query. Batch amortization is gone:
+      // what's left is nprobe/nlist × corpus scan + fixed plan overhead,
+      // so the np4 → np32 delta isolates the scan cost per probed list.
+      val oneQ = base.filter(col("id") === 7L)
+        .select(col("id").as("qid"), col("vec").as("qvec")).cache()
+      oneQ.count()
+      runAnn("ann_single_query_np4") {
+        Map("rows" -> Ivf.search(clustered, oneQ, idx.centroids,
+          nprobe = 4, k = k).count().toDouble)
+      }
+      runAnn("ann_single_query_np32") {
+        Map("rows" -> Ivf.search(clustered, oneQ, idx.centroids,
+          nprobe = 32, k = k).count().toDouble)
+      }
+      oneQ.unpersist()
 
       // PQ compression: the index-bytes-≪-flat invariant
       // (`Performance.md:553-568,621-623`)
