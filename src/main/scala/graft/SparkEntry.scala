@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.ops.{Dedup, Ivf, LshAnn, Metric, Opq, Pq, Search, TextAnalysis, TopK}
+import graft.ops.{Dedup, Hnsw, Ivf, LshAnn, Metric, Opq, Pq, Search, TextAnalysis, TopK}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -347,6 +347,23 @@ object SparkEntry {
       val pred = predSidecar("a8_lsh_recall",
         LshAnn.search(base, qs, k = 10, Metric.Dot, nPlanes = 4, nTables = 4,
           probes = 4))
+      Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
+    }),
+
+    // C4 proper: sharded HNSW — a true graph-ANN build+search
+    // (`apps/nvdb_hnsw_build.cpp:38-49` M/efConstruction,
+    // `nvdb_hnsw_search.cpp:33-43` efSearch). The graph builds per shard
+    // inside one mapPartitions pass (deterministic: seeded levels,
+    // id-sorted insertion), per-shard top-k merges map-side. Sidecar hash
+    // oracle like a1/a8 — graph traversal isn't SQL-expressible, the
+    // recall of its predicted ids is; graph invariants + the efSearch
+    // frontier are gated in HnswSpec/EvalSpec.
+    "a9_hnsw_recall" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val qs = recallQueries(s, dir)
+      val pred = predSidecar("a9_hnsw_recall",
+        Hnsw.search(base, qs, k = 10, Metric.Dot, m = 8, efConstruction = 64,
+          efSearch = 64, nShards = 4, cacheKey = s"$dir|hnsw"))
       Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),
 
@@ -1485,6 +1502,6 @@ object SparkEntry {
              |FROM scored WHERE cos >= 0.95""".stripMargin
     }
     (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall",
-      "a8_lsh_recall").flatMap(single) ++ a3 ++ d4).toMap
+      "a8_lsh_recall", "a9_hnsw_recall").flatMap(single) ++ a3 ++ d4).toMap
   }
 }

@@ -109,4 +109,56 @@ object Eval {
     rows.toDF("nplanes", "ntables", "probes", "mean_recall", "avg_s", "p50_s",
       "p95_s", "p99_s", "qps")
   }
+
+  /** Sweep the sharded HNSW graph over efSearch operating points — the
+    * reference's own knob (`apps/nvdb_hnsw_eval.cpp:99-130`; knee at
+    * recall 0.9795 @ efSearch=64, `Performance.md:454`) on the same
+    * harness as [[ivfSweep]]/[[lshSweep]]. The graph builds once (warm
+    * executor cache via `cacheKey`); each point re-searches it, so the
+    * measured latency is the serving cost the efSearch knob actually
+    * controls. Emits RESULT lines tagged `gen=hnsw`; returns one row per
+    * point: (ef_search, mean_recall, avg_s, p50_s, p95_s, p99_s, qps).
+    */
+  def hnswSweep(spark: SparkSession, base: DataFrame, queries: DataFrame,
+                gt: DataFrame, k: Int, efSearches: Seq[Int], m: Int = 16,
+                efConstruction: Int = 100, nShards: Int = 8,
+                runs: Int = 3, seed: Long = 42L, cacheKey: String = "",
+                emit: String => Unit = println): DataFrame = {
+    val nQueries = queries.count()
+    // one cold pass builds + caches the shard graphs; with a cacheKey the
+    // measured runs then take the warm serving path (shard-stub tasks
+    // against the cached graphs — no base re-read), which is what the
+    // efSearch knob actually controls
+    if (cacheKey.nonEmpty)
+      Hnsw.search(base, queries, k, Metric.Dot, m, efConstruction,
+        efSearches.head, nShards, seed, cacheKey).count()
+    val rows = efSearches.map { ef =>
+      def job(): Double = {
+        val pred =
+          if (cacheKey.nonEmpty)
+            Hnsw.searchWarm(queries, cacheKey, nShards, k, Metric.Dot, m,
+              efConstruction, ef, seed)
+          else Hnsw.search(base, queries, k, Metric.Dot, m,
+            efConstruction, ef, nShards, seed, cacheKey)
+        Ivf.meanRecall(pred, gt, k).collect()(0).getDouble(0)
+      }
+      job() // warmup (pays the graph build on a cold cache)
+      var recall = 0.0
+      val times = Seq.fill(runs) {
+        val t0 = System.nanoTime()
+        recall = job()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val st = LatencyStats.ofLatencies(times)
+      def d(v: Double) = f"$v%.6f"
+      emit(s"RESULT gen=hnsw m=$m efc=$efConstruction ef_search=$ef" +
+        s" shards=$nShards Q=$nQueries k=$k mean_recall=${d(recall)}" +
+        s" avg_s=${d(st.avg)} p50_s=${d(st.p50)} p95_s=${d(st.p95)}" +
+        s" p99_s=${d(st.p99)} qps=${d(st.qps)}")
+      (ef, recall, st.avg, st.p50, st.p95, st.p99, st.qps)
+    }
+    import spark.implicits._
+    rows.toDF("ef_search", "mean_recall", "avg_s", "p50_s", "p95_s",
+      "p99_s", "qps")
+  }
 }

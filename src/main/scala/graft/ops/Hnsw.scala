@@ -1,0 +1,468 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import graft.functions.expressions.VectorKernels
+
+/** Sharded HNSW — a true graph-ANN index (Malkov & Yashunin,
+  * arXiv:1603.09320), the operator the reference delegates wholesale to
+  * hnswlib (`/root/reference/apps/nvdb_hnsw_build.cpp:38-49` build knobs
+  * M/efConstruction, `nvdb_hnsw_search.cpp:33-43` efSearch,
+  * `nvdb_hnsw_eval.cpp:99-130` the recall/latency sweep; published knee
+  * recall 0.9795 @ efSearch=64, `Performance.md:454`).
+  *
+  * Graph traversal is per-query pointer chasing — it cannot be a
+  * DataFrame join. The Spark-native shape is SHARDED: partition the base,
+  * build an independent in-memory HNSW graph per shard inside ONE
+  * `mapPartitions` pass (the declared imperative exception, like
+  * `Search.fusedScan`), search every shard with the broadcast query
+  * batch, and merge the per-shard top-k map-side with the same
+  * [[TopKAggregator]] the exact scan uses. This is how graph ANN actually
+  * serves at cluster scale (FAISS/DiskANN sharding): the graph never
+  * crosses executors, the only shuffle is Q×shards×k result rows.
+  *
+  * Two sharding flavors:
+  *  - hash shards (default): uniform `xxhash64(id) mod nShards`; every
+  *    query searches every shard, per-query cost ∝ nShards · log(n/nShards)
+  *    · efSearch — sub-linear in n, linear in shard count.
+  *  - routed shards ([[searchRouted]]): shard = nearest of nShards coarse
+  *    centroids (the IVF quantizer reused as a shard router); queries
+  *    probe only their `routeProbe` nearest shards, cutting the
+  *    shard-count factor exactly like IVF's nprobe/nlist pruning — the
+  *    100 TB path.
+  *
+  * Determinism (required by the a9 sidecar hash oracle): level draws are
+  * seeded hashes of the vector id (no RNG state), insertion order is
+  * id-sorted within each shard, all heap/selection ties break on the
+  * smaller internal index. Two builds of the same table are identical.
+  */
+object Hnsw {
+
+  /** splitmix64 finalizer — the repo-standard seeded hash (same shape as
+    * `SyntheticVectors.uLocal`).
+    */
+  private def mix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d4a12905e02cb5L
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic HNSW level draw: geometric with mL = 1/ln(M), from a
+    * hash of (seed, id) instead of hnswlib's RNG stream — same
+    * distribution, reproducible under any insertion/partition order.
+    */
+  private[graft] def levelOf(id: Long, seed: Long, mL: Double): Int = {
+    val u = ((mix64(id ^ mix64(seed)) >>> 11) + 1).toDouble / (1L << 53).toDouble
+    math.floor(-math.log(u) * mL).toInt
+  }
+
+  /** One shard's graph. Built single-threaded inside its task (shards are
+    * the parallelism unit); read-only afterwards, so the executor-level
+    * [[graphCache]] can serve it to every later query batch.
+    */
+  private[graft] final class ShardGraph(m: Int, efC: Int, seed: Long,
+                                      metric: Metric) {
+    private val m0 = 2 * m
+    private val mL = 1.0 / math.log(m.toDouble)
+
+    private var n = 0
+    private var cap = 1024
+    private var vecs = new Array[Array[Float]](cap)
+    private var ids = new Array[Long](cap)
+    private var levels = new Array[Int](cap)
+    /** node → layer → neighbor internal indices (ragged, layer 0 first) */
+    private var links = new Array[Array[Array[Int]]](cap)
+    private var entry = -1
+
+    /** distance computations since construction — the probe-cost axis */
+    var evals: Long = 0L
+
+    def size: Int = n
+    def externalIds: Array[Long] = java.util.Arrays.copyOf(ids, n)
+    def levelOfNode(i: Int): Int = levels(i)
+    def neighbors(i: Int, layer: Int): Array[Int] = links(i)(layer)
+
+    /** Ranking distance (smaller = closer): L2 squared, or negated
+      * dot/cosine — hnswlib's ip-space trick for similarity metrics.
+      */
+    private def dist(a: Array[Float], b: Array[Float]): Double = {
+      evals += 1
+      metric match {
+        case Metric.L2     => VectorKernels.l2Sq(a, b)
+        case Metric.Dot    => -VectorKernels.dot(a, b)
+        case Metric.Cosine => -VectorKernels.cosine(a, b)
+      }
+    }
+    /** Distance → the metric's score column value. */
+    private def score(d: Double): Double = metric match {
+      case Metric.L2 => d
+      case _         => -d
+    }
+
+    private def grow(): Unit = if (n == cap) {
+      cap *= 2
+      vecs = java.util.Arrays.copyOf(vecs, cap)
+      ids = java.util.Arrays.copyOf(ids, cap)
+      levels = java.util.Arrays.copyOf(levels, cap)
+      links = java.util.Arrays.copyOf(links, cap)
+    }
+
+    /** Greedy descent at one layer: step to the closest neighbor until no
+      * neighbor improves (ties never move — the current node wins, which
+      * keeps the walk deterministic and terminating).
+      */
+    private def greedy(q: Array[Float], ep: Int, layer: Int): Int = {
+      var cur = ep
+      var curD = dist(q, vecs(cur))
+      var improved = true
+      while (improved) {
+        improved = false
+        val nbrs = links(cur)(layer)
+        var i = 0
+        while (i < nbrs.length) {
+          val d = dist(q, vecs(nbrs(i)))
+          if (d < curD) { curD = d; cur = nbrs(i); improved = true }
+          i += 1
+        }
+      }
+      cur
+    }
+
+    /** Algorithm 2: beam search one layer from `ep`, beam width `ef`.
+      * Returns (dist, idx) sorted ascending by (dist, idx).
+      */
+    private def searchLayer(q: Array[Float], ep: Int, ef: Int,
+                            layer: Int): Array[(Double, Int)] = {
+      // min-heap of frontier candidates, max-heap of current results;
+      // both tie-break on index so traversal order is deterministic
+      val candOrd = Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Int.reverse)
+      val resOrd = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+      val cand = collection.mutable.PriorityQueue.empty[(Double, Int)](candOrd)
+      val res = collection.mutable.PriorityQueue.empty[(Double, Int)](resOrd)
+      val visited = new java.util.BitSet(n)
+      val d0 = dist(q, vecs(ep))
+      cand.enqueue((d0, ep)); res.enqueue((d0, ep)); visited.set(ep)
+      while (cand.nonEmpty) {
+        val (cd, c) = cand.dequeue()
+        if (cd > res.head._1 && res.size >= ef) {
+          cand.clear() // every remaining candidate is even farther
+        } else {
+          val nbrs = links(c)(layer)
+          var i = 0
+          while (i < nbrs.length) {
+            val e = nbrs(i)
+            if (!visited.get(e)) {
+              visited.set(e)
+              val d = dist(q, vecs(e))
+              if (res.size < ef || d < res.head._1) {
+                cand.enqueue((d, e))
+                res.enqueue((d, e))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      res.dequeueAll.toArray.sorted(resOrd)
+    }
+
+    /** Algorithm 4 neighbor selection (keepPrunedConnections flavor):
+      * greedily keep candidates closer to `q` than to anything already
+      * kept — spreads edges across directions instead of clumping — then
+      * back-fill from the pruned list so degree stays at `max`.
+      */
+    private def selectNeighbors(cands: Array[(Double, Int)],
+                                max: Int): Array[Int] = {
+      if (cands.length <= max) return cands.map(_._2)
+      val kept = new Array[Int](max)
+      var nKept = 0
+      val pruned = new Array[Int](cands.length)
+      var nPruned = 0
+      var i = 0
+      while (i < cands.length && nKept < max) {
+        val (dq, c) = cands(i)
+        var ok = true
+        var j = 0
+        while (ok && j < nKept) {
+          if (dist(vecs(c), vecs(kept(j))) < dq) ok = false
+          j += 1
+        }
+        if (ok) { kept(nKept) = c; nKept += 1 }
+        else { pruned(nPruned) = c; nPruned += 1 }
+        i += 1
+      }
+      var p = 0
+      while (nKept < max && p < nPruned) { kept(nKept) = pruned(p); nKept += 1; p += 1 }
+      java.util.Arrays.copyOf(kept, nKept)
+    }
+
+    /** Insert (Algorithm 1). MUST be called in id-sorted order for
+      * reproducible graphs — [[buildShard]] guarantees it.
+      */
+    def insert(id: Long, vec: Array[Float]): Unit = {
+      grow()
+      val idx = n
+      val lvl = levelOf(id, seed, mL)
+      vecs(idx) = vec; ids(idx) = id; levels(idx) = lvl
+      links(idx) = Array.fill(lvl + 1)(Array.emptyIntArray)
+      n += 1
+      if (entry < 0) { entry = idx; return }
+      val topL = levels(entry)
+      var ep = entry
+      var lc = topL
+      while (lc > lvl) { ep = greedy(vec, ep, lc); lc -= 1 }
+      lc = math.min(topL, lvl)
+      while (lc >= 0) {
+        val w = searchLayer(vec, ep, efC, lc)
+        val maxDeg = if (lc == 0) m0 else m
+        val nbrs = selectNeighbors(w, m)
+        links(idx)(lc) = nbrs
+        var i = 0
+        while (i < nbrs.length) {
+          val nb = nbrs(i)
+          val cur = links(nb)(lc)
+          val appended = java.util.Arrays.copyOf(cur, cur.length + 1)
+          appended(cur.length) = idx
+          links(nb)(lc) =
+            if (appended.length <= maxDeg) appended
+            else {
+              // re-select under the neighbor's own view, deterministic order
+              val scored = appended.map(x => (dist(vecs(nb), vecs(x)), x)).sorted
+              selectNeighbors(scored, maxDeg)
+            }
+          i += 1
+        }
+        ep = w(0)._2
+        lc -= 1
+      }
+      if (lvl > topL) entry = idx
+    }
+
+    /** Query top-k: greedy descent through the upper layers, one beam
+      * search at layer 0 with `ef = max(efSearch, k)`. Returns (id, score)
+      * best-first in the METRIC's order.
+      */
+    def search(q: Array[Float], k: Int, efSearch: Int): Array[(Long, Double)] = {
+      if (n == 0) return Array.empty
+      var ep = entry
+      var lc = levels(entry)
+      while (lc > 0) { ep = greedy(q, ep, lc); lc -= 1 }
+      val w = searchLayer(q, ep, math.max(efSearch, k), 0)
+      w.take(k).map { case (d, i) => (ids(i), score(d)) }
+    }
+  }
+
+  /** Build one shard's graph from id-sorted rows. */
+  private def buildShard(rows: Array[(Long, Array[Float])], m: Int, efC: Int,
+                         seed: Long, metric: Metric): ShardGraph = {
+    val g = new ShardGraph(m, efC, seed, metric)
+    rows.foreach { case (id, v) => g.insert(id, v) }
+    g
+  }
+
+  /** Executor-level graph cache: shards are immutable once built, so a
+    * non-empty `cacheKey` lets every later query batch (the bench loop,
+    * repeated Verify executions in one JVM) reuse the built graphs — the
+    * standard per-executor ANN-serving pattern; on-disk durability comes
+    * from the parquet base table the build replays deterministically.
+    */
+  private val graphCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ShardGraph]()
+  private[graft] def cacheSize: Int = graphCache.size
+
+  /** Hash-sharded search: every query hits every shard.
+    *
+    * base: (idCol, vecCol); queries: (qid, qvec). Returns
+    * (qid, id, score, rank) — [[Ivf.search]]'s shape, same eval harness.
+    *
+    * `evalCounter`, when set, accumulates per-query distance computations
+    * (build excluded) — the sub-linearity evidence HnswSpec gates.
+    */
+  def search(base: DataFrame, queries: DataFrame, k: Int,
+             metric: Metric = Metric.Dot, m: Int = 16,
+             efConstruction: Int = 100, efSearch: Int = 64,
+             nShards: Int = 8, seed: Long = 42L, cacheKey: String = "",
+             idCol: String = "id", vecCol: String = "vec",
+             evalCounter: Option[LongAccumulator] = None): DataFrame = {
+    val sharded = base.select(
+      col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+      pmod(xxhash64(col(idCol)), lit(nShards.toLong)).cast("int").as("shard"))
+    shardedSearch(sharded, queries, k, metric, m, efConstruction, efSearch,
+      nShards, seed, cacheKey, None, evalCounter)
+  }
+
+  /** Routed-shard search — the 100 TB flavor. The IVF coarse quantizer
+    * doubles as the shard router: shard = nearest centroid, and each query
+    * probes only its `routeProbe` nearest shards
+    * (`Ivf.nearestCentroids`), so per-query cost is
+    * routeProbe · log(shard size) · efSearch — independent of the shard
+    * COUNT, exactly IVF's nprobe/nlist pruning applied to graph serving.
+    * Recall is monotone in routeProbe with the full-probe point equal to
+    * hash-sharding quality (HnswSpec gates both).
+    */
+  def searchRouted(base: DataFrame, queries: DataFrame,
+                   centroids: Array[Array[Float]], routeProbe: Int, k: Int,
+                   metric: Metric = Metric.Dot, m: Int = 16,
+                   efConstruction: Int = 100, efSearch: Int = 64,
+                   seed: Long = 42L, cacheKey: String = "",
+                   idCol: String = "id", vecCol: String = "vec",
+                   evalCounter: Option[LongAccumulator] = None): DataFrame = {
+    val nShards = centroids.length
+    val sharded = base.select(
+      col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+      Ivf.nearestCentroid(col(vecCol), centroids).as("shard"))
+    // per-query probe sets: tiny (Q × routeProbe), computed with the SAME
+    // expression the base-side router uses — assignment semantics match
+    val probeSets = queries
+      .select(col("qid").cast("long"),
+        Ivf.nearestCentroids(col("qvec"), centroids, routeProbe).as("shards"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSet)
+      .toMap
+    shardedSearch(sharded, queries, k, metric, m, efConstruction, efSearch,
+      nShards, seed, cacheKey, Some(probeSets), evalCounter)
+  }
+
+  /** Warm-path search: drive one task per shard against the
+    * already-built executor-cached graphs — the base table is NOT
+    * re-read. [[search]]/[[searchRouted]] stream the base to locate (and
+    * on a cold cache, build) the shard graphs; once warm, serving only
+    * needs the graphs themselves, so the per-query cost is nShards
+    * in-memory beam searches plus scheduler overhead — the latency number
+    * `Eval.hnswSweep` and the 1M bench record. On a cluster this is the
+    * executor-affinity serving pattern (each executor holds its shards'
+    * graphs); a miss fails loudly rather than silently rebuilding.
+    *
+    * `centroids`+`routeProbe` turn on routed pruning: only the
+    * routeProbe nearest shards search each query (shard ids ==
+    * centroid indices, matching [[searchRouted]]'s router).
+    */
+  def searchWarm(queries: DataFrame, cacheKey: String, nShards: Int, k: Int,
+                 metric: Metric = Metric.Dot, m: Int = 16,
+                 efConstruction: Int = 100, efSearch: Int = 64,
+                 seed: Long = 42L,
+                 centroids: Array[Array[Float]] = null, routeProbe: Int = 0,
+                 evalCounter: Option[LongAccumulator] = None): DataFrame = {
+    require(cacheKey.nonEmpty, "searchWarm needs the cacheKey the graphs were built under")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val qBc = spark.sparkContext.broadcast(qRows)
+    val dim = if (qRows.isEmpty) 0 else qRows(0)._2.length
+    val probeSets: Option[Map[Long, Set[Int]]] =
+      if (centroids == null || routeProbe <= 0) None
+      else Some(queries
+        .select(col("qid").cast("long"),
+          Ivf.nearestCentroids(col("qvec"), centroids, routeProbe).as("shards"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSet)
+        .toMap)
+    val probeBc = spark.sparkContext.broadcast(probeSets)
+    // static shard pruning (the warm twin of Ivf.search's static
+    // partition pruning): the union of probed shards is driver-known
+    // before any task launches, so non-probed shards never even get a
+    // task — at nShards ≫ routeProbe×Q this is most of them
+    val probedUnion = probeSets.map(_.values.flatten.toSet)
+    val stub0 = spark.range(nShards).select(col("id").cast("int").as("shard"))
+    val stub = probedUnion match {
+      case Some(u) => stub0.filter(col("shard").isInCollection(u.toSeq))
+      case None    => stub0
+    }
+    val nTasks = probedUnion.map(_.size.max(1)).getOrElse(nShards)
+    val scored = stub
+      .repartition(nTasks, col("shard"))
+      .as[Int]
+      .mapPartitions { it =>
+        val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var searched = 0L
+        it.foreach { shard =>
+          val key = s"$cacheKey|$shard|$dim|$m|$efConstruction|$seed|$metric"
+          val g = graphCache.get(key)
+          require(g != null,
+            s"no warmed hnsw graph for shard $shard under '$cacheKey' — " +
+              "run Hnsw.search(base, ..., cacheKey) once to build")
+          val before = g.evals
+          qBc.value.foreach { case (qid, qvec) =>
+            if (probeBc.value.forall(_(qid).contains(shard))) {
+              g.search(qvec, k, efSearch).foreach { case (id, s) =>
+                out += ((qid, id, s))
+              }
+            }
+          }
+          searched += g.evals - before
+        }
+        evalCounter.foreach(_.add(searched))
+        out.iterator
+      }
+      .toDF("qid", "id", "score")
+    TopK.perGroup(scored, "qid", "id", "score", k, metric.larger)
+  }
+
+  /** Shared core: repartition to co-locate shards, build-or-fetch each
+    * shard's graph in its task, search the broadcast query batch, merge
+    * per-shard top-k map-side.
+    */
+  private def shardedSearch(sharded: DataFrame, queries: DataFrame, k: Int,
+                            metric: Metric, m: Int, efC: Int, efS: Int,
+                            nShards: Int, seed: Long, cacheKey: String,
+                            probeSets: Option[Map[Long, Set[Int]]],
+                            evalCounter: Option[LongAccumulator]): DataFrame = {
+    val spark = sharded.sparkSession
+    import spark.implicits._
+    // query batch: bounded by contract (like every broadcast query side)
+    val qRows = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val qBc = spark.sparkContext.broadcast(qRows)
+    val probeBc = spark.sparkContext.broadcast(probeSets)
+
+    val perShard = sharded.as[(Long, Array[Float], Int)]
+      // one shuffle of the base per build; with a warm cacheKey the rows
+      // only re-partition to locate their (already-built) shard graphs
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .mapPartitions { it =>
+        val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var searched = 0L
+        // consecutive runs of one shard (sorted) — group, build, search
+        val buf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        var curShard = Int.MinValue
+        def flush(): Unit = if (buf.nonEmpty) {
+          val rows = buf.toArray
+          buf.clear()
+          // dim in the key comes from the BASE rows (the graph's own
+          // property) — searchWarm reconstructs it from the query side,
+          // which must match for the search to be well-formed at all
+          val key = s"$cacheKey|$curShard|${rows(0)._2.length}|$m|$efC|$seed|$metric"
+          val g =
+            if (cacheKey.isEmpty) buildShard(rows, m, efC, seed, metric)
+            else graphCache.computeIfAbsent(key,
+              _ => buildShard(rows, m, efC, seed, metric))
+          val shardOf = curShard
+          val before = g.evals
+          qBc.value.foreach { case (qid, qvec) =>
+            if (probeBc.value.forall(_(qid).contains(shardOf))) {
+              g.search(qvec, k, efS).foreach { case (id, s) =>
+                out += ((qid, id, s))
+              }
+            }
+          }
+          searched += g.evals - before
+        }
+        while (it.hasNext) {
+          val (id, vec, shard) = it.next()
+          if (shard != curShard) { flush(); curShard = shard }
+          buf += ((id, vec))
+        }
+        flush()
+        evalCounter.foreach(_.add(searched))
+        out.iterator
+      }
+      .toDF("qid", "id", "score")
+    TopK.perGroup(perShard, "qid", "id", "score", k, metric.larger)
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Eval, Ivf, Metric, Packing, Pq, Sampling, Search, TextAnalysis}
+import graft.ops.{Dedup, Eval, Hnsw, Ivf, Metric, Packing, Pq, Sampling, Search, TextAnalysis}
 
 /** Cumulative shuffle-byte tally across all tasks — the measurement
   * behind the "shuffle ∝ candidates, not corpus²" scale gates. Listener
@@ -163,6 +163,7 @@ object BenchScale {
       measure(annResults, name, () => op)
     var ivfFrontier: Array[org.apache.spark.sql.Row] = Array.empty
     var lshFrontier: Array[org.apache.spark.sql.Row] = Array.empty
+    var hnswFrontier: Array[org.apache.spark.sql.Row] = Array.empty
     val annOn = only.forall(_.exists(_.startsWith("ann_")))
     if (annOn) {
       val k = 10
@@ -334,6 +335,50 @@ object BenchScale {
         Map("rows" -> Ivf.searchRefined(clustered, queries, idx.centroids,
           nprobe = 32, k = k, refineK = 100, pipeline = "interleaved").count().toDouble)
       }
+
+      // ---- sharded HNSW (C4 proper): build cost, warm serving latency,
+      // distance-eval sub-linearity, efSearch frontier, routed pruning ----
+      val hnswKey = s"$annKey|hnsw"
+      val hM = 16; val hEfc = 100; val hShards = cpus.toInt
+      val tH = System.nanoTime()
+      Hnsw.search(base, queries, k, Metric.Dot, m = hM, efConstruction = hEfc,
+        efSearch = 64, nShards = hShards, cacheKey = hnswKey).count()
+      annResults("ann_hnsw_build") = Map(
+        "sec" -> (System.nanoTime() - tH) / 1e9, // one base pass: build all shards (+1 search)
+        "m" -> hM.toDouble, "efc" -> hEfc.toDouble, "shards" -> hShards.toDouble)
+      println(f"[scale] ann_hnsw_build        ${annResults("ann_hnsw_build")("sec")}%8.2f s")
+      runAnn("ann_hnsw_batch") {
+        val acc = spark.sparkContext.longAccumulator
+        val rows = Hnsw.searchWarm(queries, hnswKey, hShards, k, Metric.Dot,
+          hM, hEfc, efSearch = 64, evalCounter = Some(acc)).count()
+        val perQ = acc.value.toDouble / 16
+        Map("rows" -> rows.toDouble, "evals_per_query" -> perQ,
+          "frac_of_corpus" -> perQ / annN)
+      }
+      runAnn("ann_hnsw_single") {
+        val one = base.filter(col("id") === 7L)
+          .select(col("id").as("qid"), col("vec").as("qvec"))
+        Map("rows" -> Hnsw.searchWarm(one, hnswKey, hShards, k, Metric.Dot,
+          hM, hEfc, efSearch = 64).count().toDouble)
+      }
+      hnswFrontier = Eval.hnswSweep(spark, base, queries, gt, k,
+        efSearches = Seq(16, 64, 128), m = hM, efConstruction = hEfc,
+        nShards = hShards, runs = runsPer, cacheKey = hnswKey).collect()
+      // routed shards: the IVF centroids double as the shard router —
+      // probing 32/nlist shards must hold recall while cutting evals
+      val routedKey = s"$hnswKey|routed"
+      Hnsw.searchRouted(base, queries, idx.centroids, routeProbe = 32, k,
+        Metric.Dot, hM, hEfc, efSearch = 64, cacheKey = routedKey).count()
+      runAnn("ann_hnsw_routed_rp32") {
+        val acc = spark.sparkContext.longAccumulator
+        val pred = Hnsw.searchWarm(queries, routedKey, nShards = nlist, k,
+          Metric.Dot, hM, hEfc, efSearch = 64,
+          centroids = idx.centroids, routeProbe = 32, evalCounter = Some(acc))
+        val rec = Ivf.meanRecall(pred, gt, k).collect()(0).getDouble(0)
+        val perQ = acc.value.toDouble / 16
+        Map("recall" -> rec, "evals_per_query" -> perQ,
+          "frac_of_corpus" -> perQ / annN)
+      }
       listSizes.unpersist()
     }
 
@@ -348,10 +393,13 @@ object BenchScale {
     val lshJson = lshFrontier.map { r =>
       s"""{"nplanes":${r.getInt(0)},"ntables":${r.getInt(1)},"probes":${r.getInt(2)},"recall":${j(r.getDouble(3))},"avg_s":${j(r.getDouble(4))}}"""
     }.mkString("[", ",", "]")
+    val hnswJson = hnswFrontier.map { r =>
+      s"""{"ef_search":${r.getInt(0)},"recall":${j(r.getDouble(1))},"avg_s":${j(r.getDouble(2))}}"""
+    }.mkString("[", ",", "]")
     val line =
       s"""{"n_docs":$n,"cpus":$cpus,"corpus_mb":${j(corpusBytes / 1e6)},"ops":{${section(results)}},""" +
         s""""ann":{"n_vec":$annN,"dim":$annDim,"ops":{${section(annResults)}},""" +
-        s""""ivf_frontier":$ivfJson,"lsh_frontier":$lshJson}}"""
+        s""""ivf_frontier":$ivfJson,"lsh_frontier":$lshJson,"hnsw_frontier":$hnswJson}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE.json"), line + "\n")
     spark.stop()
     println(line)

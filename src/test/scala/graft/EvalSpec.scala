@@ -121,6 +121,35 @@ class EvalSpec extends AnyFunSuite {
       s"probes did not carry the recall: $byProbes")
   }
 
+  test("hnsw sweep: graph frontier beside ivf/lsh, knee recall at efSearch=64") {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 12)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val gt = Search.groundTruth(base, queries, 10, Metric.Dot).cache()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sweep = Eval.hnswSweep(spark, base, queries, gt, k = 10,
+      efSearches = Seq(2, 16, 64), m = 8, efConstruction = 64, nShards = 4,
+      runs = 1, cacheKey = "evalspec_hnsw", emit = lines += _)
+      .collect()
+    assert(sweep.length == 3 && lines.length == 3)
+    val keys = Seq("gen", "m", "efc", "ef_search", "shards", "Q", "k",
+      "mean_recall", "avg_s", "p50_s", "p95_s", "p99_s", "qps")
+    lines.foreach { ln =>
+      assert(ln.startsWith("RESULT "), ln)
+      val kv = ln.stripPrefix("RESULT ").split(" ")
+        .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      assert(kv.keySet == keys.toSet, s"keys ${kv.keySet} in: $ln")
+      assert(kv("gen") == "hnsw" && kv("Q") == "12" && kv("k") == "10")
+    }
+    val byEf = sweep.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // the reference's knee: 0.9795 @ efSearch=64 (Performance.md:454)
+    assert(byEf(64) >= 0.95, s"knee recall ${byEf(64)} below 0.95")
+    assert(byEf(64) >= byEf(2) - 1e-9, s"recall fell with efSearch: $byEf")
+    assert(sweep.forall(_.getDouble(6) > 0), "qps must be positive")
+    gt.unpersist()
+  }
+
   test("lsh search plan: bucket equi-join with broadcast query side, no cartesian") {
     import graft.ops.LshAnn
     val base = Tables.embeddings(spark, dir)

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.ops.{Hnsw, Ivf, Metric, Search}
+import graft.tools.SyntheticVectors
+
+/** Gates for the sharded HNSW graph index (`ops/Hnsw`) — the true
+  * graph-ANN operator the reference runs through hnswlib
+  * (`/root/reference/apps/nvdb_hnsw_build.cpp:38-49`,
+  * `nvdb_hnsw_search.cpp:33-43`): recall at the reference's knee knob,
+  * determinism (the a9 sidecar oracle's precondition), graph-shape
+  * invariants, sub-linear search cost, and the routed-shard pruning path.
+  */
+class HnswSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  private def base = Tables.embeddings(spark, dir)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+  private def queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 12)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("recall >= 0.95 at the reference knee (efSearch=64), monotone in efSearch") {
+    val gt = Search.groundTruth(base, queries, 10, Metric.Dot).cache()
+    def recall(ef: Int): Double =
+      Ivf.meanRecall(
+        Hnsw.search(base, queries, k = 10, Metric.Dot, m = 8,
+          efConstruction = 64, efSearch = ef, nShards = 4), gt, 10)
+        .collect()(0).getDouble(0)
+    val r1 = recall(1)
+    val r16 = recall(16)
+    val r64 = recall(64)
+    // reference knee: 0.9795 @ efSearch=64 (Performance.md:454)
+    assert(r64 >= 0.95, s"efSearch=64 recall $r64 below the knee")
+    assert(r16 >= r1 - 0.05 && r64 >= r16 - 0.05,
+      s"recall not (weakly) rising in efSearch: $r1, $r16, $r64")
+    gt.unpersist()
+  }
+
+  test("deterministic: two cold builds return identical top-k") {
+    def run() =
+      Hnsw.search(base, queries, k = 10, Metric.Dot, m = 8,
+        efConstruction = 64, efSearch = 32, nShards = 4)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(run() == run(), "same table, same params, different graphs")
+  }
+
+  test("graph shape: degree caps hold, levels follow the seeded draw") {
+    val rows = base.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val g = new Hnsw.ShardGraph(m = 8, efC = 64, seed = 42L, Metric.Dot)
+    rows.foreach { case (id, v) => g.insert(id, v) }
+    assert(g.size == rows.length)
+    val mL = 1.0 / math.log(8.0)
+    var i = 0
+    while (i < g.size) {
+      val lvl = g.levelOfNode(i)
+      assert(lvl == Hnsw.levelOf(g.externalIds(i), 42L, mL),
+        s"node $i level drifted from the seeded draw")
+      var l = 0
+      while (l <= lvl) {
+        val cap = if (l == 0) 16 else 8
+        val nbrs = g.neighbors(i, l)
+        assert(nbrs.length <= cap, s"node $i layer $l degree ${nbrs.length} > $cap")
+        assert(nbrs.forall(x => x >= 0 && x < g.size && x != i),
+          s"node $i layer $l has dangling/self edges")
+        l += 1
+      }
+      i += 1
+    }
+    // upper layers thin out geometrically: level-1 population must be a
+    // small fraction (1/M in expectation)
+    val l1 = (0 until g.size).count(g.levelOfNode(_) >= 1)
+    assert(l1 > 0 && l1 < g.size / 3, s"level>=1 population $l1 of ${g.size}")
+  }
+
+  test("search cost is sub-linear: distance evals per query far below the corpus") {
+    val n = 50000L
+    val dim = 64
+    val big = SyntheticVectors.lowRank(spark, n, dim, intrinsic = 8).cache()
+    assert(big.count() == n)
+    val qs = big.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val acc = spark.sparkContext.longAccumulator("hnswEvals")
+    val key = s"hnswspec_lr8_${n}_$dim"
+    // cold call builds and caches the graphs; the measured call only pays
+    // search-time distance evals (the counter excludes build by design)
+    Hnsw.search(big, qs, k = 10, efSearch = 64, nShards = 8,
+      cacheKey = key).count()
+    Hnsw.search(big, qs, k = 10, efSearch = 64, nShards = 8,
+      cacheKey = key, evalCounter = Some(acc)).count()
+    val perQuery = acc.value.toDouble / 8
+    // exact scan = 50k evals/query; the graph must be an order of
+    // magnitude under it even summed across all 8 shards
+    assert(perQuery < n / 5.0,
+      s"$perQuery evals/query at n=$n — graph search is not sub-linear")
+    assert(perQuery > 0, "eval counter never incremented")
+    big.unpersist()
+  }
+
+  test("routed shards: recall monotone in routeProbe, pruned probes cost less") {
+    val n = 50000L
+    val big = SyntheticVectors.lowRank(spark, n, 64, intrinsic = 8).cache()
+    val qs = big.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val gt = Search.groundTruth(big, qs, 10, Metric.Dot).cache()
+    val cents = Ivf.train(big, nlist = 8, ntrain = 5000)
+    val key = s"hnswspec_routed_$n"
+    def run(rp: Int, acc: Option[org.apache.spark.util.LongAccumulator]) =
+      Ivf.meanRecall(Hnsw.searchRouted(big, qs, cents, routeProbe = rp,
+        k = 10, efSearch = 64, cacheKey = key, evalCounter = acc), gt, 10)
+        .collect()(0).getDouble(0)
+    val r1 = run(1, None)
+    val accP = spark.sparkContext.longAccumulator
+    val rPruned = run(2, Some(accP))
+    val accF = spark.sparkContext.longAccumulator
+    val rFull = run(8, Some(accF))
+    assert(rPruned >= r1 - 1e-9 && rFull >= rPruned - 1e-9,
+      s"recall not monotone in routeProbe: $r1, $rPruned, $rFull")
+    assert(rFull >= 0.95, s"full-probe routed recall $rFull")
+    // pruning 2/8 shards must cut the distance evals by at least 2x
+    assert(accP.value * 2 < accF.value,
+      s"routeProbe=2 evals ${accP.value} not ≪ full ${accF.value}")
+    // routed pruning pays off already at modest probes: near-full recall
+    // at a quarter of the shards (cluster routing concentrates neighbors)
+    assert(rPruned >= 0.8, s"routeProbe=2 recall $rPruned — routing useless?")
+    gt.unpersist(); big.unpersist()
+  }
+
+  test("warm serving path: identical results without re-reading the base, loud on cold") {
+    val key = "hnswspec_warm"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val cold = rows(Hnsw.search(base, queries, k = 10, Metric.Dot, m = 8,
+      efConstruction = 64, efSearch = 32, nShards = 4, cacheKey = key))
+    val warm = rows(Hnsw.searchWarm(queries, key, nShards = 4, k = 10,
+      Metric.Dot, m = 8, efConstruction = 64, efSearch = 32))
+    assert(cold == warm, "warm serving drifted from the build-path search")
+    // a never-warmed key must fail loudly, not silently return nothing
+    val ex = intercept[org.apache.spark.SparkException] {
+      Hnsw.searchWarm(queries, "hnswspec_never_built", nShards = 4, k = 10,
+        Metric.Dot, m = 8, efConstruction = 64, efSearch = 32).count()
+    }
+    assert(ex.getMessage.contains("no warmed hnsw graph")
+      || Option(ex.getCause).exists(_.getMessage.contains("no warmed hnsw graph")))
+  }
+
+  test("self-match: a base vector's own id is its rank-1 hit") {
+    // L2 metric: the self pair is distance 0, the unconditional minimum —
+    // any miss is a graph reachability bug, not a metric artifact
+    val hits = Hnsw.search(base, queries, k = 1, Metric.L2, m = 8,
+      efConstruction = 64, efSearch = 32, nShards = 4)
+      .filter(col("rank") === 1).select("qid", "id").collect()
+    assert(hits.length == 12)
+    assert(hits.forall(r => r.getLong(0) == r.getLong(1)),
+      s"self-match misses: ${hits.filter(r => r.getLong(0) != r.getLong(1)).mkString(",")}")
+  }
+}
