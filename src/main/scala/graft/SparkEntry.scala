@@ -709,8 +709,10 @@ object SparkEntry {
 
     // ---- events family (A2-adjacent; streaming-shaped batch) ----
     "e1_hourly_events" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .groupBy(expr("ts div 3600000000000").as("hour_bucket"))
+      val ev = Tables.events(s, dir)
+      ev.select(graft.core.EventTime.micros(ev).as("ts_us"),
+          col("user_id"), col("value"))
+        .groupBy(expr("ts_us div 3600000000").as("hour_bucket"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
           (sum(col("value").cast("decimal(18,8)")).cast("double")).as("sum_value"))
@@ -751,15 +753,16 @@ object SparkEntry {
     // JOIN is the oracle.
     "e5_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      // truncate to micros BEFORE the join, not just in the output:
-      // DuckDB reads TIMESTAMP_NS at µs precision, so an ns-precision
-      // match would diverge from the oracle (and from the streaming
-      // twin) whenever a probe and quote share a microsecond
+      // work in epoch-micros on BOTH sides of the join: DuckDB evaluates
+      // its ASOF at µs precision whatever the fixture's stored unit, so
+      // any finer precision here would diverge from the oracle (and from
+      // the streaming twin) whenever a probe and quote share a microsecond
+      val tsUs = graft.core.EventTime.micros(ev)
       val probes = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts div 1000").as("ts"),
+        .select(col("user_id"), tsUs.as("ts"),
           col("event_id").as("p_event_id"))
       val quotes = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), expr("ts div 1000").as("ts"),
+        .select(col("user_id"), tsUs.as("ts"),
           col("event_id").as("q_event_id"), col("value").as("q_value"))
       graft.ops.AsofJoin.asofLeft(probes, quotes, key = "user_id", ts = "ts",
         quoteSeq = "q_event_id")

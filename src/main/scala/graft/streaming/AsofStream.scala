@@ -102,7 +102,7 @@ object AsofStream {
     val ticks = events
       .filter(col("event_type").isin("purchase", "view"))
       .select(col("user_id").as("key"),
-        expr("cast(ts div 1000 as long)").as("ts_micros"),
+        graft.core.EventTime.micros(events).as("ts_micros"),
         (col("event_type") === "purchase").as("is_probe"),
         col("event_id").as("seq"), col("value"))
     asof(ticks)

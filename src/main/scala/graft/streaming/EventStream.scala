@@ -17,8 +17,9 @@ import org.apache.spark.sql.types.StructType
   */
 object EventStream {
 
-  /** The events schema as the driver generates it (ts read as long nanos —
-    * sessions set spark.sql.legacy.parquet.nanosAsLong).
+  /** The events schema as the driver generates it (`ts` has shipped both
+    * as TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS) — see
+    * [[graft.core.EventTime]] for the dispatch).
     */
   def eventsSchema(spark: SparkSession, sfDir: String): StructType =
     spark.read.parquet(s"$sfDir/events.parquet").schema
@@ -44,7 +45,7 @@ object EventStream {
   /** 1-hour tumbling-window rollup with a 2-hour watermark. */
   def hourlyRollup(events: DataFrame): DataFrame =
     events
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_ts", graft.core.EventTime.eventTs(events))
       .withWatermark("event_ts", "2 hours")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
@@ -54,7 +55,7 @@ object EventStream {
   /** Streaming exact dedup on event_id within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =
     events
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_ts", graft.core.EventTime.eventTs(events))
       .withWatermark("event_ts", "2 hours")
       .dropDuplicates("event_id")
 

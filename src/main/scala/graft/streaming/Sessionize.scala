@@ -30,12 +30,12 @@ object Sessionize {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
     events
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_micros", graft.core.EventTime.micros(events))
+      .withColumn("event_ts", timestamp_micros(col("ts_micros")))
       .withWatermark("event_ts", "2 hours")
       // keep the watermarked column in the projection — dropping it would
       // strip the watermark the event-time timeout needs
-      .select(col("user_id"),
-        expr("cast(ts div 1000 as long)").as("ts_micros"),
+      .select(col("user_id"), col("ts_micros"),
         col("value").cast("double").as("value"),
         col("event_ts"))
       .as[Event]
@@ -78,7 +78,7 @@ object Sessionize {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_micros"))
     events
       .select(col("user_id"),
-        expr("cast(ts div 1000 as long)").as("ts_micros"),
+        graft.core.EventTime.micros(events).as("ts_micros"),
         col("value").cast("double").as("value"))
       .withColumn("prev", lag(col("ts_micros"), 1).over(w))
       .withColumn("new_session",

@@ -72,11 +72,12 @@ class AsofStreamSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1),
         if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
 
+    val tsUs = graft.core.EventTime.micros(events)
     val probes = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("k"), expr("cast(ts div 1000 as long)").as("ts"),
+      .select(col("user_id").as("k"), tsUs.as("ts"),
         col("event_id").as("p_seq"))
     val quotes = events.filter(col("event_type") === "view")
-      .select(col("user_id").as("k"), expr("cast(ts div 1000 as long)").as("ts"),
+      .select(col("user_id").as("k"), tsUs.as("ts"),
         col("event_id").as("q_seq"), col("value").as("q_value"))
     val want = AsofJoin.asofLeft(probes, quotes, "k", "ts", quoteSeq = "q_seq")
       .collect().map(r => (r.getLong(0), r.getLong(2),
@@ -84,7 +85,7 @@ class AsofStreamSpec extends AnyFunSuite {
 
     // probes inside the final 2 h watermark horizon never flush (no
     // sentinel advances the watermark past the last event)
-    val maxTs = events.agg(max(expr("cast(ts div 1000 as long)"))).head().getLong(0)
+    val maxTs = events.agg(max(graft.core.EventTime.micros(events))).head().getLong(0)
     val tail = probes.filter(col("ts") >= maxTs - 2L * 3600 * 1000000).count()
     assert(got.subsetOf(want),
       s"stream emitted non-batch matches: ${(got diff want).take(3)}")

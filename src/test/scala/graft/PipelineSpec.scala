@@ -277,8 +277,9 @@ class PipelineSpec extends AnyFunSuite {
     val got = EventStream.runToMemory(stream, "rollup_test", "complete")
       .select("hour_start", "event_type", "n_events")
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
-    val batch = Tables.events(spark, dir)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val batchEv = Tables.events(spark, dir)
+    val batch = batchEv
+      .withColumn("event_ts", graft.core.EventTime.eventTs(batchEv))
       .groupBy(date_trunc("hour", col("event_ts")).as("hour_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet

@@ -81,7 +81,7 @@ class StreamStateScaleSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    // ts here is the events-table NANOS shape (`ts div 1000` inside);
+    // ts here is the events-table long-nanos shape (EventTime dispatches);
     // every 100th round jumps the key past the 5-minute gap so sessions
     // actually close mid-stream rather than only at the timeout
     def ev(i: Int) = (
