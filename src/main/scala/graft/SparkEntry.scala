@@ -367,6 +367,19 @@ object SparkEntry {
       Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),
 
+    // Predicate-constrained k-NN (additive — the reference has no metadata
+    // columns): exact pre-filter anchor, full hash oracle. The widened-IVF
+    // and HNSW-post-filter flavors + the auto chooser are recall/plan-gated
+    // in FilteredSearchSpec; this pins the semantics they are judged by.
+    "a10_filtered_knn" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label"))
+      graft.ops.FilteredSearch.exact(base, col("label") < 5,
+        embQueries(s, dir), k = 10)
+        .select(col("qid"), col("id"), round(col("score"), 4).as("score"))
+        .orderBy(col("qid"), col("score").desc, col("id"))
+    }),
+
     // §3.2 staged composite: IVF probe for k_search = max(refine_k, k)
     // candidates -> exact-L2 refine to k -> recall vs GT
     // (`apps/nvdb_ivf_eval.cpp:310-782`; widening at `:329`). Sidecar
@@ -912,6 +925,15 @@ object SparkEntry {
         |  round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS score
         |FROM embeddings q CROSS JOIN embeddings b
         |WHERE q.vec_id < 5
+        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10
+        |ORDER BY qid, score DESC, id""".stripMargin,
+    // exact filtered anchor: v1's oracle with the base-side predicate
+    "a10_filtered_knn" ->
+      """SELECT q.vec_id AS qid, b.vec_id AS id,
+        |  round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS score
+        |FROM embeddings q CROSS JOIN embeddings b
+        |WHERE q.vec_id < 5 AND b.label < 5
         |QUALIFY row_number() OVER (PARTITION BY q.vec_id
         |  ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10
         |ORDER BY qid, score DESC, id""".stripMargin,

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Predicate-constrained vector search — top-k among the base rows that
+  * satisfy a metadata predicate (the `WHERE label = …` flavor of k-NN
+  * every serving stack needs; the reference's engine has no metadata
+  * columns, so this is an additive surface like streaming, SURVEY §2.9).
+  *
+  * The interesting part is WHERE the predicate applies relative to the
+  * index, the classic pre- vs post-filter decision:
+  *
+  *  - **exact / IVF: pre-filter.** The predicate composes into the scan
+  *    (Catalyst pushes it to parquet next to the inverted-list IN
+  *    predicate), so non-matching rows are never scored. But a pre-filter
+  *    starves a fixed-nprobe IVF probe: with selectivity s each probed
+  *    list yields s× fewer candidates, so [[ivf]] widens the probe to
+  *    ~nprobe/s lists to restore the candidate budget (capped at nlist,
+  *    where it degenerates to the exact filtered scan — correct, just not
+  *    pruned).
+  *  - **HNSW: post-filter.** The graph is built over the FULL corpus;
+  *    carving matching rows out of the traversal disconnects it and
+  *    recall collapses at low selectivity. The honest composition is
+  *    over-fetch (k·oversample ≳ k/s) + semi-join on the allowed ids +
+  *    re-top-k; [[FilteredSearchSpec]] gates its recall against filtered
+  *    ground truth.
+  *
+  * [[auto]] measures selectivity with one aggregate and picks: tiny
+  * match sets score every match exactly (an index cannot beat scoring
+  * s·N rows); otherwise the widened IVF probe if an index exists, else
+  * HNSW over-fetch.
+  */
+object FilteredSearch {
+
+  /** Exact filtered top-k: predicate → scan (pushed down), score only
+    * matching rows. The recall-1.0 anchor every approximate variant is
+    * judged against, and the right plan outright when s·N is small.
+    */
+  def exact(base: DataFrame, pred: Column, queries: DataFrame, k: Int,
+            metric: Metric = Metric.Dot,
+            idCol: String = "id", vecCol: String = "vec"): DataFrame =
+    Search.exactTopKBatched(base.filter(pred), queries, k, metric,
+      idCol = idCol, vecCol = vecCol)
+
+  /** Filtered IVF probe: predicate ∧ cluster-IN both land in the clustered
+    * table's scan, and the probe is widened by 1/selectivity so the
+    * candidate count per query stays ~nprobe list-loads worth despite the
+    * filter. Pass `selectivity` if already known (saves the count).
+    */
+  def ivf(assignedBase: DataFrame, pred: Column, queries: DataFrame,
+          centroids: Array[Array[Float]], nprobe: Int, k: Int,
+          metric: Metric = Metric.Dot, selectivity: Double = Double.NaN,
+          idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val s =
+      if (selectivity.isNaN) measuredSelectivity(assignedBase, pred)
+      else selectivity
+    val widened = widenedProbe(nprobe, s, centroids.length)
+    Ivf.search(assignedBase.filter(pred), queries, centroids,
+      nprobe = widened, k = k, metric = metric, idCol = idCol, vecCol = vecCol)
+  }
+
+  /** HNSW over-fetch + post-filter: fetch k·oversample from the unfiltered
+    * graph, keep rows passing the predicate, re-top-k. `oversample` should
+    * be ≳ 1/selectivity for full-k results; at very low selectivity prefer
+    * [[exact]] (what [[auto]] does).
+    */
+  def hnswPostFilter(base: DataFrame, pred: Column, queries: DataFrame,
+                     k: Int, oversample: Int, metric: Metric = Metric.Dot,
+                     m: Int = 16, efConstruction: Int = 100, efSearch: Int = 64,
+                     nShards: Int = 8, cacheKey: String = "",
+                     idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val fetchK = k * oversample
+    // efSearch must cover the over-fetched beam or fetchK is a lie
+    val ef = math.max(efSearch, fetchK)
+    val fetched = Hnsw.search(base, queries, fetchK, metric, m, efConstruction,
+      ef, nShards, cacheKey = cacheKey, idCol = idCol, vecCol = vecCol)
+    val allowed = base.filter(pred).select(col(idCol).cast("long").as("id"))
+    // allowed ids broadcast when small; at scale this is a shuffle-free
+    // semi-join against the fetched (Q × fetchK)-row side, never the corpus
+    TopK.perGroup(fetched.join(allowed, Seq("id"), "left_semi"),
+      "qid", "id", "score", k, metric.larger)
+  }
+
+  /** Strategy chooser. One aggregate measures selectivity, then:
+    * s·N ≤ `exactThreshold` → [[exact]]; an IVF index supplied → widened
+    * [[ivf]] probe; otherwise HNSW over-fetch with oversample ⌈1/s⌉.
+    */
+  def auto(base: DataFrame, pred: Column, queries: DataFrame, k: Int,
+           metric: Metric = Metric.Dot,
+           ivfIndex: Option[(DataFrame, Array[Array[Float]], Int)] = None,
+           exactThreshold: Long = 100000, hnswShards: Int = 8,
+           cacheKey: String = "",
+           idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val r = base.agg(count(lit(1)), count(when(pred, 1))).head()
+    val total = r.getLong(0)
+    val matching = r.getLong(1)
+    val s = if (total == 0) 1.0 else matching.toDouble / total
+    if (matching <= exactThreshold)
+      exact(base, pred, queries, k, metric, idCol, vecCol)
+    else ivfIndex match {
+      case Some((assigned, centroids, nprobe)) =>
+        ivf(assigned, pred, queries, centroids, nprobe, k, metric,
+          selectivity = s, idCol = idCol, vecCol = vecCol)
+      case None =>
+        val oversample = math.max(2, math.ceil(1.0 / math.max(s, 1e-6)).toInt)
+        hnswPostFilter(base, pred, queries, k, oversample, metric,
+          nShards = hnswShards, cacheKey = cacheKey, idCol = idCol, vecCol = vecCol)
+    }
+  }
+
+  private[graft] def measuredSelectivity(base: DataFrame, pred: Column): Double = {
+    val r = base.agg(count(lit(1)), count(when(pred, 1))).head()
+    if (r.getLong(0) == 0) 1.0 else r.getLong(1).toDouble / r.getLong(0)
+  }
+
+  /** nprobe/s capped at nlist: restores the pre-filter candidate budget. */
+  private[graft] def widenedProbe(nprobe: Int, selectivity: Double, nlist: Int): Int =
+    math.min(nlist,
+      math.max(nprobe, math.ceil(nprobe / math.max(selectivity, 1e-6)).toInt))
+}

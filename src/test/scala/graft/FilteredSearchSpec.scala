@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.ops.{FilteredSearch, Ivf, Metric, Search}
+
+/** Predicate-constrained search: the exact pre-filter anchor, the widened
+  * IVF probe, HNSW over-fetch + post-filter, the auto chooser, and the
+  * predicate's pushdown into the clustered scan.
+  */
+class FilteredSearchSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.01"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  private def emb = Tables.embeddings(spark, dir)
+  private def base = emb.select(col("vec_id").as("id"),
+    col("embedding").as("vec"), col("label"))
+  private def queries = emb.filter(col("vec_id") < 8)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private val halfPred = col("label") < 5 // selectivity ~0.5
+  private def filteredGt(pred: org.apache.spark.sql.Column): DataFrame =
+    Search.groundTruth(base.filter(pred), queries, 10, Metric.Dot)
+
+  private def recallOf(pred: DataFrame, gt: DataFrame): Double =
+    Search.recallAtK(
+      pred.groupBy("qid").agg(collect_list(col("id")).as("pred_ids")),
+      gt, 10).collect()(0).getDouble(0)
+
+  test("exact filtered top-k == independent unbatched path; rows obey the predicate") {
+    val got = FilteredSearch.exact(base, halfPred, queries, 10)
+    val want = Search.exactTopK(base.filter(halfPred), queries, 10, Metric.Dot)
+    val g = got.select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val w = want.select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(g == w, s"batched filtered != unbatched filtered: ${(g diff w).take(3)}")
+    val allowed = base.filter(halfPred).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(g.forall(t => allowed(t._2)), "result row violates the predicate")
+  }
+
+  test("IVF full-probe filtered == exact filtered (exhaustive anchor)") {
+    val cents = Ivf.train(base, nlist = 16, ntrain = 500)
+    val assigned = Ivf.assign(base, cents)
+    val got = FilteredSearch.ivf(assigned, halfPred, queries, cents,
+      nprobe = 16, k = 10, selectivity = 1.0) // selectivity 1.0: no widening, pure full probe
+    val want = FilteredSearch.exact(base, halfPred, queries, 10)
+    val g = got.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = want.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g == w, s"full-probe filtered != exact filtered: ${(g diff w).take(3)}")
+  }
+
+  test("widened probe restores the filtered candidate budget (recall gate)") {
+    val cents = Ivf.train(base, nlist = 16, ntrain = 500)
+    val assigned = Ivf.assign(base, cents).cache()
+    val gt = filteredGt(halfPred)
+    val plain = FilteredSearch.ivf(assigned, halfPred, queries, cents,
+      nprobe = 4, k = 10, selectivity = 1.0) // probes 4 lists despite the filter
+    val widened = FilteredSearch.ivf(assigned, halfPred, queries, cents,
+      nprobe = 4, k = 10) // measures s≈0.5 → probes ~8 lists
+    val rPlain = recallOf(plain, gt)
+    val rWide = recallOf(widened, gt)
+    assert(rWide >= rPlain,
+      s"widening must not lose recall: plain=$rPlain widened=$rWide")
+    // 0.85: the IvfSpec bar for an 8/16-list probe on this 500-row corpus
+    assert(rWide >= 0.85, s"widened filtered recall too low: $rWide")
+    assigned.unpersist()
+  }
+
+  test("widenedProbe: 1/s scaling, nlist cap, no shrink below nprobe") {
+    assert(FilteredSearch.widenedProbe(4, 0.5, 1024) == 8)
+    assert(FilteredSearch.widenedProbe(4, 0.1, 1024) == 40)
+    assert(FilteredSearch.widenedProbe(4, 0.001, 16) == 16) // capped
+    assert(FilteredSearch.widenedProbe(4, 1.0, 1024) == 4)  // unfiltered: unchanged
+  }
+
+  test("HNSW over-fetch + post-filter: predicate holds, recall >= 0.9 at oversample 4") {
+    val gt = filteredGt(halfPred)
+    val got = FilteredSearch.hnswPostFilter(base, halfPred, queries,
+      k = 10, oversample = 4, nShards = 4,
+      cacheKey = "filteredspec_sf001_half")
+    val allowed = base.filter(halfPred).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val rows = got.select("qid", "id").collect()
+    assert(rows.forall(r => allowed(r.getLong(1))), "post-filter leaked a row")
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 10),
+      "short result set despite sufficient matches")
+    val r = recallOf(got, gt)
+    assert(r >= 0.9, s"post-filter recall too low: $r")
+  }
+
+  test("auto: tiny match set routes to the exact path (equal results)") {
+    val tinyPred = col("label") === 3
+    val got = FilteredSearch.auto(base, tinyPred, queries, 10,
+      exactThreshold = 100000)
+    val want = FilteredSearch.exact(base, tinyPred, queries, 10)
+    val g = got.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = want.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g == w)
+  }
+
+  test("auto: above the exact threshold with an IVF index routes to the widened probe") {
+    val cents = Ivf.train(base, nlist = 16, ntrain = 500)
+    val assigned = Ivf.assign(base, cents)
+    val got = FilteredSearch.auto(base, halfPred, queries, 10,
+      ivfIndex = Some((assigned, cents, 4)), exactThreshold = 0)
+    val gt = filteredGt(halfPred)
+    assert(recallOf(got, gt) >= 0.85)
+  }
+
+  test("filtered IVF probe pushes BOTH predicates into the clustered parquet scan") {
+    val cents = Ivf.train(base, nlist = 16, ntrain = 500)
+    val tmp = java.nio.file.Files.createTempDirectory("filtered_clustered").toString
+    Ivf.assign(base, cents).write.mode("overwrite")
+      .partitionBy("cluster_id").parquet(tmp)
+    val clustered = spark.read.parquet(tmp)
+    // scan metadata (Location/PartitionFilters/PushedFilters) truncates at
+    // 100 chars by default; widen so the assert sees the full filter list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val plan =
+      try FilteredSearch.ivf(clustered, halfPred, queries, cents,
+        nprobe = 4, k = 10, selectivity = 1.0)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    // label predicate reaches the parquet scan; cluster_id is partition-pruned
+    assert(plan.contains("PushedFilters: [IsNotNull(label), LessThan(label,5)]")
+      || plan.contains("LessThan(label,5)"),
+      s"label predicate not pushed to scan:\n${plan.take(2000)}")
+    // the clustered scan carries the probed-list INSET partition filter
+    // (the query-side embeddings scans legitimately have none)
+    assert(plan.contains("PartitionFilters: [cluster_id"),
+      s"no partition filter on the clustered scan — probe pruning lost:\n${plan.take(2000)}")
+  }
+}
