@@ -119,9 +119,11 @@ object Bench {
       s"""{"metric":"total","value":${j4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val fullLine =
       s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"stats":$stats,"n_vectors":$nVec,"dim":$dim,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
-    catch { case _: Throwable => () }
+    // subset runs are a dev aid — never let them clobber the full artifact
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
+      catch { case _: Throwable => () }
     spark.stop() // stop BEFORE printing so no Spark shutdown output trails the line
     println(machineLine)
     System.out.flush()

@@ -400,7 +400,10 @@ object BenchScale {
       s"""{"n_docs":$n,"cpus":$cpus,"corpus_mb":${j(corpusBytes / 1e6)},"ops":{${section(results)}},""" +
         s""""ann":{"n_vec":$annN,"dim":$annDim,"ops":{${section(annResults)}},""" +
         s""""ivf_frontier":$ivfJson,"lsh_frontier":$lshJson,"hnsw_frontier":$hnswJson}}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE.json"), line + "\n")
+    // subset runs (SPARK_GRAFT_SCALE_ONLY) are a dev aid — never let them
+    // clobber the full recorded artifact
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE.json"), line + "\n")
     spark.stop()
     println(line)
   }

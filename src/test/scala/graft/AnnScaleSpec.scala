@@ -20,7 +20,10 @@ import graft.tools.SyntheticVectors
   *    far below the corpus for small nprobe (partition pruning is real,
   *    not cosmetic);
   *  - PQ codes compress the index an order of magnitude below the flat
-  *    vectors (`Performance.md:553-568`: the reason PQ exists).
+  *    vectors (`Performance.md:553-568`: the reason PQ exists);
+  *  - the filtered probe keeps all three properties under a selectivity-0.5
+  *    predicate: widening restores recall, full probe stays exact, and
+  *    partition pruning survives the filter.
   */
 class AnnScaleSpec extends AnyFunSuite {
 
@@ -79,6 +82,51 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(ratio > 3 && ratio < 24,
       s"scanned rows don't track nprobe (16/2 → $ratio, expected ≈8)")
     listSizes.unpersist()
+  }
+
+  test("filtered probe at 200k: widening holds recall, full probe exact, pruning survives") {
+    import graft.ops.FilteredSearch
+    // id-parity predicate: selectivity 0.5, uncorrelated with the
+    // clustering — the adversarial case for a pre-filtered probe (every
+    // inverted list loses half its candidates)
+    val pred = pmod(col("id"), lit(2)) === 0
+    val clustered = idx.clustered(spark)
+    val s = FilteredSearch.measuredSelectivity(clustered, pred)
+    assert(math.abs(s - 0.5) < 0.01, s"parity selectivity drifted: $s")
+    assert(FilteredSearch.widenedProbe(4, s, nlist) == 8,
+      "selectivity 0.5 must double the probe")
+
+    val gt = Search.groundTruth(base.filter(pred), queries, k, Metric.Dot).cache()
+    def recallOf(pred_df: org.apache.spark.sql.DataFrame): Double =
+      Ivf.meanRecall(pred_df, gt, k).collect()(0).getDouble(0)
+    val rPlain = recallOf(FilteredSearch.ivf(clustered, pred, queries,
+      idx.centroids, nprobe = 4, k = k, selectivity = 1.0))
+    val rWide = recallOf(FilteredSearch.ivf(clustered, pred, queries,
+      idx.centroids, nprobe = 4, k = k, selectivity = s))
+    assert(rWide >= rPlain - 1e-9,
+      s"widening lost recall at 200k: plain=$rPlain widened=$rWide")
+    assert(rWide > 0.5, s"widened filtered recall $rWide — probe starved")
+
+    // full-probe filtered == exact filtered: the exhaustive anchor at 200k
+    val full = FilteredSearch.ivf(clustered, pred, queries, idx.centroids,
+      nprobe = nlist, k = k, selectivity = 1.0)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = FilteredSearch.exact(base, pred, queries, k)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, s"full-probe filtered != exact filtered at 200k")
+
+    // pruning survives the predicate: the widened 8/64-list probe over
+    // half the rows touches ~6% of the corpus, nowhere near all of it
+    val listSizes = clustered.filter(pred).groupBy("cluster_id").count().cache()
+    val scanned = queries.select(
+        explode(Ivf.nearestCentroids(col("qvec"), idx.centroids, 8)).as("cluster_id"))
+      .join(listSizes, Seq("cluster_id"))
+      .agg(sum("count")).collect()(0).getLong(0)
+    val nQ = queries.count()
+    assert(scanned < nQ * n / 4,
+      s"filtered probe scanned $scanned of ${nQ * n} possible — pruning lost")
+    listSizes.unpersist()
+    gt.unpersist()
   }
 
   test("pq index bytes an order of magnitude below flat vectors") {
