@@ -72,6 +72,14 @@ object BenchScale {
                 name: String, op: () => Map[String, Double]): Unit = {
       if (!only.forall(_.contains(name))) return
       op() // warmup: codegen + JIT, not recorded (same discipline as Bench)
+      // Bench.settle()'s discipline: the first GC enqueues dead
+      // broadcast/shuffle weak refs from preceding ops, the ContextCleaner
+      // performs its async deletions inside the sleep, the second GC
+      // reclaims what it released — otherwise earlier ops' cleanup lands
+      // inside this op's timed runs (measured: d12 21.2 s mid-sweep vs
+      // 6.6 s isolated on identical code and shuffle bytes)
+      System.gc()
+      Thread.sleep(400)
       System.gc()
       var extra = Map.empty[String, Double]
       val samples = Seq.fill(runsPer) {
