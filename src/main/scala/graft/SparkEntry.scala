@@ -215,6 +215,16 @@ object SparkEntry {
     // ---- vector search family (J1/K1, F1/F5/F8) ----
     "v1_knn_dot" -> ((s, dir) => knnDot(s, dir)),
     "v2_knn_l2" -> ((s, dir) => knnL2(s, dir)),
+    // Radius search (FAISS range_search shape, additive): broadcast
+    // queries, codegen score, map-side threshold filter — no top-k state,
+    // no shuffle. r=1.6 sits 5e-4 from the nearest pair distance, far
+    // outside both engines' float→double accumulation noise.
+    "v10_range_l2" -> ((s, dir) => {
+      Search.rangeSearch(embBase(s, dir), embQueries(s, dir),
+        radius = 1.6, Metric.L2)
+        .select(col("qid"), col("id"), round(col("score"), 4).as("dist"))
+        .orderBy(col("qid"), col("dist"), col("id"))
+    }),
     "v3_vector_norms" -> ((s, dir) => {
       Tables.embeddings(s, dir)
         .select(col("vec_id"),
@@ -977,6 +987,14 @@ object SparkEntry {
         |WHERE q.vec_id < 5
         |QUALIFY row_number() OVER (PARTITION BY q.vec_id
         |  ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) <= 10
+        |ORDER BY qid, dist, id""".stripMargin,
+    // v2's distance formula with a WHERE threshold instead of a QUALIFY rank
+    "v10_range_l2" ->
+      """SELECT q.vec_id AS qid, b.vec_id AS id,
+        |  round(list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) ** 2, 4) AS dist
+        |FROM embeddings q CROSS JOIN embeddings b
+        |WHERE q.vec_id < 5
+        |  AND list_distance(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) ** 2 <= 1.6
         |ORDER BY qid, dist, id""".stripMargin,
     "v3_vector_norms" ->
       """SELECT vec_id,

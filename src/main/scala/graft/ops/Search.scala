@@ -180,6 +180,29 @@ object Search {
       posexplode(scores).as(Seq("qpos", "score"))), qids, k, larger = true, qidCol)
   }
 
+  /** Radius (range) search — every base row within `radius` of each query
+    * (FAISS's `range_search` API shape; the reference exposes only top-k,
+    * so this is additive). Ranking metrics keep rows scoring AT LEAST the
+    * threshold (dot/cosine); distance metrics keep rows AT MOST it (L2).
+    *
+    * Deliberately the fully declarative plan: broadcast queries × streamed
+    * base, codegen score, map-side filter. No top-k state, no shuffle at
+    * all — output volume is the only thing that grows with matches, which
+    * is exactly the 100 TB shape (the filter rides inside the scan stage).
+    */
+  def rangeSearch(base: DataFrame, queries: DataFrame, radius: Double,
+                  metric: Metric = Metric.L2,
+                  idCol: String = "id", vecCol: String = "vec",
+                  qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val scored = base
+      .crossJoin(broadcast(queries))
+      .select(col(qidCol).as("qid"), col(idCol).as("id"),
+        scoreCol(metric, vecCol, qvecCol).as("score"))
+    val keep =
+      if (metric.larger) col("score") >= radius else col("score") <= radius
+    scored.filter(keep)
+  }
+
   /** Exact ground truth build (`apps/nvdb_gt_build.cpp:74-104`):
     * top-k ids per query as an ordered array → (qid, gt_ids).
     */

@@ -164,4 +164,30 @@ class SearchSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), s"expected broadcast NLJ in:\n$plan")
   }
+
+  test("range search: threshold semantics both directions, top-k containment, no shuffle") {
+    val r = 1.8
+    val ranged = Search.rangeSearch(base, queries, r, Metric.L2).cache()
+    // every returned row is within the radius, and the count matches the
+    // brute-force recompute exactly
+    assert(ranged.filter(col("score") > r).count() == 0)
+    val brute = base.crossJoin(broadcast(queries))
+      .filter(graft.functions.VectorFunctions.l2Sq(col("vec"), col("qvec")) <= r)
+      .count()
+    assert(ranged.count() == brute, s"range count ${ranged.count()} != brute $brute")
+    // containment: any top-k hit within the radius must appear in the range set
+    val within = Search.exactTopK(base, queries, 5, Metric.L2)
+      .filter(col("score") <= r)
+      .select("qid", "id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = ranged.select("qid", "id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(within.subsetOf(got), s"missing from range: ${(within diff got).take(3)}")
+    ranged.unpersist()
+    // ranking metric keeps >= threshold (dot); and the plan stays shuffle-free
+    val dotted = Search.rangeSearch(base, queries, 0.2, Metric.Dot)
+    assert(dotted.filter(col("score") < 0.2).count() == 0)
+    val plan = dotted.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Exchange hashpartitioning"),
+      s"range search must not shuffle:\n$plan")
+  }
 }
