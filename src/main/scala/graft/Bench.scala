@@ -109,7 +109,14 @@ object Bench {
           s""","bytes_per_query":$scanBytes,"gb_per_sec":${j(scanBytes / st.avg / 1e9)}"""
         case _ => ""
       }
-      s""""$name":{"avg":${j(st.avg)},"p50":${j(st.p50)},"p95":${j(st.p95)},"p99":${j(st.p99)},"qps":${j(st.qps)}$bw}"""
+      // run-to-run variance belongs in the artifact: a median alone cannot
+      // distinguish a real regression from scheduler/JIT noise (the r7
+      // p/q-family read 2-3.7× with zero code changes — settling that
+      // required exactly these numbers)
+      val sd = math.sqrt(s.map(x => (x - st.avg) * (x - st.avg)).sum / s.length)
+      val spread =
+        s""","min":${j(s.min)},"max":${j(s.max)},"sd":${j(sd)},"n":${s.length}"""
+      s""""$name":{"avg":${j(st.avg)},"p50":${j(st.p50)},"p95":${j(st.p95)},"p99":${j(st.p99)},"qps":${j(st.qps)}$spread$bw}"""
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).filter(_ >= 0).sum
     // Compact machine line: total + per-query medians ONLY. Must stay well

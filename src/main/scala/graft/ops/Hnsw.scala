@@ -269,10 +269,48 @@ object Hnsw {
     * repeated Verify executions in one JVM) reuse the built graphs — the
     * standard per-executor ANN-serving pattern; on-disk durability comes
     * from the parquet base table the build replays deterministically.
+    *
+    * BOUNDED: the outer map is an LRU over cacheKeys (default 4 keys,
+    * `-Dgraft.hnsw.cache.maxKeys=N`), each holding its shards in an inner
+    * concurrent map (shards of one key build in parallel tasks). A
+    * long-lived serving executor cycling cacheKeys evicts whole
+    * least-recently-used graph groups instead of leaking them, and
+    * [[invalidate]] drops a key's shards explicitly (HnswSpec gates both).
     */
-  private val graphCache =
-    new java.util.concurrent.ConcurrentHashMap[String, ShardGraph]()
-  private[graft] def cacheSize: Int = graphCache.size
+  private val maxCachedKeys: Int =
+    math.max(1, java.lang.Integer.getInteger("graft.hnsw.cache.maxKeys", 4))
+  private val graphCache = new java.util.LinkedHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, ShardGraph]](
+    16, 0.75f, /*accessOrder=*/ true)
+
+  /** Fetch-or-create `cacheKey`'s shard group, evicting least-recently-used
+    * groups beyond the bound (the new key enters at the recent end, so it
+    * is never its own victim).
+    */
+  private def shardGroup(cacheKey: String) = graphCache.synchronized {
+    var g = graphCache.get(cacheKey)
+    if (g == null) {
+      g = new java.util.concurrent.ConcurrentHashMap[String, ShardGraph]()
+      graphCache.put(cacheKey, g)
+      val it = graphCache.keySet().iterator()
+      while (graphCache.size() > maxCachedKeys) { it.next(); it.remove() }
+    }
+    g
+  }
+  private def shardGroupIfPresent(cacheKey: String) =
+    graphCache.synchronized(Option(graphCache.get(cacheKey)))
+
+  /** Drop every shard graph built under `cacheKey` (explicit eviction for
+    * long-lived serving JVMs retiring an index generation).
+    */
+  def invalidate(cacheKey: String): Unit =
+    graphCache.synchronized { graphCache.remove(cacheKey); () }
+
+  private[graft] def cacheSize: Int = graphCache.synchronized {
+    var n = 0
+    graphCache.values.forEach(g => n += g.size)
+    n
+  }
 
   /** Hash-sharded search: every query hits every shard.
     *
@@ -382,7 +420,7 @@ object Hnsw {
         var searched = 0L
         it.foreach { shard =>
           val key = s"$cacheKey|$shard|$dim|$m|$efConstruction|$seed|$metric"
-          val g = graphCache.get(key)
+          val g = shardGroupIfPresent(cacheKey).map(_.get(key)).orNull
           require(g != null,
             s"no warmed hnsw graph for shard $shard under '$cacheKey' — " +
               "run Hnsw.search(base, ..., cacheKey) once to build")
@@ -440,7 +478,7 @@ object Hnsw {
           val key = s"$cacheKey|$curShard|${rows(0)._2.length}|$m|$efC|$seed|$metric"
           val g =
             if (cacheKey.isEmpty) buildShard(rows, m, efC, seed, metric)
-            else graphCache.computeIfAbsent(key,
+            else shardGroup(cacheKey).computeIfAbsent(key,
               _ => buildShard(rows, m, efC, seed, metric))
           val shardOf = curShard
           val before = g.evals

@@ -185,6 +185,13 @@ object Search {
     * so this is additive). Ranking metrics keep rows scoring AT LEAST the
     * threshold (dot/cosine); distance metrics keep rows AT MOST it (L2).
     *
+    * Boundary divergence from FAISS, deliberate: FAISS's `range_search`
+    * uses STRICT inequalities (L2 `d < radius`, IP `d > radius`); here the
+    * threshold is INCLUSIVE (>= / <=) — the SQL-predicate convention the
+    * v10 DuckDB oracle shares. Callers porting FAISS expectations should
+    * pass the next-representable radius (or post-filter `score != radius`)
+    * if exact-boundary rows must be excluded.
+    *
     * Deliberately the fully declarative plan: broadcast queries × streamed
     * base, codegen score, map-side filter. No top-k state, no shuffle at
     * all — output volume is the only thing that grows with matches, which

@@ -369,9 +369,57 @@ object BenchScale {
         Map("rows" -> Hnsw.searchWarm(one, hnswKey, hShards, k, Metric.Dot,
           hM, hEfc, efSearch = 64).count().toDouble)
       }
-      hnswFrontier = Eval.hnswSweep(spark, base, queries, gt, k,
-        efSearches = Seq(16, 64, 128), m = hM, efConstruction = hEfc,
+      // efSearch frontier over HARD (off-manifold, low-margin) query
+      // draws: on-manifold queries read recall 1.0 at every efSearch on
+      // this corpus — no knee, no information (r7's frontier). Perturbed
+      // queries sit between manifold cells like real out-of-distribution
+      // traffic, so the recall-vs-efSearch trade the reference's curve
+      // shows (0.8773@16 → 0.9982@256, `Performance.md:452-456`) becomes
+      // measurable. Same warm graphs — only the query batch changes.
+      val hardQueries = SyntheticVectors.perturb(
+        base.filter(col("id") < 16)
+          .select(col("id").as("qid"), col("vec").as("qvec")),
+        noiseFrac = 0.75, seed = 9L, idCol = "qid", vecCol = "qvec").cache()
+      hardQueries.count()
+      val hardGt = Search.groundTruth(base, hardQueries, k, Metric.Dot).cache()
+      hardGt.count()
+      hnswFrontier = Eval.hnswSweep(spark, base, hardQueries, hardGt, k,
+        efSearches = Seq(16, 32, 64, 128, 256), m = hM, efConstruction = hEfc,
         nShards = hShards, runs = runsPer, cacheKey = hnswKey).collect()
+
+      // ---- predicate-constrained search at corpus scale: the widened
+      // IVF probe and the HNSW over-fetch + post-filter, at two
+      // selectivities, vs the filtered-exact anchor (FilteredSearch's
+      // pre/post-filter strategy split measured where it matters) ----
+      for ((sTag, cut) <- Seq(("s50", 500L), ("s05", 50L))) {
+        val pred = pmod(col("id"), lit(1000L)) < cut
+        val sel = cut / 1000.0
+        val fGt = Search.groundTruth(base.filter(pred), queries, k, Metric.Dot).cache()
+        fGt.count()
+        def recallVs(pred0: DataFrame): Double =
+          Ivf.meanRecall(pred0, fGt, k).collect()(0).getDouble(0)
+        runAnn(s"ann_filtered_exact_$sTag") {
+          Map("rows" -> graft.ops.FilteredSearch.exact(base, pred, queries, k)
+            .count().toDouble, "selectivity" -> sel)
+        }
+        runAnn(s"ann_filtered_ivf_$sTag") {
+          val p = graft.ops.FilteredSearch.ivf(clustered, pred, queries,
+            idx.centroids, nprobe = 8, k = k, selectivity = sel)
+          Map("recall" -> recallVs(p), "selectivity" -> sel,
+            "widened_nprobe" -> graft.ops.FilteredSearch
+              .widenedProbe(8, sel, nlist).toDouble)
+        }
+        runAnn(s"ann_filtered_hnsw_$sTag") {
+          val oversample = math.max(2, math.ceil(1.0 / sel).toInt)
+          val p = graft.ops.FilteredSearch.hnswPostFilter(base, pred, queries,
+            k, oversample, Metric.Dot, m = hM, efConstruction = hEfc,
+            efSearch = 64, nShards = hShards, cacheKey = hnswKey)
+          Map("recall" -> recallVs(p), "selectivity" -> sel,
+            "oversample" -> oversample.toDouble)
+        }
+        fGt.unpersist()
+      }
+      hardGt.unpersist(); hardQueries.unpersist()
       // routed shards: the IVF centroids double as the shard router —
       // probing 32/nlist shards must hold recall while cutting evals
       val routedKey = s"$hnswKey|routed"

@@ -94,6 +94,20 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(r >= 0.9, s"post-filter recall too low: $r")
   }
 
+  test("HNSW post-filter join broadcasts the fetched side, never the corpus") {
+    val plan = FilteredSearch.hnswPostFilter(base, halfPred, queries,
+      k = 10, oversample = 4, nShards = 4,
+      cacheKey = "filteredspec_sf001_half")
+      .queryExecution.executedPlan.toString
+    // the Q×fetchK fetched side is the hinted broadcast build side; a
+    // sort-merge fallback would mean the corpus-derived allowed side
+    // shuffles — the shape this gate exists to forbid
+    assert(plan.contains("BroadcastHashJoin"),
+      s"post-filter join is not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-derived side shuffled through a sort-merge join:\n${plan.take(2000)}")
+  }
+
   test("auto: tiny match set routes to the exact path (equal results)") {
     val tinyPred = col("label") === 3
     val got = FilteredSearch.auto(base, tinyPred, queries, 10,
@@ -121,12 +135,14 @@ class FilteredSearchSpec extends AnyFunSuite {
     val clustered = spark.read.parquet(tmp)
     // scan metadata (Location/PartitionFilters/PushedFilters) truncates at
     // 100 chars by default; widen so the assert sees the full filter list
+    // (restoring whatever value the shared session had before)
+    val prior = spark.conf.get("spark.sql.maxMetadataStringLength")
     spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     val plan =
       try FilteredSearch.ivf(clustered, halfPred, queries, cents,
         nprobe = 4, k = 10, selectivity = 1.0)
         .queryExecution.executedPlan.toString
-      finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prior)
     // label predicate reaches the parquet scan; cluster_id is partition-pruned
     assert(plan.contains("PushedFilters: [IsNotNull(label), LessThan(label,5)]")
       || plan.contains("LessThan(label,5)"),

@@ -152,6 +152,60 @@ class HnswSpec extends AnyFunSuite {
       || Option(ex.getCause).exists(_.getMessage.contains("no warmed hnsw graph")))
   }
 
+  test("a11 oracle config: routed pruning on the fixture holds recall and cuts evals") {
+    // EXACTLY the a11_hnsw_routed operating point (SparkEntry): fixture
+    // embeddings, 8 coarse centroids as the shard router, routeProbe=4,
+    // m=8/efC=64/efSearch=64 — recall vs full fan-out must hold while
+    // half the shard graphs never see the query
+    val dir001 = "/root/testdata/sf0.01"
+    val fixBase = Tables.embeddings(spark, dir001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec")).cache()
+    val qs = Tables.embeddings(spark, dir001).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val gt = Search.groundTruth(fixBase, qs, 10, Metric.Dot).cache()
+    val cents = Ivf.train(fixBase, nlist = 8, ntrain = 2000)
+    val key = "hnswspec_a11_cfg"
+    def recallAt(rp: Int, acc: Option[org.apache.spark.util.LongAccumulator]) =
+      Ivf.meanRecall(Hnsw.searchRouted(fixBase, qs, cents, routeProbe = rp,
+        k = 10, Metric.Dot, m = 8, efConstruction = 64, efSearch = 64,
+        cacheKey = key, evalCounter = acc), gt, 10).collect()(0).getDouble(0)
+    val accP = spark.sparkContext.longAccumulator
+    val rPruned = recallAt(4, Some(accP))
+    val accF = spark.sparkContext.longAccumulator
+    val rFull = recallAt(8, Some(accF))
+    assert(rFull >= rPruned - 1e-9, s"full fan-out below pruned: $rFull < $rPruned")
+    assert(rPruned >= 0.85, s"a11-config routed recall $rPruned on the fixture")
+    assert(accP.value * 3 < accF.value * 2, // probing 4/8 shards: evals ≤ ~2/3 of full
+      s"routeProbe=4/8 evals ${accP.value} not below full ${accF.value}")
+    gt.unpersist(); fixBase.unpersist()
+  }
+
+  test("graph cache is bounded: LRU evicts whole keys, invalidate frees shards") {
+    // distinct keys so this test owns its cache entries; 4 shards per key
+    def build(key: String): Unit =
+      Hnsw.search(base, queries, k = 5, Metric.Dot, m = 8,
+        efConstruction = 64, efSearch = 16, nShards = 4, cacheKey = key).count()
+    val keys = (0 until 6).map(i => s"hnswspec_bound_$i")
+    keys.foreach(build)
+    // default bound: 4 cacheKeys × 4 shards — cycling 6 keys through a
+    // 4-key LRU must NOT accumulate 6 keys' worth of graphs
+    assert(Hnsw.cacheSize <= 4 * 4 + 8, // +8: other suites' keys may coexist
+      s"cache grew past the key bound: ${Hnsw.cacheSize} shard graphs live")
+    // the two least-recently-used keys were evicted: their warm path is cold
+    val ex = intercept[org.apache.spark.SparkException] {
+      Hnsw.searchWarm(queries, keys.head, nShards = 4, k = 5,
+        Metric.Dot, m = 8, efConstruction = 64, efSearch = 16).count()
+    }
+    assert(ex.getMessage.contains("no warmed hnsw graph")
+      || Option(ex.getCause).exists(_.getMessage.contains("no warmed hnsw graph")))
+    // explicit invalidation frees a live key's shards
+    val live = keys.last
+    val before = Hnsw.cacheSize
+    Hnsw.invalidate(live)
+    assert(Hnsw.cacheSize == before - 4,
+      s"invalidate($live) freed ${before - Hnsw.cacheSize} of 4 shard graphs")
+  }
+
   test("self-match: a base vector's own id is its rank-1 hit") {
     // L2 metric: the self pair is distance 0, the unconditional minimum —
     // any miss is a graph reachability bug, not a metric artifact

@@ -99,4 +99,25 @@ class VectorKernelsSpec extends AnyFunSuite {
         1e-6 * math.max(1.0, math.abs(expect)))
     }
   }
+
+  test("batched i8 scores are BIT-identical to per-pair dotI8 (hoisted widening)") {
+    // the scan-path kernel hoists byte→float once per row; int8 codes are
+    // exact in float, so products and accumulation order are unchanged —
+    // the v8 oracle's exact-hash guarantee rides on this equality, and it
+    // is strictly stronger than rank stability
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.expressions.BatchScore
+    forAll2 { (q, v) =>
+      val n = math.min(q.length, v.length)
+      val s = VectorKernels.i8Scale(v)
+      val codes = VectorKernels.i8Codes(v, s).take(n)
+      val qn = q.take(n)
+      val batched = BatchScore.scoresI8(
+        new GenericArrayData(codes), s, Array(qn)).toDoubleArray()(0)
+      val perPair = VectorKernels.dotI8(qn, codes, s)
+      assert(java.lang.Double.doubleToRawLongBits(batched) ==
+        java.lang.Double.doubleToRawLongBits(perPair),
+        s"batched=$batched per-pair=$perPair differ in bits")
+    }
+  }
 }
