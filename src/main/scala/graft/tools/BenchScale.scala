@@ -172,6 +172,7 @@ object BenchScale {
     var ivfFrontier: Array[org.apache.spark.sql.Row] = Array.empty
     var lshFrontier: Array[org.apache.spark.sql.Row] = Array.empty
     var hnswFrontier: Array[org.apache.spark.sql.Row] = Array.empty
+    var hnswHardFrontier: Array[org.apache.spark.sql.Row] = Array.empty
     val annOn = only.forall(_.exists(_.startsWith("ann_")))
     if (annOn) {
       val k = 10
@@ -369,23 +370,46 @@ object BenchScale {
         Map("rows" -> Hnsw.searchWarm(one, hnswKey, hShards, k, Metric.Dot,
           hM, hEfc, efSearch = 64).count().toDouble)
       }
-      // efSearch frontier over HARD (off-manifold, low-margin) query
-      // draws: on-manifold queries read recall 1.0 at every efSearch on
-      // this corpus — no knee, no information (r7's frontier). Perturbed
-      // queries sit between manifold cells like real out-of-distribution
-      // traffic, so the recall-vs-efSearch trade the reference's curve
-      // shows (0.8773@16 → 0.9982@256, `Performance.md:452-456`) becomes
-      // measurable. Same warm graphs — only the query batch changes.
-      val hardQueries = SyntheticVectors.perturb(
-        base.filter(col("id") < 16)
-          .select(col("id").as("qid"), col("vec").as("qvec")),
-        noiseFrac = 0.75, seed = 9L, idCol = "qid", vecCol = "qvec").cache()
-      hardQueries.count()
-      val hardGt = Search.groundTruth(base, hardQueries, k, Metric.Dot).cache()
-      hardGt.count()
-      hnswFrontier = Eval.hnswSweep(spark, base, hardQueries, hardGt, k,
-        efSearches = Seq(16, 32, 64, 128, 256), m = hM, efConstruction = hEfc,
+      hnswFrontier = Eval.hnswSweep(spark, base, queries, gt, k,
+        efSearches = Seq(16, 64, 128), m = hM, efConstruction = hEfc,
         nShards = hShards, runs = runsPer, cacheKey = hnswKey).collect()
+
+      // efSearch frontier on the HARD corpus: the lowRank manifold reads
+      // recall 1.0 at every efSearch (the frontier above — honest, but it
+      // shows no trade), and measured harder variants of it stay ≥ 0.96
+      // (KneeTune at 200k: lr32 0.9625@16, off-manifold query noise does
+      // not bite because orthogonal noise shifts all similarities nearly
+      // uniformly). The corpus that actually bends the curve is full-
+      // intrinsic iid-unit data — distance concentration makes neighbor
+      // margins near-ties, the classic hard case — giving the
+      // recall-vs-efSearch trade the reference's curve shows (0.8773@16 →
+      // 0.9982@256, `Performance.md:452-456`; measured 0.3688@16 →
+      // 0.9688@256 at 200k). k-means collapses on iid data, so ONLY the
+      // graph family sweeps here — the IVF cost axes stay on lowRank.
+      val hardPath = s"target/scale_vectors_${annN}_${annDim}_iid"
+      if (!new java.io.File(s"$hardPath/_SUCCESS").isFile)
+        SyntheticVectors.iidUnit(spark, annN, annDim)
+          .write.mode("overwrite").parquet(hardPath)
+      val hardBase = spark.read.parquet(hardPath)
+      val hardQueries = hardBase.filter(col("id") < 16)
+        .select(col("id").as("qid"), col("vec").as("qvec")).cache()
+      hardQueries.count()
+      val hardGt = Search.groundTruth(hardBase, hardQueries, k, Metric.Dot).cache()
+      hardGt.count()
+      val hardKey = s"annscale_${annN}_iid|hnsw"
+      val tHh = System.nanoTime()
+      Hnsw.search(hardBase, hardQueries, k, Metric.Dot, m = hM,
+        efConstruction = hEfc, efSearch = 64, nShards = hShards,
+        cacheKey = hardKey).count()
+      annResults("ann_hnsw_hard_build") = Map(
+        "sec" -> (System.nanoTime() - tHh) / 1e9,
+        "m" -> hM.toDouble, "efc" -> hEfc.toDouble, "shards" -> hShards.toDouble)
+      hnswHardFrontier = Eval.hnswSweep(spark, hardBase, hardQueries, hardGt,
+        k, efSearches = Seq(16, 32, 64, 128, 256), m = hM,
+        efConstruction = hEfc, nShards = hShards, runs = runsPer,
+        cacheKey = hardKey).collect()
+      Hnsw.invalidate(hardKey)
+      hardGt.unpersist(); hardQueries.unpersist()
 
       // ---- predicate-constrained search at corpus scale: the widened
       // IVF probe and the HNSW over-fetch + post-filter, at two
@@ -419,7 +443,6 @@ object BenchScale {
         }
         fGt.unpersist()
       }
-      hardGt.unpersist(); hardQueries.unpersist()
       // routed shards: the IVF centroids double as the shard router —
       // probing 32/nlist shards must hold recall while cutting evals
       val routedKey = s"$hnswKey|routed"
@@ -449,13 +472,16 @@ object BenchScale {
     val lshJson = lshFrontier.map { r =>
       s"""{"nplanes":${r.getInt(0)},"ntables":${r.getInt(1)},"probes":${r.getInt(2)},"recall":${j(r.getDouble(3))},"avg_s":${j(r.getDouble(4))}}"""
     }.mkString("[", ",", "]")
-    val hnswJson = hnswFrontier.map { r =>
+    def hnswJsonOf(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
       s"""{"ef_search":${r.getInt(0)},"recall":${j(r.getDouble(1))},"avg_s":${j(r.getDouble(2))}}"""
     }.mkString("[", ",", "]")
+    val hnswJson = hnswJsonOf(hnswFrontier)
+    val hnswHardJson = hnswJsonOf(hnswHardFrontier)
     val line =
       s"""{"n_docs":$n,"cpus":$cpus,"corpus_mb":${j(corpusBytes / 1e6)},"ops":{${section(results)}},""" +
         s""""ann":{"n_vec":$annN,"dim":$annDim,"ops":{${section(annResults)}},""" +
-        s""""ivf_frontier":$ivfJson,"lsh_frontier":$lshJson,"hnsw_frontier":$hnswJson}}"""
+        s""""ivf_frontier":$ivfJson,"lsh_frontier":$lshJson,"hnsw_frontier":$hnswJson,""" +
+        s""""hnsw_frontier_hard":$hnswHardJson}}"""
     // subset runs (SPARK_GRAFT_SCALE_ONLY) are a dev aid — never let them
     // clobber the full recorded artifact
     if (only.isEmpty)

@@ -99,6 +99,31 @@ object SyntheticVectors {
           .cast("float")).as(vecCol))
   }
 
+  /** Unit-normalized iid corpus — FULL intrinsic dimension, the opposite
+    * end of the hardness spectrum from [[lowRank]]: every direction
+    * carries equal variance, distances concentrate, nearest-neighbor
+    * margins shrink toward zero. k-means collapses on it (documented in
+    * [[lowRank]] — never use this for IVF cost axes), but that is exactly
+    * what makes it the HARD corpus for graph-ANN frontiers: beam search
+    * must separate near-ties, so recall@efSearch bends below 1.0 the way
+    * the reference's HNSW curve does (0.8773@16 → 0.9982@256,
+    * `Performance.md:452-456`) instead of reading 1.0 everywhere.
+    * O(dim) per row — no mixing matrix, cheap at any scale.
+    */
+  def iidUnit(spark: SparkSession, n: Long, dim: Int,
+              seed: Long = 42L): DataFrame = {
+    require(n > 0 && dim > 0)
+    spark.range(n)
+      .select(col("id"),
+        transform(sequence(lit(1), lit(dim)), d =>
+          u(xxhash64(col("id"), d, lit(seed)))).as("x"))
+      .select(col("id"), col("x"),
+        sqrt(aggregate(col("x"), lit(0.0d), (acc, e) => acc + e * e)).as("nrm"))
+      .select(col("id"),
+        transform(col("x"), e => (e / greatest(col("nrm"), lit(1e-12d)))
+          .cast("float")).as("vec"))
+  }
+
   def lowRank(spark: SparkSession, n: Long, dim: Int, intrinsic: Int = 8,
               seed: Long = 42L): DataFrame = {
     require(n > 0 && dim > 0 && intrinsic > 0 && intrinsic <= dim)

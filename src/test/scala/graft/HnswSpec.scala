@@ -152,6 +152,34 @@ class HnswSpec extends AnyFunSuite {
       || Option(ex.getCause).exists(_.getMessage.contains("no warmed hnsw graph")))
   }
 
+  test("hard-corpus frontier has a knee: recall < 1 at low efSearch, rises with ef") {
+    // iid-unit data (full intrinsic dimension) concentrates distances, so
+    // beam search must separate near-ties — the corpus class where the
+    // recall-vs-efSearch trade is visible (the lowRank manifold reads 1.0
+    // at every efSearch; measured in KneeTune and recorded in
+    // BENCH_SCALE's hnsw_frontier_hard at 1M: 0.37@16 → 0.97@256)
+    val hard = SyntheticVectors.iidUnit(spark, 30000L, 384).cache()
+    assert(hard.count() == 30000L)
+    val qs = hard.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val gt = Search.groundTruth(hard, qs, 10, Metric.Dot).cache()
+    val key = "hnswspec_hard_knee"
+    def recall(ef: Int): Double =
+      Ivf.meanRecall(Hnsw.search(hard, qs, k = 10, Metric.Dot, m = 16,
+        efConstruction = 100, efSearch = ef, nShards = 4, cacheKey = key),
+        gt, 10).collect()(0).getDouble(0)
+    val r16 = recall(16)
+    val r64 = recall(64)
+    val r256 = recall(256)
+    assert(r16 < 0.95, s"no knee: recall $r16 at efSearch=16 on the hard corpus")
+    assert(r64 >= r16 - 1e-9 && r256 >= r64 - 1e-9,
+      s"recall not monotone in efSearch: $r16, $r64, $r256")
+    assert(r256 >= r16 + 0.1,
+      s"efSearch buys no recall on the hard corpus: $r16 → $r256")
+    Hnsw.invalidate(key)
+    gt.unpersist(); hard.unpersist()
+  }
+
   test("a11 oracle config: routed pruning on the fixture holds recall and cuts evals") {
     // EXACTLY the a11_hnsw_routed operating point (SparkEntry): fixture
     // embeddings, 8 coarse centroids as the shard router, routeProbe=4,
