@@ -12,17 +12,16 @@ import org.apache.spark.sql.types._
   */
 object MatOps {
 
-  /** y = M x, row-major M (rows × dim). */
+  /** y = M x, row-major M (rows × dim). Each row is one [[VectorKernels.dot]]
+    * (SIMD-dispatched; rotation matrices are square, so `min(row, x)` length
+    * matches the original full-row loop).
+    */
   def matVec(v: ArrayData, m: Array[Array[Float]]): ArrayData = {
     val x = v.toFloatArray()
     val out = new Array[Float](m.length)
     var r = 0
     while (r < m.length) {
-      val row = m(r)
-      var acc = 0.0
-      var i = 0
-      while (i < row.length) { acc += row(i).toDouble * x(i).toDouble; i += 1 }
-      out(r) = acc.toFloat
+      out(r) = VectorKernels.dot(m(r), x).toFloat
       r += 1
     }
     new GenericArrayData(out)

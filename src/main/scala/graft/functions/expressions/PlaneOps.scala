@@ -14,9 +14,10 @@ import org.apache.spark.sql.types._
   * one p99-outlier in the bench (first-execution codegen of a huge
   * method). One kernel call per table converts the vector once, streams
   * the plane matrix from a single reference object, and packs the sign
-  * bits in the loop. Accumulation is bit-identical to
-  * [[VectorKernels.dot]] (sequential double adds), so bucket membership
-  * is EXACTLY the composition's.
+  * bits in the loop. Projections go through [[VectorKernels.dot]] itself
+  * (SIMD-dispatched), so sign keys and multi-probe margins are computed
+  * by the ONE dot kernel every other path uses — bucket membership can
+  * never drift between the fused kernels and a `DotF32` composition.
   */
 object PlaneKernels {
 
@@ -26,12 +27,7 @@ object PlaneKernels {
     var key = 0L
     var p = 0
     while (p < planes.length) {
-      val pl = planes(p)
-      val n = math.min(v.length, pl.length)
-      var acc = 0.0
-      var i = 0
-      while (i < n) { acc += v(i).toDouble * pl(i).toDouble; i += 1 }
-      if (acc >= 0.0) key |= 1L << p
+      if (VectorKernels.dot(v, planes(p)) >= 0.0) key |= 1L << p
       p += 1
     }
     key
@@ -45,12 +41,7 @@ object PlaneKernels {
     val out = new Array[Any](planes.length)
     var p = 0
     while (p < planes.length) {
-      val pl = planes(p)
-      val n = math.min(v.length, pl.length)
-      var acc = 0.0
-      var i = 0
-      while (i < n) { acc += v(i).toDouble * pl(i).toDouble; i += 1 }
-      out(p) = acc
+      out(p) = VectorKernels.dot(v, planes(p))
       p += 1
     }
     new GenericArrayData(out)

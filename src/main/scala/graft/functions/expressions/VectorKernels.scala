@@ -12,14 +12,33 @@ import org.apache.spark.sql.types._
   *
   * The reference dispatches AVX2/FMA at runtime; here each kernel is a static
   * JVM method on primitive arrays so that whole-stage codegen emits a direct
-  * static call and the C2 JIT auto-vectorizes the loop. Accumulation is in
-  * Double, matching the reference's double-accumulator concern
-  * (`src/simd_dot.cpp:18-22`) so results are rank-stable and oracle-exact.
+  * static call, and the float-array kernels themselves dispatch to explicit
+  * Vector-API SIMD loops ([[Simd]]) when the platform supports them —
+  * double-lane FMA accumulation, so results stay within every oracle
+  * tolerance of the sequential scalar path (the reference's
+  * double-accumulator concern, `src/simd_dot.cpp:18-22`; see [[Simd]]'s
+  * precision contract and `-Dgraft.simd=off` escape hatch).
   */
 object VectorKernels {
 
+  /** Runtime SIMD dispatch, the analogue of the reference's
+    * `__builtin_cpu_supports("avx2")` check (`src/simd_dot.cpp:55-63`):
+    * on by default when the Vector API module is present and usable,
+    * forced off with `-Dgraft.simd=off` (the reference's
+    * `set_force_scalar`). The guard catches linkage errors so a JVM
+    * launched without `--add-modules=jdk.incubator.vector` silently runs
+    * the scalar kernels.
+    */
+  val simdEnabled: Boolean =
+    sys.props.getOrElse("graft.simd", "on") != "off" &&
+      (try Simd.available catch { case _: Throwable => false })
+
+  /** Below this length the vector loop is all tail; skip the dispatch. */
+  private final val SimdMinLen = 16
+
   def dot(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
+    if (simdEnabled && n >= SimdMinLen) return Simd.dot(a, b, n)
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
@@ -29,6 +48,7 @@ object VectorKernels {
   /** Squared L2 distance (`apps/nvdb_ivf_eval.cpp:232-240`). */
   def l2Sq(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
+    if (simdEnabled && n >= SimdMinLen) return Simd.l2Sq(a, b, n)
     var acc = 0.0
     var i = 0
     while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
@@ -36,6 +56,7 @@ object VectorKernels {
   }
 
   def norm2(a: Array[Float]): Double = {
+    if (simdEnabled && a.length >= SimdMinLen) return math.sqrt(Simd.sumSq(a))
     var acc = 0.0
     var i = 0
     while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
@@ -48,25 +69,31 @@ object VectorKernels {
   }
 
   /** Dequantized dot: f32 query · (int8 codes × per-row scale)
-    * (`src/simd_dot.cpp:151-213`).
+    * (`src/simd_dot.cpp:151-213`). Routed through the widen-then-[[dot]]
+    * shape so it is bit-identical to the batched `BatchScore.scoresI8`
+    * path BY CONSTRUCTION (int8 codes are exact in float, so
+    * `codes(i).toFloat.toDouble == codes(i).toDouble` bitwise), whatever
+    * kernel [[dot]] dispatches to.
     */
   def dotI8(q: Array[Float], codes: Array[Byte], scale: Float): Double = {
     val n = math.min(q.length, codes.length)
-    var acc = 0.0
+    val x = new Array[Float](n)
     var i = 0
-    while (i < n) { acc += q(i).toDouble * codes(i).toDouble; i += 1 }
-    acc * scale
+    while (i < n) { x(i) = codes(i).toFloat; i += 1 }
+    dot(q, x) * scale
   }
 
   /** Dot of an f32 query against IEEE-754 half bit patterns
-    * (`src/simd_dot.cpp:101-136`).
+    * (`src/simd_dot.cpp:101-136`). Decode-then-[[dot]], the exact shape of
+    * the batched `BatchScore.scoresHalf` hoist, for the same
+    * bit-identity-by-construction as [[dotI8]].
     */
   def dotHalf(q: Array[Float], halfBits: Array[Short]): Double = {
     val n = math.min(q.length, halfBits.length)
-    var acc = 0.0
+    val x = new Array[Float](n)
     var i = 0
-    while (i < n) { acc += q(i).toDouble * halfToFloat(halfBits(i)).toDouble; i += 1 }
-    acc
+    while (i < n) { x(i) = halfToFloat(halfBits(i)); i += 1 }
+    dot(q, x)
   }
 
   /** f32 → f16 bits, round-to-nearest-even, preserving subnormals/Inf/NaN

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.expressions.{Simd, VectorKernels}
+
+/** The Vector-API SIMD kernels (`Simd`) vs their scalar definitions.
+  *
+  * The contract under test (see `Simd`'s Scaladoc): lane-wise double-FMA
+  * accumulation performs the same single-rounded adds as the scalar
+  * kernel over each lane's stride-subsequence, so SIMD and scalar results
+  * differ only by reassociation — deterministic, and ≤ ~1e-13 relative on
+  * O(1)-magnitude rows — never enough to cross an oracle rounding
+  * boundary or flip a rank on real data.
+  */
+class SimdSpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(7)
+  /** lengths below, at, and far past one lane width, with odd tails */
+  private def randVec(): Array[Float] =
+    Array.fill(16 + rng.nextInt(685))(rng.nextFloat() * 2 - 1)
+  private def forAllPairs(f: (Array[Float], Array[Float]) => Unit): Unit =
+    (1 to 200).foreach { _ =>
+      val a = randVec()
+      f(a, a.map(x => 1.0f - x))
+    }
+
+  private def scalarDot(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+  private def scalarL2(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    acc
+  }
+
+  test("SIMD is live on this platform (AVX-capable, module enabled)") {
+    assert(VectorKernels.simdEnabled,
+      "jdk.incubator.vector missing or species too narrow — the scalar " +
+        "fallback would still be correct, but this box is known AVX-512")
+    assert(Simd.floatLanes >= 8)
+  }
+
+  test("dot: SIMD agrees with the scalar definition to reassociation error") {
+    forAllPairs { (a, b) =>
+      val n = math.min(a.length, b.length)
+      val s = scalarDot(a, b)
+      val v = Simd.dot(a, b, n)
+      assert(math.abs(v - s) <= 1e-12 * math.max(1.0, math.abs(s)),
+        s"n=$n simd=$v scalar=$s")
+    }
+  }
+
+  test("l2Sq/sumSq: SIMD agrees with the scalar definition") {
+    forAllPairs { (a, b) =>
+      val n = a.length
+      assert(math.abs(Simd.l2Sq(a, b, n) - scalarL2(a, b)) <=
+        1e-12 * math.max(1.0, scalarL2(a, b)))
+      val ss = scalarDot(a, a)
+      assert(math.abs(Simd.sumSq(a) - ss) <= 1e-12 * math.max(1.0, ss))
+    }
+  }
+
+  test("SIMD results are deterministic call-to-call (bitwise)") {
+    val a = randVec().take(383) // odd length: exercises the tail
+    val b = randVec().take(383)
+    val n = math.min(a.length, b.length)
+    val d1 = Simd.dot(a, b, n)
+    val l1 = Simd.l2Sq(a, b, n)
+    (1 to 5).foreach { _ =>
+      assert(java.lang.Double.doubleToRawLongBits(Simd.dot(a, b, n)) ==
+        java.lang.Double.doubleToRawLongBits(d1))
+      assert(java.lang.Double.doubleToRawLongBits(Simd.l2Sq(a, b, n)) ==
+        java.lang.Double.doubleToRawLongBits(l1))
+    }
+  }
+
+  test("rank stability: SIMD and scalar dot induce the same top-k order") {
+    val dim = 384
+    val q = Array.fill(dim)(rng.nextFloat() * 2 - 1)
+    val base = Array.fill(500)(Array.fill(dim)(rng.nextFloat() * 2 - 1))
+    val bySimd = base.zipWithIndex
+      .map { case (v, i) => (i, Simd.dot(q, v, dim)) }.sortBy(-_._2).map(_._1)
+    val byScalar = base.zipWithIndex
+      .map { case (v, i) => (i, scalarDot(q, v)) }.sortBy(-_._2).map(_._1)
+    assert(bySimd.toSeq == byScalar.toSeq)
+  }
+
+  test("per-pair dotI8/dotHalf stay bit-identical to their batched hoists") {
+    // dotI8/dotHalf route through the same widen/decode + dot shape as
+    // BatchScore.scoresI8/scoresHalf — identity must hold with SIMD live.
+    val dim = 200
+    val v = Array.fill(dim)(rng.nextFloat() * 2 - 1)
+    val q = Array.fill(dim)(rng.nextFloat() * 2 - 1)
+    val s = VectorKernels.i8Scale(v)
+    val codes = VectorKernels.i8Codes(v, s)
+    val widened = codes.map(_.toFloat)
+    assert(java.lang.Double.doubleToRawLongBits(VectorKernels.dotI8(q, codes, s)) ==
+      java.lang.Double.doubleToRawLongBits(VectorKernels.dot(q, widened) * s))
+    val bits = v.map(VectorKernels.floatToHalf)
+    val decoded = bits.map(VectorKernels.halfToFloat)
+    assert(java.lang.Double.doubleToRawLongBits(VectorKernels.dotHalf(q, bits)) ==
+      java.lang.Double.doubleToRawLongBits(VectorKernels.dot(q, decoded)))
+  }
+}
