@@ -255,6 +255,16 @@ object Dedup {
     * per-gram document frequency cannot move less data than the
     * partial-combined distinct pairs, so this is the floor shape.
     *
+    * Floor accounting (BENCH_SCALE d12 records it as `floor_mb`): the df
+    * shuffle must carry ≥ one ~16 B (gram64, count) record per UNIQUE
+    * gram — 3.42M uniques ≈ 54.7 MB at the 200k corpus vs 82.7 MB
+    * measured, a 1.5× gap that is exactly the high-df grams emitting one
+    * partial per map partition they touch. That overhead shrinks
+    * RELATIVELY as the corpus grows (partials per gram are capped by the
+    * map partition count while uniques grow ~linearly), so the shape is
+    * already the scale-correct one; squeezing the last 28 MB at 200k
+    * would mean giving up map-side combine or exact df.
+    *
     * Returns (idCol, n_grams, n_bp_grams, bp_ratio) — one row per doc.
     */
   def boilerplateRatio(docs: DataFrame, gramTokens: Int = 3, minDocs: Int = 5,

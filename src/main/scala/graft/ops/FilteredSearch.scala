@@ -64,17 +64,32 @@ object FilteredSearch {
     * graph, keep rows passing the predicate, re-top-k. `oversample` should
     * be ≳ 1/selectivity for full-k results; at very low selectivity prefer
     * [[exact]] (what [[auto]] does).
+    *
+    * `warm = true` serves the fetch from [[Hnsw.searchWarm]] — the
+    * already-built executor-cached shard graphs under `cacheKey` — so the
+    * corpus is NOT re-streamed per query batch. [[Hnsw.search]]'s cold
+    * path re-partitions the full base every call to co-locate shards
+    * (1.55 GB shuffled per batch at 1M×384d, measured BENCH_SCALE r8)
+    * even when the graphs themselves are cache-hits; a serving deployment
+    * must pay that exactly once. Warm requires a prior build pass under
+    * the same (cacheKey, nShards, m, efConstruction, seed) — a miss fails
+    * loudly per [[Hnsw.searchWarm]]'s contract rather than silently
+    * rebuilding inside a latency path.
     */
   def hnswPostFilter(base: DataFrame, pred: Column, queries: DataFrame,
                      k: Int, oversample: Int, metric: Metric = Metric.Dot,
                      m: Int = 16, efConstruction: Int = 100, efSearch: Int = 64,
                      nShards: Int = 8, cacheKey: String = "",
+                     warm: Boolean = false,
                      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
     val fetchK = k * oversample
     // Hnsw's per-shard beam already runs with ef = max(efSearch, k) for
     // the k it is handed, so passing fetchK as k is what widens the beam
-    val fetched = Hnsw.search(base, queries, fetchK, metric, m, efConstruction,
-      efSearch, nShards, cacheKey = cacheKey, idCol = idCol, vecCol = vecCol)
+    val fetched =
+      if (warm) Hnsw.searchWarm(queries, cacheKey, nShards, fetchK, metric,
+        m, efConstruction, efSearch)
+      else Hnsw.search(base, queries, fetchK, metric, m, efConstruction,
+        efSearch, nShards, cacheKey = cacheKey, idCol = idCol, vecCol = vecCol)
     // Post-filter join orientation matters at scale: the allowed-id side
     // is s·N rows (corpus-derived — NOT broadcastable at low
     // selectivity·high N, and Catalyst's post-filter size estimates are

@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
+
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
@@ -14,7 +14,7 @@ import graft.functions.expressions.{NearestCentroid, NearestCentroids}
   * (`apps/nvdb_ivf_build.cpp`, `apps/nvdb_ivf_eval.cpp:403-489`).
   *
   * Scale design:
-  *  - train: MLlib KMeans on a bounded sample (`ntrain` rows), like the
+  *  - train: fused-SIMD Lloyd k-means ([[Kmeans]]) on a bounded sample, like the
   *    reference's train-on-first-200K.
   *  - assign: centroid matrix broadcast as a codegen reference object; the
   *    full base streams through a narrow projection — no join, no shuffle.
@@ -44,42 +44,31 @@ object Ivf {
 
   /** Train follows FAISS's clustering economics (`Clustering.cpp` policy,
     * the build the reference pays in `nvdb_ivf_build`): a bounded
-    * iteration count (25 — FAISS's own niter default), the
-    * max-points-per-centroid subsample cap (FAISS default 256/centroid;
-    * beyond it extra sample rows buy no centroid quality, only iteration
-    * cost), and an ADAPTIVE init. MLlib's k-means&#124;&#124; init runs a
-    * driver-side LOCAL k-means++ over ~2·k·steps candidates — O(k²·d)
-    * single-threaded, which at nlist ≥ 256 stalls longer than all the
-    * Lloyd iterations combined — so large-nlist trains seed from k random
-    * sample points exactly like FAISS, while small-nlist trains keep the
-    * better-spread k-means&#124;&#124; seeds whose cost is then trivial
-    * (on a tiny unstructured fixture the spread is worth real probe
-    * recall). Measured at 200k×384d×nlist=1024 (TrainTune, same JVM):
-    * random/25 trains in 85.7 s vs 94.4 s for k-means&#124;&#124;/20 with
-    * equal quantization error (mse 0.15864 vs 0.15813) and equal-or-better
-    * probe recall (0.888/0.975 vs 0.856/0.975 at nprobe 4/8); the r7
-    * BENCH_SCALE recorded 443 s for the same k-means&#124;&#124; build
-    * under session load.
+    * iteration count (25 — FAISS's own niter default) with an early stop
+    * on centroid movement, the max-points-per-centroid subsample cap
+    * (FAISS default 256/centroid; beyond it extra sample rows buy no
+    * centroid quality, only iteration cost), and an adaptive init (seeded
+    * uniform draw at nlist ≥ 256, driver k-means++ spread below — see
+    * [[Kmeans.fit]]). The Lloyd loop itself is [[Kmeans]] — one fused
+    * SIMD assign+accumulate pass per iteration with a deterministic
+    * partition-ordered reduce — replacing the r7 MLlib trainer whose
+    * boxing/plumbing overhead measured 327–443 s at 200k×384d×nlist=1024
+    * (reference trains nlist=4096 in 13.9 s, `Performance.md:578-579`).
     */
   def train(base: DataFrame, nlist: Int, ntrain: Int = 200000, seed: Long = 42L,
             vecCol: String = "vec", idCol: String = "id",
             maxIter: Int = 25, maxPointsPerCentroid: Int = 256): Array[Array[Float]] = {
     val cap = nlist.toLong * maxPointsPerCentroid
     val feat = trainSample(base, math.min(ntrain.toLong, cap).toInt, idCol)
-      .select(array_to_vector(col(vecCol)).as("features"))
     // the id-prefix contract (dense positional ids) violated — e.g. sparse
     // composite ids — surfaces here as a degenerate sample; fail with the
-    // contract named instead of an obscure MLlib error downstream
+    // contract named instead of an obscure trainer error downstream
     val got = feat.count()
     require(got >= nlist,
       s"training sample has $got rows < nlist=$nlist: trainers contract on " +
         s"dense positional '$idCol' (SURVEY §1.1) — mint ids with " +
         "Ingest.withPositionalIds before indexing derived tables")
-    val init = if (nlist >= 256) "random" else "k-means||"
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .setInitMode(init)
-      .setFeaturesCol("features").fit(feat)
-    model.clusterCenters.map(_.toArray.map(_.toFloat))
+    Kmeans.fit(feat, nlist, seed, maxIter, vecCol = vecCol)
   }
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =

@@ -68,10 +68,29 @@ object TrainTune {
       assigned.unpersist()
     }
 
-    run("random_it10_full", "random", 10, ntrain)
-    run("random_it25_ppc64", "random", 25, nlist * 64)
+    def runGraft(tag: String, maxIter: Int): Unit = {
+      val t0 = System.nanoTime()
+      val cents = Ivf.train(base, nlist, ntrain, seed = 42L, maxIter = maxIter)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val assigned = Ivf.assign(base, cents).cache()
+      assigned.count()
+      val mse = holdout.select(
+        graft.functions.VectorFunctions.l2Sq(col("vec"),
+          element_at(typedLit(cents.map(_.toSeq).toSeq),
+            Ivf.nearestCentroid(col("vec"), cents) + 1)).as("d"))
+        .agg(avg("d")).collect()(0).getDouble(0)
+      def recall(np: Int): Double =
+        Ivf.meanRecall(Ivf.search(assigned, queries, cents, np, 10), gt, 10)
+          .collect()(0).getDouble(0)
+      val r4 = recall(4); val r8 = recall(8)
+      val sizes = assigned.groupBy("cluster_id").count()
+        .agg(max("count"), count(lit(1))).collect()(0)
+      println(f"[traintune] $tag%-28s ${sec}%7.1f s  mse=$mse%.5f  r@np4=$r4%.3f r@np8=$r8%.3f  maxlist=${sizes.getLong(0)} lists=${sizes.getLong(1)}")
+      assigned.unpersist()
+    }
+
+    runGraft("graft_lloyd_it25", 25)
     run("random_it25_full", "random", 25, ntrain)
-    run("kmeans||_it20_full(r7)", "k-means||", 20, ntrain)
     spark.stop()
   }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.ops.Kmeans
+
+/** The fused-SIMD Lloyd trainer behind Ivf.train (see Kmeans's Scaladoc):
+  * run-to-run determinism (the property the seeded index oracles contract
+  * on), no empty clusters after the FAISS-style re-seed, the norm-bound
+  * skip's exactness (same argmin as the unpruned rule), and k-means++
+  * seeding beating a uniform draw on spread-sensitive data.
+  */
+class KmeansSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  private def synth(n: Int, dim: Int, seed: Long) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    val centers = Array.fill(8)(Array.fill(dim)(rng.nextFloat() * 4 - 2))
+    (0 until n).map { i =>
+      val c = centers(i % 8)
+      c.map(x => x + (rng.nextFloat() - 0.5f) * 0.2f)
+    }.toDF("vec")
+  }
+
+  test("fit is deterministic run-to-run (bitwise centroids)") {
+    val df = synth(2000, 24, seed = 3)
+    val a = Kmeans.fit(df, k = 16, seed = 7L, maxIter = 5)
+    val b = Kmeans.fit(df, k = 16, seed = 7L, maxIter = 5)
+    assert(a.length == 16 && b.length == 16)
+    a.zip(b).foreach { case (ca, cb) =>
+      assert(ca.sameElements(cb), "same seed+input must give bitwise-equal centroids")
+    }
+    val c = Kmeans.fit(df, k = 16, seed = 8L, maxIter = 5)
+    assert(!a.zip(c).forall { case (x, y) => x.sameElements(y) },
+      "different seed should draw a different init")
+  }
+
+  test("clusters the planted mixture: low quantization error, no empties") {
+    import spark.implicits._
+    val df = synth(4000, 24, seed = 5).cache()
+    val cents = Kmeans.fit(df, k = 8, seed = 42L, maxIter = 10)
+    val rows = df.as[Array[Float]].collect()
+    val assign = rows.map { v =>
+      cents.zipWithIndex.minBy { case (c, _) =>
+        graft.functions.expressions.VectorKernels.l2Sq(v, c) }._2
+    }
+    assert(assign.distinct.length == 8, "an empty cluster survived training")
+    val mse = rows.zip(assign).map { case (v, a) =>
+      graft.functions.expressions.VectorKernels.l2Sq(v, cents(a)) }.sum / rows.length
+    // planted noise is U(-0.1, 0.1)^24: per-dim var 0.1^2/3 → mse ≈ 0.08.
+    // A collapsed/degenerate fit reads the between-center variance (≈ 4².)
+    assert(mse < 0.2, s"quantization error $mse says the mixture was not recovered")
+  }
+
+  test("k-means++ seeding spreads over a uniform draw (planted far cluster)") {
+    // 31 tight points + 1 far outlier cluster: uniform seeding misses the
+    // outlier with high probability; D² seeding must pick it
+    val pts = Array.fill(31)(Array.fill(8)(0.0f + util.Random.nextFloat() * 0.01f)) :+
+      Array.fill(8)(50.0f)
+    val picked = Kmeans.kmeansPlusPlus(pts, k = 2, seed = 1L)
+    assert(picked.exists(_.exists(_ > 25f)),
+      "k-means++ failed to seed the distant mass")
+  }
+}

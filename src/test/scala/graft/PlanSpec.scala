@@ -116,6 +116,10 @@ class PlanSpec extends AnyFunSuite {
     // Ivf/Pq/Opq train on filter(id < ntrain), not orderBy(id).limit —
     // the range predicate must reach the scan (row-group pruning at
     // 100 TB), and no global sort/TakeOrdered may appear.
+    // another suite in the shared session may have .cache()d this exact
+    // projection — the cache manager would then substitute an
+    // InMemoryRelation and hide the parquet scan this test inspects
+    spark.catalog.clearCache()
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val plan = graft.ops.Ivf.trainSample(base, 500, "id")
