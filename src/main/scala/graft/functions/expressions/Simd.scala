@@ -88,6 +88,56 @@ object Simd {
     s
   }
 
+  /** Four dots in one pass: a · qs(qoff+j) → out(j), j ∈ 0..3.
+    *
+    * The batched scan's memory shape: scoring Q queries per row re-streams
+    * the row once PER QUERY from cache; tiling 4 queries reuses each
+    * row chunk (and its F2D widening) from registers, cutting the row's
+    * load+convert traffic 4×. Each (row, query) pair still accumulates in
+    * its OWN lane pair in the identical order as [[dot]], so every output
+    * is bitwise equal to `dot(a, qs(qoff+j), n)` — SimdSpec gates it.
+    */
+  def dot4(a: Array[Float], qs: Array[Array[Float]], qoff: Int, n: Int,
+           out: Array[Double], ooff: Int): Unit = {
+    val q0 = qs(qoff); val q1 = qs(qoff + 1); val q2 = qs(qoff + 2); val q3 = qs(qoff + 3)
+    var a00 = DoubleVector.zero(DS); var a01 = DoubleVector.zero(DS)
+    var a10 = DoubleVector.zero(DS); var a11 = DoubleVector.zero(DS)
+    var a20 = DoubleVector.zero(DS); var a21 = DoubleVector.zero(DS)
+    var a30 = DoubleVector.zero(DS); var a31 = DoubleVector.zero(DS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      val va0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+      val va1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+      val v0 = FloatVector.fromArray(FS, q0, i)
+      a00 = va0.fma(v0.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a00)
+      a01 = va1.fma(v0.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a01)
+      val v1 = FloatVector.fromArray(FS, q1, i)
+      a10 = va0.fma(v1.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a10)
+      a11 = va1.fma(v1.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a11)
+      val v2 = FloatVector.fromArray(FS, q2, i)
+      a20 = va0.fma(v2.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a20)
+      a21 = va1.fma(v2.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a21)
+      val v3 = FloatVector.fromArray(FS, q3, i)
+      a30 = va0.fma(v3.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a30)
+      a31 = va1.fma(v3.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a31)
+      i += step
+    }
+    var s0 = a00.add(a01).reduceLanes(VectorOperators.ADD)
+    var s1 = a10.add(a11).reduceLanes(VectorOperators.ADD)
+    var s2 = a20.add(a21).reduceLanes(VectorOperators.ADD)
+    var s3 = a30.add(a31).reduceLanes(VectorOperators.ADD)
+    while (i < n) {
+      val ad = a(i).toDouble
+      s0 += ad * q0(i).toDouble; s1 += ad * q1(i).toDouble
+      s2 += ad * q2(i).toDouble; s3 += ad * q3(i).toDouble
+      i += 1
+    }
+    out(ooff) = s0; out(ooff + 1) = s1; out(ooff + 2) = s2; out(ooff + 3) = s3
+  }
+
   /** Sum of squares over the whole array (norm2 = sqrt of this). */
   def sumSq(a: Array[Float]): Double = {
     val n = a.length

@@ -90,6 +90,21 @@ class SimdSpec extends AnyFunSuite {
     assert(bySimd.toSeq == byScalar.toSeq)
   }
 
+  test("dot4 tile is bitwise-identical to four independent dots") {
+    (1 to 50).foreach { _ =>
+      val n = 16 + rng.nextInt(685)
+      val a = Array.fill(n)(rng.nextFloat() * 2 - 1)
+      val qs = Array.fill(6)(Array.fill(n)(rng.nextFloat() * 2 - 1))
+      val out = new Array[Double](4)
+      Simd.dot4(a, qs, 1, n, out, 0) // offset 1: exercises qoff
+      (0 until 4).foreach { j =>
+        assert(java.lang.Double.doubleToRawLongBits(out(j)) ==
+          java.lang.Double.doubleToRawLongBits(Simd.dot(a, qs(1 + j), n)),
+          s"pair $j diverged at n=$n")
+      }
+    }
+  }
+
   test("per-pair dotI8/dotHalf stay bit-identical to their batched hoists") {
     // dotI8/dotHalf route through the same widen/decode + dot shape as
     // BatchScore.scoresI8/scoresHalf — identity must hold with SIMD live.
