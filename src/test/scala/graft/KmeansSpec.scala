@@ -56,6 +56,20 @@ class KmeansSpec extends AnyFunSuite {
     assert(mse < 0.2, s"quantization error $mse says the mixture was not recovered")
   }
 
+  test("distributed large-k path (k >= 256) is deterministic and covers all clusters") {
+    import spark.implicits._
+    // n > 16384 forces the distributed Lloyd; k = 256 takes the
+    // content-hash uniform init — the exact path the 1M nlist=1024 build runs
+    val rng = new scala.util.Random(11)
+    val df = (0 until 20000).map(_ => Array.fill(12)(rng.nextFloat())).toDF("vec").cache()
+    val a = Kmeans.fit(df, k = 256, seed = 5L, maxIter = 3)
+    val b = Kmeans.fit(df, k = 256, seed = 5L, maxIter = 3)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) },
+      "distributed path not deterministic run-to-run")
+    assert(a.length == 256 && a.forall(_ != null))
+    df.unpersist()
+  }
+
   test("k-means++ seeding spreads over a uniform draw (planted far cluster)") {
     // 31 tight points + 1 far outlier cluster: uniform seeding misses the
     // outlier with high probability; D² seeding must pick it
