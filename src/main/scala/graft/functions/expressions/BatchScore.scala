@@ -52,21 +52,69 @@ object BatchScore {
     }
   }
 
+  /** Same tiling for squared L2 ([[Simd.l2Sq4]]). */
+  private def l2Into(x: Array[Float], queries: Array[Array[Float]],
+                     out: Array[Double]): Unit = {
+    val nq = queries.length
+    var q = 0
+    if (VectorKernels.simdEnabled && nq >= 4) {
+      val qdim = queries(0).length
+      val n = math.min(x.length, qdim)
+      var uniform = n >= 16
+      var i = 1
+      while (uniform && i < nq) { uniform = queries(i).length == qdim; i += 1 }
+      if (uniform) {
+        while (q + 4 <= nq) { Simd.l2Sq4(x, queries, q, n, out, q); q += 4 }
+      }
+    }
+    while (q < nq) { out(q) = VectorKernels.l2Sq(x, queries(q)); q += 1 }
+  }
+
   def scores(v: ArrayData, queries: Array[Array[Float]], metric: Int): ArrayData = {
     val x = v.toFloatArray()
     val out = new Array[Double](queries.length)
-    if (metric == MDot) dotsInto(x, queries, 1.0, out)
-    else {
-      var q = 0
-      while (q < queries.length) {
-        out(q) = metric match {
-          case ML2 => VectorKernels.l2Sq(x, queries(q))
-          case _ => VectorKernels.cosine(x, queries(q))
+    metric match {
+      case MDot => dotsInto(x, queries, 1.0, out)
+      case ML2 => l2Into(x, queries, out)
+      case _ =>
+        // cosine = dot / (‖x‖·‖q‖): the row norm hoists once per row, the
+        // query norms once per query BATCH ([[qnormsOf]] — they are
+        // call-invariant doubles, so hoisting cannot change a bit), and
+        // the division order matches VectorKernels.cosine exactly — each
+        // pair stays bitwise-identical to the per-pair kernel
+        dotsInto(x, queries, 1.0, out)
+        val nx = VectorKernels.norm2(x)
+        val nqs = qnormsOf(queries)
+        var q = 0
+        while (q < queries.length) {
+          out(q) = if (nx == 0.0 || nqs(q) == 0.0) 0.0 else out(q) / (nx * nqs(q))
+          q += 1
         }
-        q += 1
-      }
     }
     new GenericArrayData(out)
+  }
+
+  /** Per-batch query norms, keyed by the broadcast query matrix's identity.
+    * Weak keys: entries die with the codegen reference object, so a long
+    * session cycling many query batches cannot leak. A benign race may
+    * compute an entry twice; both copies are bitwise equal.
+    */
+  private val qnormCache = new java.util.WeakHashMap[Array[Array[Float]], Array[Double]]()
+  // one-entry volatile fast path: the hot loop calls once per ROW, and a
+  // scan serves one query batch at a time — the lock is for batch changes
+  @volatile private var qnormLast: (Array[Array[Float]], Array[Double]) = _
+  private def qnormsOf(queries: Array[Array[Float]]): Array[Double] = {
+    val last = qnormLast
+    if (last != null && (last._1 eq queries)) return last._2
+    qnormCache.synchronized {
+      var n = qnormCache.get(queries)
+      if (n == null) {
+        n = queries.map(VectorKernels.norm2)
+        qnormCache.put(queries, n)
+      }
+      qnormLast = (queries, n)
+      n
+    }
   }
 
   /** fp16 flavor: decode the row's half bits ONCE, then score all

@@ -138,6 +138,58 @@ object Simd {
     out(ooff) = s0; out(ooff + 1) = s1; out(ooff + 2) = s2; out(ooff + 3) = s3
   }
 
+  /** Four squared-L2 distances in one pass: ‖a − qs(qoff+j)‖² → out(j).
+    * Per-pair lane math identical to [[l2Sq]] (sub in double, `fma(d,d)`),
+    * same register-reuse rationale as [[dot4]]; SimdSpec gates the
+    * bitwise equality.
+    */
+  def l2Sq4(a: Array[Float], qs: Array[Array[Float]], qoff: Int, n: Int,
+            out: Array[Double], ooff: Int): Unit = {
+    val q0 = qs(qoff); val q1 = qs(qoff + 1); val q2 = qs(qoff + 2); val q3 = qs(qoff + 3)
+    var a00 = DoubleVector.zero(DS); var a01 = DoubleVector.zero(DS)
+    var a10 = DoubleVector.zero(DS); var a11 = DoubleVector.zero(DS)
+    var a20 = DoubleVector.zero(DS); var a21 = DoubleVector.zero(DS)
+    var a30 = DoubleVector.zero(DS); var a31 = DoubleVector.zero(DS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      val va0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+      val va1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+      val v0 = FloatVector.fromArray(FS, q0, i)
+      val d00 = va0.sub(v0.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d01 = va1.sub(v0.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a00 = d00.fma(d00, a00); a01 = d01.fma(d01, a01)
+      val v1 = FloatVector.fromArray(FS, q1, i)
+      val d10 = va0.sub(v1.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d11 = va1.sub(v1.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a10 = d10.fma(d10, a10); a11 = d11.fma(d11, a11)
+      val v2 = FloatVector.fromArray(FS, q2, i)
+      val d20 = va0.sub(v2.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d21 = va1.sub(v2.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a20 = d20.fma(d20, a20); a21 = d21.fma(d21, a21)
+      val v3 = FloatVector.fromArray(FS, q3, i)
+      val d30 = va0.sub(v3.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d31 = va1.sub(v3.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a30 = d30.fma(d30, a30); a31 = d31.fma(d31, a31)
+      i += step
+    }
+    var s0 = a00.add(a01).reduceLanes(VectorOperators.ADD)
+    var s1 = a10.add(a11).reduceLanes(VectorOperators.ADD)
+    var s2 = a20.add(a21).reduceLanes(VectorOperators.ADD)
+    var s3 = a30.add(a31).reduceLanes(VectorOperators.ADD)
+    while (i < n) {
+      val ad = a(i).toDouble
+      val e0 = ad - q0(i).toDouble; s0 += e0 * e0
+      val e1 = ad - q1(i).toDouble; s1 += e1 * e1
+      val e2 = ad - q2(i).toDouble; s2 += e2 * e2
+      val e3 = ad - q3(i).toDouble; s3 += e3 * e3
+      i += 1
+    }
+    out(ooff) = s0; out(ooff + 1) = s1; out(ooff + 2) = s2; out(ooff + 3) = s3
+  }
+
   /** Sum of squares over the whole array (norm2 = sqrt of this). */
   def sumSq(a: Array[Float]): Double = {
     val n = a.length

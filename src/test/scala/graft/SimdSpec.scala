@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.expressions.{Simd, VectorKernels}
+import graft.functions.expressions.{BatchScore, Simd, VectorKernels}
 
 /** The Vector-API SIMD kernels (`Simd`) vs their scalar definitions.
   *
@@ -102,6 +102,34 @@ class SimdSpec extends AnyFunSuite {
           java.lang.Double.doubleToRawLongBits(Simd.dot(a, qs(1 + j), n)),
           s"pair $j diverged at n=$n")
       }
+    }
+  }
+
+  test("l2Sq4 tile is bitwise-identical to four independent l2Sq") {
+    (1 to 50).foreach { _ =>
+      val n = 16 + rng.nextInt(685)
+      val a = Array.fill(n)(rng.nextFloat() * 2 - 1)
+      val qs = Array.fill(5)(Array.fill(n)(rng.nextFloat() * 2 - 1))
+      val out = new Array[Double](4)
+      Simd.l2Sq4(a, qs, 1, n, out, 0)
+      (0 until 4).foreach { j =>
+        assert(java.lang.Double.doubleToRawLongBits(out(j)) ==
+          java.lang.Double.doubleToRawLongBits(Simd.l2Sq(a, qs(1 + j), n)),
+          s"pair $j diverged at n=$n")
+      }
+    }
+  }
+
+  test("batched cosine with hoisted norms == per-pair cosine (bitwise)") {
+    val dim = 100
+    val x = Array.fill(dim)(rng.nextFloat() * 2 - 1)
+    val qs = Array.fill(7)(Array.fill(dim)(rng.nextFloat() * 2 - 1))
+    val got = BatchScore.scores(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(x), qs, BatchScore.MCos)
+    (0 until 7).foreach { j =>
+      assert(java.lang.Double.doubleToRawLongBits(got.getDouble(j)) ==
+        java.lang.Double.doubleToRawLongBits(VectorKernels.cosine(x, qs(j))),
+        s"cosine pair $j diverged")
     }
   }
 
