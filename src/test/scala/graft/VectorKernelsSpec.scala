@@ -120,4 +120,23 @@ class VectorKernelsSpec extends AnyFunSuite {
         s"batched=$batched per-pair=$perPair differ in bits")
     }
   }
+
+  test("argminL2 norm-bound skip never changes the assignment") {
+    // the lower bound |‖x‖−‖c‖| only SKIPS provably-worse centroids — the
+    // picked index must equal the unpruned brute argmin on any input,
+    // including adversarial near-ties
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.expressions.CentroidOps
+    val rng = new scala.util.Random(31)
+    (1 to 100).foreach { _ =>
+      val dim = 8 + rng.nextInt(40)
+      val cents = Array.fill(32)(Array.fill(dim)(rng.nextFloat() * 2 - 1))
+      // half the probes are jittered copies of a centroid: exact/near ties
+      val x =
+        if (rng.nextBoolean()) Array.fill(dim)(rng.nextFloat() * 2 - 1)
+        else cents(rng.nextInt(32)).map(f => f + (rng.nextFloat() - 0.5f) * 1e-3f)
+      val brute = cents.indices.minBy(c => (VectorKernels.l2Sq(x, cents(c)), c))
+      assert(CentroidOps.argminL2(new GenericArrayData(x), cents) == brute)
+    }
+  }
 }
