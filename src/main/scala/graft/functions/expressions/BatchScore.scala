@@ -70,27 +70,36 @@ object BatchScore {
     while (q < nq) { out(q) = VectorKernels.l2Sq(x, queries(q)); q += 1 }
   }
 
+  /** One row against the whole query matrix for any metric, tiled —
+    * shared by the codegen expression path and `Search.exactTopKFused`'s
+    * partition loop (both must produce bitwise-identical scores to the
+    * per-pair kernels; the fused/batched/BNLJ 3-path equality in
+    * ScaleSpec rides on it). `out` is caller-allocated so the fused loop
+    * can reuse one buffer across rows.
+    */
+  def scoreAll(x: Array[Float], queries: Array[Array[Float]], metric: Int,
+               out: Array[Double]): Unit = metric match {
+    case MDot => dotsInto(x, queries, 1.0, out)
+    case ML2 => l2Into(x, queries, out)
+    case _ =>
+      // cosine = dot / (‖x‖·‖q‖): the row norm hoists once per row, the
+      // query norms once per query BATCH ([[qnormsOf]] — they are
+      // call-invariant doubles, so hoisting cannot change a bit), and
+      // the division order matches VectorKernels.cosine exactly — each
+      // pair stays bitwise-identical to the per-pair kernel
+      dotsInto(x, queries, 1.0, out)
+      val nx = VectorKernels.norm2(x)
+      val nqs = qnormsOf(queries)
+      var q = 0
+      while (q < queries.length) {
+        out(q) = if (nx == 0.0 || nqs(q) == 0.0) 0.0 else out(q) / (nx * nqs(q))
+        q += 1
+      }
+  }
+
   def scores(v: ArrayData, queries: Array[Array[Float]], metric: Int): ArrayData = {
-    val x = v.toFloatArray()
     val out = new Array[Double](queries.length)
-    metric match {
-      case MDot => dotsInto(x, queries, 1.0, out)
-      case ML2 => l2Into(x, queries, out)
-      case _ =>
-        // cosine = dot / (‖x‖·‖q‖): the row norm hoists once per row, the
-        // query norms once per query BATCH ([[qnormsOf]] — they are
-        // call-invariant doubles, so hoisting cannot change a bit), and
-        // the division order matches VectorKernels.cosine exactly — each
-        // pair stays bitwise-identical to the per-pair kernel
-        dotsInto(x, queries, 1.0, out)
-        val nx = VectorKernels.norm2(x)
-        val nqs = qnormsOf(queries)
-        var q = 0
-        while (q < queries.length) {
-          out(q) = if (nx == 0.0 || nqs(q) == 0.0) 0.0 else out(q) / (nx * nqs(q))
-          q += 1
-        }
-    }
+    scoreAll(v.toFloatArray(), queries, metric, out)
     new GenericArrayData(out)
   }
 

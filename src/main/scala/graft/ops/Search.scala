@@ -100,7 +100,6 @@ object Search {
                      metric: Metric = Metric.Dot,
                      idCol: String = "id", vecCol: String = "vec",
                      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    import graft.functions.expressions.VectorKernels
     val (qids, qvecs) = collectQueries(queries, qidCol, qvecCol)
     val larger = metric.larger
     val mcode = metric match {
@@ -115,16 +114,16 @@ object Search {
       .mapPartitions { it =>
         val agg = new TopKAggregator(k, larger)
         val bufs = Array.fill(qids.length)(agg.zero)
+        // one reused score buffer per partition; scoreAll register-tiles
+        // 4 queries per row pass and stays bitwise-equal to the per-pair
+        // kernels, so the 3-path equality gate (ScaleSpec) is unaffected
+        val row = new Array[Double](qvecs.length)
         while (it.hasNext) {
           val (id, v) = it.next()
+          graft.functions.expressions.BatchScore.scoreAll(v, qvecs, mcode, row)
           var q = 0
           while (q < qvecs.length) {
-            val s = mcode match {
-              case 0 => VectorKernels.dot(v, qvecs(q))
-              case 1 => VectorKernels.l2Sq(v, qvecs(q))
-              case _ => VectorKernels.cosine(v, qvecs(q))
-            }
-            agg.consider(bufs(q), id, s)
+            agg.consider(bufs(q), id, row(q))
             q += 1
           }
         }
