@@ -159,7 +159,7 @@ object Ivf {
     } finally out.close()
   }
 
-  private[ops] def loadMatrix(file: String): Option[Array[Array[Float]]] =
+  private[graft] def loadMatrix(file: String): Option[Array[Array[Float]]] =
     if (!new java.io.File(file).isFile) None
     else {
       val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
@@ -182,9 +182,10 @@ object Ivf {
                  cacheKey: String, nlist: Int, ntrain: Int,
                  seed: Long = 42L,
                  onPhase: (String, Double) => Unit = (_, _) => ()): Index = {
-    // "t2" versions the trainer (random init + bounded iterations): cached
-    // artifacts from the k-means|| trainer must miss, not serve silently
-    val key = s"$cacheKey|$nlist|$ntrain|$seed|t2"
+    // "t3" versions the trainer (the graft fused-SIMD Lloyd, hash-draw /
+    // nredo init): cached artifacts from an older trainer must MISS, not
+    // serve silently — bump this tag whenever trainer semantics change
+    val key = s"$cacheKey|$nlist|$ntrain|$seed|t3"
     indexCache.computeIfAbsent(key, _ => {
       val path = s"target/ivf_cache/${cacheDigest(key)}"
       val centFile = s"$path.centroids.bin"
