@@ -107,23 +107,66 @@ object BatchScore {
     * Weak keys: entries die with the codegen reference object, so a long
     * session cycling many query batches cannot leak. A benign race may
     * compute an entry twice; both copies are bitwise equal.
+    *
+    * The fast path is a PER-THREAD last-entry pair (not a shared volatile):
+    * two concurrent jobs scoring different query batches in one executor
+    * each keep their own hot entry instead of ping-ponging a global one
+    * into per-row lock traffic, and a dead batch's strong reference dies
+    * with the task thread's next batch rather than pinning the WeakHashMap
+    * entry forever.
     */
   private val qnormCache = new java.util.WeakHashMap[Array[Array[Float]], Array[Double]]()
-  // one-entry volatile fast path: the hot loop calls once per ROW, and a
-  // scan serves one query batch at a time — the lock is for batch changes
-  @volatile private var qnormLast: (Array[Array[Float]], Array[Double]) = _
+  private val qnormLast =
+    new ThreadLocal[(Array[Array[Float]], Array[Double])]()
   private def qnormsOf(queries: Array[Array[Float]]): Array[Double] = {
-    val last = qnormLast
+    val last = qnormLast.get()
     if (last != null && (last._1 eq queries)) return last._2
-    qnormCache.synchronized {
-      var n = qnormCache.get(queries)
-      if (n == null) {
-        n = queries.map(VectorKernels.norm2)
-        qnormCache.put(queries, n)
+    val n = qnormCache.synchronized {
+      var got = qnormCache.get(queries)
+      if (got == null) {
+        got = queries.map(VectorKernels.norm2)
+        qnormCache.put(queries, got)
       }
-      qnormLast = (queries, n)
-      n
+      got
     }
+    qnormLast.set((queries, n))
+    n
+  }
+
+  /** Per-thread reusable decode buffer for the half/int8 row hoists: the
+    * batched scans call these once per BASE ROW, and a fresh
+    * `Array[Float](dim)` per row put ~1.5 GB of allocation churn on the 1M
+    * × 384d scan — the dominant non-bandwidth cost the r8 verdict flagged
+    * (i8 margin 1.22× vs the 1.85× stored-bytes prediction). All rows of
+    * one scan share a dim, so each task thread allocates exactly once.
+    * Safe: the buffer never escapes a single `scoreAll` call.
+    */
+  private val decodeBuf = new ThreadLocal[Array[Float]]()
+  private def bufOf(n: Int): Array[Float] = {
+    var b = decodeBuf.get()
+    if (b == null || b.length != n) { b = new Array[Float](n); decodeBuf.set(b) }
+    b
+  }
+
+  /** fp16 row → all-query dot scores into caller-owned `out` (decode
+    * rides the thread-local buffer; shared by the codegen expression and
+    * the fused partition scan).
+    */
+  def scoreAllHalf(h: Array[Short], queries: Array[Array[Float]],
+                   out: Array[Double]): Unit = {
+    val x = bufOf(h.length)
+    var i = 0
+    while (i < h.length) { x(i) = VectorKernels.halfToFloat(h(i)); i += 1 }
+    dotsInto(x, queries, 1.0, out)
+  }
+
+  /** int8+scale row → all-query dequantized dot scores into `out`. */
+  def scoreAllI8(c: Array[Byte], scale: Float, queries: Array[Array[Float]],
+                 out: Array[Double]): Unit = {
+    val x = bufOf(c.length)
+    var i = 0
+    while (i < c.length) { x(i) = c(i).toFloat; i += 1 }
+    dotsInto(x, queries, scale.toDouble, out)
   }
 
   /** fp16 flavor: decode the row's half bits ONCE, then score all
@@ -131,12 +174,8 @@ object BatchScore {
     * accumulation order).
     */
   def scoresHalf(bits: ArrayData, queries: Array[Array[Float]]): ArrayData = {
-    val h = bits.toShortArray()
-    val x = new Array[Float](h.length)
-    var i = 0
-    while (i < h.length) { x(i) = VectorKernels.halfToFloat(h(i)); i += 1 }
     val out = new Array[Double](queries.length)
-    dotsInto(x, queries, 1.0, out)
+    scoreAllHalf(bits.toShortArray(), queries, out)
     new GenericArrayData(out)
   }
 
@@ -153,12 +192,8 @@ object BatchScore {
     */
   def scoresI8(codes: ArrayData, scale: Float,
                queries: Array[Array[Float]]): ArrayData = {
-    val c = codes.toByteArray()
-    val x = new Array[Float](c.length)
-    var i = 0
-    while (i < c.length) { x(i) = c(i).toFloat; i += 1 }
     val out = new Array[Double](queries.length)
-    dotsInto(x, queries, scale.toDouble, out)
+    scoreAllI8(codes.toByteArray(), scale, queries, out)
     new GenericArrayData(out)
   }
 }

@@ -18,34 +18,53 @@ object CentroidOps {
 
   /** Per-matrix centroid norms, keyed by the broadcast reference object's
     * identity (same pattern as BatchScore's query-norm cache): weak keys
-    * die with the codegen reference, the volatile pair serves the hot
-    * loop without a lock, and a benign race recomputes bitwise-equal
-    * doubles.
+    * die with the codegen reference, a PER-THREAD last-entry pair serves
+    * the hot loop without a lock (and without cross-job ping-pong when two
+    * scans use different matrices), and a benign race recomputes
+    * bitwise-equal doubles.
     */
   private val normCache = new java.util.WeakHashMap[Array[Array[Float]], Array[Double]]()
-  @volatile private var normLast: (Array[Array[Float]], Array[Double]) = _
+  private val normLast =
+    new ThreadLocal[(Array[Array[Float]], Array[Double])]()
   private def normsOf(cs: Array[Array[Float]]): Array[Double] = {
-    val last = normLast
+    val last = normLast.get()
     if (last != null && (last._1 eq cs)) return last._2
-    normCache.synchronized {
-      var n = normCache.get(cs)
-      if (n == null) {
-        n = cs.map(VectorKernels.norm2)
-        normCache.put(cs, n)
+    val n = normCache.synchronized {
+      var got = normCache.get(cs)
+      if (got == null) {
+        got = cs.map(VectorKernels.norm2)
+        normCache.put(cs, got)
       }
-      normLast = (cs, n)
-      n
+      got
     }
+    normLast.set((cs, n))
+    n
   }
+
+  /** Relative slack on the norm-bound prune: the bound ‖x−c‖ ≥ |‖x‖−‖c‖|
+    * is exact in real arithmetic but checked with ROUNDED norms (SIMD
+    * sumSq + sqrt), so a degenerate near-collinear near-tie could see the
+    * computed gap² land a few ulps above bestDist while the full kernel
+    * would have come in just under it. Shrinking gap² by 1e-9 relative
+    * covers every realistic rounding of the two norms (error ~1e-15
+    * relative each) at zero measurable pruning cost; the same constant is
+    * used by `Kmeans.nearestBounded` so train/serve assignment stays
+    * consistent. A wrong skip would now need the norm-difference
+    * cancellation to lose >1e-9 relative — only possible when an
+    * almost-exact duplicate centroid is simultaneously within ~1e-9
+    * relative of the pruned one's norm gap, i.e. far beyond any float
+    * input this engine can represent distinctly.
+    */
+  final val PruneSlack = 1.0 - 1e-9
 
   /** Index of the L2-nearest centroid, with the norm lower-bound skip
     * (‖x−c‖ ≥ |‖x‖−‖c‖|): a centroid whose norm gap already exceeds the
-    * best distance so far is provably not the argmin, so the skip can
-    * NEVER change the assignment — it only cuts the kernel evals ~8× on
-    * clusterable data (the 1M×nlist=1024 assign pass measured 15.7 s
-    * without it; the same bound inside `Kmeans` cut its iteration 8×).
-    * Ties keep the lowest index via strict `<`, matching `Kmeans`'s
-    * training-time rule.
+    * best distance so far cannot win the argmin, so the skip does not
+    * change the assignment (up to the [[PruneSlack]]-covered FP caveat) —
+    * it only cuts the kernel evals ~8× on clusterable data (the
+    * 1M×nlist=1024 assign pass measured 15.7 s without it; the same bound
+    * inside `Kmeans` cut its iteration 8×). Ties keep the lowest index
+    * via strict `<`, matching `Kmeans`'s training-time rule.
     */
   def argminL2(v: ArrayData, centroids: Array[Array[Float]]): Int = {
     val x = v.toFloatArray()
@@ -56,7 +75,7 @@ object CentroidOps {
     var c = 0
     while (c < centroids.length) {
       val gap = xn - norms(c)
-      if (gap * gap < bestDist) {
+      if (gap * gap * PruneSlack < bestDist) {
         val d = VectorKernels.l2Sq(x, centroids(c))
         if (d < bestDist) { bestDist = d; best = c }
       }

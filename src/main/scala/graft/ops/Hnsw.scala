@@ -441,6 +441,53 @@ object Hnsw {
     TopK.perGroup(scored, "qid", "id", "score", k, metric.larger)
   }
 
+  /** In-process serving call for a JVM that holds the shard graphs (the
+    * driver in local mode; an executor-embedded server at scale): search
+    * the cached graphs DIRECTLY, no Spark job at all. This is the honest
+    * answer to the single-query latency floor — `searchWarm`'s per-query
+    * cost at 1M×384d is ~0.26 s of which the graph work is microseconds
+    * (evals/query says so); the rest is job launch + task scheduling,
+    * which Spark pays per QUERY BATCH, not per query. A serving deployment
+    * amortizes it by batching (the ann_hnsw_batch point) or by calling the
+    * graphs in-process like this. Results are identical to a
+    * routeProbe=0 [[searchWarm]] over the same graphs: same beam search,
+    * same [[TopKAggregator]] tie-break on the merge (HnswSpec gates it).
+    *
+    * Returns (id, score) rows, best-first, ≤ k.
+    */
+  def searchLocal(qvec: Array[Float], cacheKey: String, nShards: Int, k: Int,
+                  metric: Metric = Metric.Dot, m: Int = 16,
+                  efConstruction: Int = 100, efSearch: Int = 64,
+                  seed: Long = 42L,
+                  centroids: Array[Array[Float]] = null,
+                  routeProbe: Int = 0): Array[(Long, Double)] = {
+    val dim = qvec.length
+    val group = shardGroupIfPresent(cacheKey).getOrElse(
+      throw new IllegalStateException(
+        s"no warmed hnsw graphs under '$cacheKey' in this JVM — " +
+          "searchLocal serves a colocated cache only"))
+    val probed: Set[Int] =
+      if (centroids == null || routeProbe <= 0) (0 until nShards).toSet
+      else {
+        // same selection kernel as the distributed router
+        val picked = graft.functions.expressions.CentroidOps.topNprobe(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(qvec),
+          centroids, routeProbe)
+        (0 until picked.numElements()).map(picked.getInt).toSet
+      }
+    val agg = new TopKAggregator(k, metric.larger)
+    val buf = agg.zero
+    probed.toArray.sorted.foreach { shard =>
+      val key = s"$cacheKey|$shard|$dim|$m|$efConstruction|$seed|$metric"
+      val g = group.get(key)
+      require(g != null,
+        s"no warmed hnsw graph for shard $shard under '$cacheKey'")
+      g.search(qvec, k, efSearch).foreach { case (id, s) => agg.consider(buf, id, s) }
+    }
+    (0 until buf.n).map(i => (buf.ids(i), buf.scores(i))).toArray
+      .sortBy { case (id, s) => (if (metric.larger) -s else s, id) }
+  }
+
   /** Shared core: repartition to co-locate shards, build-or-fetch each
     * shard's graph in its task, search the broadcast query batch, merge
     * per-shard top-k map-side.

@@ -68,7 +68,9 @@ object Ivf {
       s"training sample has $got rows < nlist=$nlist: trainers contract on " +
         s"dense positional '$idCol' (SURVEY §1.1) — mint ids with " +
         "Ingest.withPositionalIds before indexing derived tables")
-    Kmeans.fit(feat, nlist, seed, maxIter, vecCol = vecCol)
+    // coarse-quantizer restarts select by the retrieval-recall proxy, not
+    // quantization error (see Kmeans.localFit's selection rationale)
+    Kmeans.fit(feat, nlist, seed, maxIter, vecCol = vecCol, selectByRecall = true)
   }
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
@@ -182,10 +184,10 @@ object Ivf {
                  cacheKey: String, nlist: Int, ntrain: Int,
                  seed: Long = 42L,
                  onPhase: (String, Double) => Unit = (_, _) => ()): Index = {
-    // "t3" versions the trainer (the graft fused-SIMD Lloyd, hash-draw /
+    // "t4" versions the trainer (the graft fused-SIMD Lloyd, hash-draw /
     // nredo init): cached artifacts from an older trainer must MISS, not
     // serve silently — bump this tag whenever trainer semantics change
-    val key = s"$cacheKey|$nlist|$ntrain|$seed|t3"
+    val key = s"$cacheKey|$nlist|$ntrain|$seed|t4"
     indexCache.computeIfAbsent(key, _ => {
       val path = s"target/ivf_cache/${cacheDigest(key)}"
       val centFile = s"$path.centroids.bin"

@@ -27,11 +27,15 @@ import graft.functions.expressions.VectorKernels
   *
   * Scale shape: cost is sample-bound (corpus-independent — [[Ivf.train]]
   * caps the sample at nlist × maxPointsPerCentroid like FAISS), and the
-  * sample is coalesced to ≤ `maxParts` partitions so the driver-side
-  * ordered combine moves ≤ maxParts × k × dim × 8 B per iteration —
-  * bounded regardless of cluster size. Per-iteration partials beat a
-  * treeAggregate here precisely because tree combine order is
-  * scheduling-dependent, which would break run-to-run determinism.
+  * sample is coalesced to ≤ `maxParts` partitions. Past `combineGroupSize`
+  * partitions the ordered combine goes TWO-LEVEL: fixed groups of
+  * consecutive partitions left-fold on executors (one partial shuffle),
+  * the driver folds only the per-group results — per-iteration driver
+  * traffic is ⌈numParts/8⌉ × k × dim × 8 B instead of numParts×, which at
+  * nlist=4096 is the difference between ~25 MB and ~150+ MB per iteration.
+  * A treeAggregate would cut the same traffic but its combine order is
+  * scheduling-dependent, which would break run-to-run determinism; the
+  * fixed group tree here is a pure function of the partition layout.
   */
 object Kmeans {
 
@@ -52,7 +56,7 @@ object Kmeans {
     */
   def fit(sample: DataFrame, k: Int, seed: Long, maxIter: Int = 25,
           tol: Double = 1e-4, vecCol: String = "vec",
-          maxParts: Int = 64): Array[Array[Float]] = {
+          maxParts: Int = 64, selectByRecall: Boolean = false): Array[Array[Float]] = {
     val spark = sample.sparkSession
     import spark.implicits._
     val rdd0 = sample.select(col(vecCol)).as[Array[Float]].rdd
@@ -87,7 +91,7 @@ object Kmeans {
         // content-hash sort: the collected order (and with it the ++ draw)
         // must not depend on the partition layout either
         return localFit(rdd.collect().sortBy(contentHash64),
-          k, dim, seed, maxIter, tol, nredo = 4)
+          k, dim, seed, maxIter, tol, nredo = localNredo, selectByRecall)
 
       var cents: Array[Array[Float]] =
         if (k >= 256) hashDraw(k)
@@ -97,12 +101,13 @@ object Kmeans {
           kmeansPlusPlus(
             hashDraw(math.min(n, math.max(k.toLong * 40, 4096L)).toInt), k, seed)
 
+      val numParts = rdd.getNumPartitions
       var iter = 0
       var moved = Double.MaxValue
       while (iter < maxIter && moved > tol) {
         val tIter = System.nanoTime()
         val bc = spark.sparkContext.broadcast(cents)
-        val partials = rdd
+        val partialsRdd = rdd
           .mapPartitionsWithIndex { (pid, it) =>
             val cs = bc.value
             // norm lower bound (MLlib's findClosest pruning): for L2,
@@ -121,13 +126,45 @@ object Kmeans {
               val off = c * dim
               while (i < dim) { sums(off + i) += v(i); i += 1 }
             }
-            Iterator.single((pid, sums, counts))
+            Iterator.single((pid, (sums, counts)))
           }
-          .collect()
-          .sortBy(_._1) // partition-ordered combine: deterministic floats
+        // Ordered combine, two-level past `combineGroupSize` partitions:
+        // fixed groups of CONSECUTIVE partitions left-fold in ascending
+        // pid order on executors (one shuffle of the partials), and the
+        // driver left-folds only the per-group results in ascending group
+        // order — determinism is unchanged (the association tree is a
+        // pure function of numParts and groupSize, never of scheduling)
+        // while per-iteration driver traffic drops from numParts×k×dim×8 B
+        // to nGroups×k×dim×8 B. Flat collect below the threshold keeps
+        // fixture-scale training byte-identical to the r8 trainer.
+        val partials: Array[(Int, (Array[Double], Array[Long]))] =
+          if (numParts <= combineGroupSize) partialsRdd.collect()
+          else {
+            val nGroups = (numParts + combineGroupSize - 1) / combineGroupSize
+            partialsRdd
+              .repartitionAndSortWithinPartitions(
+                new GroupPartitioner(nGroups, combineGroupSize))
+              .mapPartitions { it =>
+                var gid = -1
+                var acc: (Array[Double], Array[Long]) = null
+                it.foreach { case (pid, (s, c)) =>
+                  gid = pid / combineGroupSize
+                  if (acc == null) acc = (s, c)
+                  else {
+                    var i = 0
+                    while (i < acc._1.length) { acc._1(i) += s(i); i += 1 }
+                    var j = 0
+                    while (j < acc._2.length) { acc._2(j) += c(j); j += 1 }
+                  }
+                }
+                if (acc == null) Iterator.empty else Iterator.single((gid, acc))
+              }
+              .collect()
+          }
+        val sorted = partials.sortBy(_._1)
         val sums = new Array[Double](k * dim)
         val counts = new Array[Long](k)
-        partials.foreach { case (_, s, c) =>
+        sorted.foreach { case (_, (s, c)) =>
           var i = 0
           while (i < sums.length) { sums(i) += s(i); i += 1 }
           var j = 0
@@ -160,6 +197,35 @@ object Kmeans {
 
   private val verbose = java.lang.Boolean.getBoolean("graft.kmeans.log")
 
+  /** Restart budget for the small-sample driver-local path (FAISS nredo
+    * semantics). Overridable for calibration runs (`-Dgraft.kmeans.nredo`).
+    */
+  private def localNredo: Int =
+    math.max(1, Integer.getInteger("graft.kmeans.nredo", 4))
+
+  /** Partition-group width for the two-level combine: past this many
+    * sample partitions, consecutive-pid groups fold on executors first.
+    * 8 keeps the fixture/sf paths (≤ a dozen splits) mostly on the flat
+    * combine while cutting the 64-partition worst case's driver traffic
+    * 8× (the r8 verdict's "next wall on the train path").
+    */
+  private val combineGroupSize = 8
+
+  /** Maps partial key `pid` to partition `pid / groupSize` — consecutive
+    * source partitions land (sorted) in one combine task.
+    */
+  private final class GroupPartitioner(val nGroups: Int, val groupSize: Int)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = nGroups
+    override def getPartition(key: Any): Int = key.asInstanceOf[Int] / groupSize
+    override def equals(o: Any): Boolean = o match {
+      case g: GroupPartitioner =>
+        g.numPartitions == nGroups && g.groupSize == groupSize
+      case _ => false
+    }
+    override def hashCode: Int = 31 * nGroups + groupSize
+  }
+
   /** FNV-1a over the float bit patterns — a driver-side stand-in for the
     * seeded xxhash64 content draw, used only to fix the local-path point
     * order independently of partition layout.
@@ -177,14 +243,58 @@ object Kmeans {
   }
 
   /** Driver-local Lloyd with FAISS-nredo restarts for small samples: full
-    * k-means from `nredo` k-means++ seedings, keeping the run with the
-    * lowest total quantization error. Same assignment rule, empty-cluster
-    * policy, and tol stop as the distributed path.
+    * k-means from `nredo` k-means++ seedings. Same assignment rule,
+    * empty-cluster policy, and tol stop as the distributed path.
+    *
+    * Restart SELECTION depends on what the centroids are for:
+    *  - `selectByRecall = false` (PQ/OPQ sub-codebooks): lowest total
+    *    quantization error — reconstruction MSE is exactly what ADC
+    *    scoring pays, FAISS's own criterion.
+    *  - `selectByRecall = true` (the IVF coarse quantizer, via
+    *    [[Ivf.train]]): highest retrieval-recall PROXY. At fixture sizes
+    *    the MSE-optimal partition is measurably NOT the probe-recall-
+    *    optimal one (r8 measured: graft MSE 0.8819 < MLlib 0.8943 yet
+    *    probe recall 0.66 < 0.76 — cells that cut through query
+    *    neighborhoods can still quantize well). The proxy asks the
+    *    index's own question: for a deterministic pseudo-query subset of
+    *    the sample, what fraction of each point's true top-k neighbors
+    *    land in the point's ⌈k/4⌉ nearest cells? Ties fall back to lower
+    *    quantization error, then lower restart index — fully
+    *    deterministic.
     */
   private[graft] def localFit(pts: Array[Array[Float]], k: Int, dim: Int,
                               seed: Long, maxIter: Int, tol: Double,
-                              nredo: Int): Array[Array[Float]] = {
+                              nredo: Int,
+                              selectByRecall: Boolean = false): Array[Array[Float]] = {
+    // proxy ground truth once per call (restart-independent): true top-k
+    // neighbors of the first nq points in content-hash order
+    val nq = if (selectByRecall) math.min(64, pts.length) else 0
+    val gtK = math.min(10, math.max(1, pts.length - 1))
+    val proxyGt: Array[Array[Int]] =
+      if (!selectByRecall) null
+      else Array.tabulate(nq) { qi =>
+        val q = pts(qi)
+        val d = Array.tabulate(pts.length)(i => VectorKernels.l2Sq(q, pts(i)))
+        pts.indices.filter(_ != qi).sortBy(i => (d(i), i)).take(gtK).toArray
+      }
+    def proxyRecall(cents: Array[Array[Float]]): Double = {
+      val cnorms = cents.map(VectorKernels.norm2)
+      val assign = pts.map(nearestBounded(_, cents, cnorms))
+      val np = math.max(1, cents.length / 4)
+      var hits = 0
+      var qi = 0
+      while (qi < nq) {
+        val q = pts(qi)
+        val probed = cents.indices
+          .sortBy(c => (VectorKernels.l2Sq(q, cents(c)), c)).take(np).toSet
+        hits += proxyGt(qi).count(g => probed.contains(assign(g)))
+        qi += 1
+      }
+      hits.toDouble / math.max(nq * gtK, 1)
+    }
+
     var bestErr = Double.MaxValue
+    var bestRecall = -1.0
     var best: Array[Array[Float]] = null
     var r = 0
     while (r < nredo) {
@@ -227,17 +337,23 @@ object Kmeans {
       pts.foreach { v =>
         err += VectorKernels.l2Sq(v, cents(nearestBounded(v, cents, cnorms)))
       }
-      if (verbose) println(f"[kmeans] local redo $r err=$err%.4f")
-      if (err < bestErr) { bestErr = err; best = cents }
+      val rec = if (selectByRecall) proxyRecall(cents) else 0.0
+      if (verbose) println(f"[kmeans] local redo $r err=$err%.4f proxy_recall=$rec%.4f")
+      val wins =
+        if (selectByRecall) rec > bestRecall || (rec == bestRecall && err < bestErr)
+        else err < bestErr
+      if (wins) { bestErr = err; bestRecall = rec; best = cents }
       r += 1
     }
     best
   }
 
-  /** Index of the L2-nearest centroid with the norm lower-bound skip.
-    * Ties (including bound-ineligible exact ties) resolve to the lowest
-    * index via strict `<`, the same rule as `CentroidOps.argminL2`, so
-    * training-time and serving-time assignment can never disagree.
+  /** Index of the L2-nearest centroid with the norm lower-bound skip
+    * (shrunk by `CentroidOps.PruneSlack` — the FP-rounding caveat on the
+    * real-arithmetic bound, documented there). Ties (including
+    * bound-ineligible exact ties) resolve to the lowest index via strict
+    * `<`, the same rule as `CentroidOps.argminL2`, so training-time and
+    * serving-time assignment can never disagree.
     */
   private def nearestBounded(v: Array[Float], cs: Array[Array[Float]],
                              cnorms: Array[Double]): Int = {
@@ -247,7 +363,7 @@ object Kmeans {
     var c = 0
     while (c < cs.length) {
       val gap = vn - cnorms(c)
-      if (gap * gap < bestD) {
+      if (gap * gap * graft.functions.expressions.CentroidOps.PruneSlack < bestD) {
         val d = VectorKernels.l2Sq(v, cs(c))
         if (d < bestD) { bestD = d; best = c }
       }
@@ -258,8 +374,12 @@ object Kmeans {
 
   /** FAISS `Clustering.cpp` empty-cluster policy, re-expressed: an empty
     * cluster re-seeds from the LARGEST cluster's centroid, nudged by a
-    * seeded ±1e-3 relative perturbation so the pair separates on the next
-    * assignment pass. Deterministic: largest-count tie-breaks to the
+    * seeded ADDITIVE perturbation (per-dimension ± an epsilon scaled to
+    * the centroid's RMS component, floored) so the pair separates on the
+    * next assignment pass. Additive, not multiplicative: a relative nudge
+    * is a no-op on zero components, and a zero-vector centroid (plausible
+    * for centered/sparse data) would leave an exact duplicate pair that
+    * never separates. Deterministic: largest-count tie-breaks to the
     * lowest index and the perturbation RNG is seeded per (seed, slot).
     */
   private def reseedEmpties(cents: Array[Array[Float]], counts: Array[Long],
@@ -273,7 +393,11 @@ object Kmeans {
         val src = cents(big)
         require(src != null, "k-means degenerate: every cluster empty")
         val rng = new scala.util.Random(seed ^ (c.toLong << 17))
-        cents(c) = src.map(x => x * (1f + (rng.nextFloat() - 0.5f) * 2e-3f))
+        // RMS component of the source centroid, floored so an all-zero
+        // centroid still moves; 1e-3 of it matches the old relative scale
+        val rms = VectorKernels.norm2(src) / math.sqrt(math.max(src.length, 1))
+        val eps = (math.max(rms, 1e-4) * 1e-3).toFloat
+        cents(c) = src.map(x => x + (rng.nextFloat() - 0.5f) * 2f * eps)
       }
       c += 1
     }

@@ -179,6 +179,72 @@ object Search {
       posexplode(scores).as(Seq("qpos", "score"))), qids, k, larger = true, qidCol)
   }
 
+  /** Fused flavors of the quantized scans — [[exactTopKFused]]'s shape
+    * (per-partition K2 top-k buffers inside the scan loop, no Q×N
+    * exploded stream through an aggregate) over the F2/F3 kernels. The
+    * scoring is the SAME `BatchScore.scoreAllHalf`/`scoreAllI8` row hoist
+    * the codegen expressions call, so scores are bitwise-identical to the
+    * batched flavors (QuantScanSpec gates equality); what changes is only
+    * the plan shape around them. This is the operating point where the
+    * reference's storage-ladder economics actually emerge: once the
+    * per-pair row materialization is gone, wall time tracks stored
+    * bytes/vector (f32 > f16 > i8, `Performance.md:242-255`).
+    */
+  def exactTopKFusedHalf(hbase: DataFrame, queries: DataFrame, k: Int,
+                         idCol: String = "id", bitsCol: String = "hbits",
+                         qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.expressions.BatchScoresHalf
+    val (qids, qvecs) = collectQueries(queries, qidCol, qvecCol)
+    val scores = Bridge.column(BatchScoresHalf(Bridge.expression(col(bitsCol)), qvecs))
+    fusedScoredTopK(hbase.select(col(idCol).cast("long"), scores.as("scores")),
+      qids, k, qidCol)
+  }
+
+  /** Fused int8+scale scan — see [[exactTopKFusedHalf]]. */
+  def exactTopKFusedI8(qbase: DataFrame, queries: DataFrame, k: Int,
+                       idCol: String = "id", codesCol: String = "codes",
+                       scaleCol: String = "scale",
+                       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.expressions.BatchScoresI8
+    val (qids, qvecs) = collectQueries(queries, qidCol, qvecCol)
+    val scores = Bridge.column(BatchScoresI8(
+      Bridge.expression(col(codesCol)), Bridge.expression(col(scaleCol)), qvecs))
+    fusedScoredTopK(qbase.select(col(idCol).cast("long"), scores.as("scores")),
+      qids, k, qidCol)
+  }
+
+  /** Per-partition top-k over (id, scores-per-query) rows: the decode +
+    * multi-query scoring stays in whole-stage codegen (the batch
+    * expressions above), and only the K2 buffers live in this imperative
+    * tail — each partition emits Q×k rows instead of the Q×N posexplode
+    * stream the batched flavors feed through the aggregate.
+    */
+  private def fusedScoredTopK(scored: DataFrame, qids: Array[Long], k: Int,
+                              qidCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val nq = qids.length
+    val partials = scored
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val agg = new TopKAggregator(k, larger = true)
+        val bufs = Array.fill(nq)(agg.zero)
+        while (it.hasNext) {
+          val (id, row) = it.next()
+          var q = 0
+          while (q < nq) { agg.consider(bufs(q), id, row(q)); q += 1 }
+        }
+        bufs.iterator.zipWithIndex.flatMap { case (b, qi) =>
+          (0 until b.n).iterator.map(i => (qids(qi), b.ids(i), b.scores(i)))
+        }
+      }
+    TopK.perGroup(partials.toDF("qid", "gid", "score"),
+      "qid", "gid", "score", k, larger = true)
+      .withColumnRenamed("qid", qidCol)
+  }
+
   /** Radius (range) search — every base row within `radius` of each query
     * (FAISS's `range_search` API shape; the reference exposes only top-k,
     * so this is additive). Ranking metrics keep rows scoring AT LEAST the

@@ -15,6 +15,7 @@ import graft.ops.{Ivf, Kmeans, Metric, Search}
   */
 object FixtureTune {
   def main(args: Array[String]): Unit = {
+    System.setProperty("graft.kmeans.log", "true")
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.01")
     val spark: SparkSession = GraftSession.local(8)
     spark.sparkContext.setLogLevel("WARN")
@@ -41,7 +42,11 @@ object FixtureTune {
       assigned.unpersist()
     }
 
-    eval("graft_lloyd", Ivf.train(base, nlist = 16, ntrain = 500))
+    for (nredo <- Seq(4, 8, 16, 32)) {
+      System.setProperty("graft.kmeans.nredo", nredo.toString)
+      eval(s"graft_lloyd_nredo$nredo", Ivf.train(base, nlist = 16, ntrain = 500))
+    }
+    System.clearProperty("graft.kmeans.nredo")
     val feat = base.filter(col("id") < 500)
       .select(array_to_vector(col("vec")).as("features"))
     val m = new KMeans().setK(16).setSeed(42L).setMaxIter(25)

@@ -4,54 +4,64 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.GraftSession
-import graft.ops.{Eval, Hnsw, Metric, Search}
+import graft.ops.{Hnsw, Ivf, Metric, Search}
 
-/** Scratch knee explorer: how much off-manifold query noise makes the
-  * HNSW recall-vs-efSearch frontier bend below 1.0 (the reference's curve
-  * shows 0.8773@16 → 0.9982@256, `Performance.md:452-456`; on-manifold
-  * queries on the lowRank corpus read 1.0 everywhere). Run at 200k to
-  * pick `noiseFrac` for the 1M BENCH_SCALE sweep.
+/** Scratch knee explorer (r9 flavor): which corpus hardness + construction
+  * point gives the HNSW frontier the reference's SHAPE — a knee below 1.0
+  * at small efSearch AND a servable ≥0.95 operating point
+  * (`/root/reference/Performance.md:452-456`: 0.8961@16 → 0.9975@256 at
+  * 1M, built at efC=200). The lowRank-8 corpus saturates at 1.0; iid-384d
+  * never reaches 0.95; the candidate mid-hardness corpora are lowRank at
+  * intrinsic 32–64.
   *
-  * Args: n dim shards (defaults 200000 384 32).
+  * Corpora are written to (and reused from) the same
+  * `target/scale_vectors_*` paths BenchScale reads, so a tuning run here
+  * pre-pays the recorded run's generation cost.
+  *
+  * Args: n dim shards efc m intrinsicsCsv (-1 = iidUnit)
+  * Defaults: 1000000 384 32 200 16 "32,48".
   */
 object KneeTune {
   def main(args: Array[String]): Unit = {
-    val n = args.lift(0).map(_.toLong).getOrElse(200000L)
+    val n = args.lift(0).map(_.toLong).getOrElse(1000000L)
     val dim = args.lift(1).map(_.toInt).getOrElse(384)
     val shards = args.lift(2).map(_.toInt).getOrElse(32)
+    val efc = args.lift(3).map(_.toInt).getOrElse(200)
+    val m = args.lift(4).map(_.toInt).getOrElse(16)
+    val intrinsics = args.lift(5).getOrElse("32,48").split(",").map(_.trim.toInt)
     val spark: SparkSession = GraftSession.configure(
       SparkSession.builder().master("local[32]"), shufflePartitions = 32)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (intr <- Seq(32, -1)) { // -1 = iidUnit (full-dim hard corpus)
-      val base = (if (intr < 0) SyntheticVectors.iidUnit(spark, n, dim)
-        else SyntheticVectors.lowRank(spark, n, dim, intrinsic = intr)).cache()
-      base.count()
-      val key = s"kneetune_${n}_${dim}_$intr"
-      val plainQ = base.filter(col("id") < 16)
-        .select(col("id").as("qid"), col("vec").as("qvec"))
-      // build + warm the graphs once
-      Hnsw.search(base, plainQ, 10, Metric.Dot, m = 16, efConstruction = 100,
+    for (intr <- intrinsics) {
+      val path =
+        if (intr < 0) s"target/scale_vectors_${n}_${dim}_iid"
+        else s"target/scale_vectors_${n}_${dim}_lr$intr"
+      if (!new java.io.File(s"$path/_SUCCESS").isFile)
+        (if (intr < 0) SyntheticVectors.iidUnit(spark, n, dim)
+         else SyntheticVectors.lowRank(spark, n, dim, intrinsic = intr))
+          .write.mode("overwrite").parquet(path)
+      val base = spark.read.parquet(path)
+      val key = s"kneetune_${n}_${dim}_${intr}_efc${efc}_m$m"
+      val qs = base.filter(col("id") < 16)
+        .select(col("id").as("qid"), col("vec").as("qvec")).cache()
+      qs.count()
+      val gt = Search.groundTruth(base, qs, 10, Metric.Dot).cache()
+      gt.count()
+      val t0 = System.nanoTime()
+      Hnsw.search(base, qs, 10, Metric.Dot, m = m, efConstruction = efc,
         efSearch = 16, nShards = shards, cacheKey = key).count()
-      for (nf <- Seq(0.0, 0.5)) {
-        val qs = (if (nf == 0.0) plainQ
-          else SyntheticVectors.perturb(plainQ, nf, seed = 9L,
-            idCol = "qid", vecCol = "qvec")).cache()
-        qs.count()
-        val gt = Search.groundTruth(base, qs, 10, Metric.Dot).cache()
-        gt.count()
-        val rs = Seq(16, 32, 64, 128, 256).map { ef =>
-          val r = graft.ops.Ivf.meanRecall(
-            Hnsw.searchWarm(qs, key, shards, 10, Metric.Dot, m = 16,
-              efConstruction = 100, efSearch = ef), gt, 10)
-            .collect()(0).getDouble(0)
-          f"$ef:$r%.4f"
-        }
-        println(s"[knee] intrinsic=$intr noiseFrac=$nf  ${rs.mkString("  ")}")
-        gt.unpersist(); qs.unpersist()
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val rs = Seq(16, 32, 64, 128, 256).map { ef =>
+        val r = Ivf.meanRecall(
+          Hnsw.searchWarm(qs, key, shards, 10, Metric.Dot, m = m,
+            efConstruction = efc, efSearch = ef), gt, 10)
+          .collect()(0).getDouble(0)
+        f"$ef:$r%.4f"
       }
+      println(f"[knee] intrinsic=$intr efc=$efc m=$m build=$buildSec%.1f s  ${rs.mkString("  ")}")
       Hnsw.invalidate(key)
-      base.unpersist()
+      gt.unpersist(); qs.unpersist()
     }
     spark.stop()
   }

@@ -67,9 +67,11 @@ class FilteredSearchSpec extends AnyFunSuite {
     val rWide = recallOf(widened, gt)
     assert(rWide >= rPlain,
       s"widening must not lose recall: plain=$rPlain widened=$rWide")
-    // the IvfSpec bar for an 8/16-list probe on this 500-row corpus,
-    // recalibrated with it for the graft Lloyd trainer (see IvfSpec note)
-    assert(rWide >= 0.78, s"widened filtered recall too low: $rWide")
+    // threshold = measured-minus-margin under the r9 trainer (restart
+    // selection by retrieval-recall proxy for the coarse quantizer — see
+    // Kmeans.localFit; GateTune prints the measured values; training is
+    // seeded-deterministic, so the margin covers only future code drift)
+    assert(rWide >= 0.82, s"widened filtered recall too low: $rWide (measured 0.8250)")
     assigned.unpersist()
   }
 
@@ -154,7 +156,7 @@ class FilteredSearchSpec extends AnyFunSuite {
     val got = FilteredSearch.auto(base, halfPred, queries, 10,
       ivfIndex = Some((assigned, cents, 4)), exactThreshold = 0)
     val gt = filteredGt(halfPred)
-    assert(recallOf(got, gt) >= 0.78) // calibrated with the widened-probe gate above
+    assert(recallOf(got, gt) >= 0.82) // same pipeline/gate as the widened-probe test
   }
 
   test("filtered IVF probe pushes BOTH predicates into the clustered parquet scan") {

@@ -51,6 +51,23 @@ class HnswSpec extends AnyFunSuite {
     assert(run() == run(), "same table, same params, different graphs")
   }
 
+  test("searchLocal serves the cached graphs in-process, identical to searchWarm") {
+    val key = "hnswspec_local_serve"
+    Hnsw.search(base, queries, k = 10, Metric.Dot, m = 8,
+      efConstruction = 64, efSearch = 32, nShards = 4, cacheKey = key).count()
+    val q0 = queries.orderBy("qid").limit(1).collect()(0)
+    val qid = q0.getLong(0)
+    val qv = q0.getSeq[Float](1).toArray
+    val warm = Hnsw.searchWarm(queries.filter(col("qid") === qid), key,
+      nShards = 4, k = 10, Metric.Dot, m = 8, efConstruction = 64, efSearch = 32)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val local = Hnsw.searchLocal(qv, key, nShards = 4, k = 10, Metric.Dot,
+      m = 8, efConstruction = 64, efSearch = 32).toSeq
+    assert(local == warm,
+      s"in-process serve diverged from the warm Spark path: $local vs $warm")
+    Hnsw.invalidate(key)
+  }
+
   test("graph shape: degree caps hold, levels follow the seeded draw") {
     val rows = base.orderBy("id").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -202,11 +219,11 @@ class HnswSpec extends AnyFunSuite {
     val accF = spark.sparkContext.longAccumulator
     val rFull = recallAt(8, Some(accF))
     assert(rFull >= rPruned - 1e-9, s"full fan-out below pruned: $rFull < $rPruned")
-    // threshold calibrated to the graft Lloyd trainer (FixtureTune:
-    // LOWER quantization error than MLlib k-means|| on this fixture,
-    // 0.8819 vs 0.8943, but small-n probe recall prefers the coarser
-    // optimum; at the 200k operating point the trainer wins both)
-    assert(rPruned >= 0.70, s"a11-config routed recall $rPruned on the fixture")
+    // threshold = measured-minus-margin under the r9 trainer (restart
+    // selection by retrieval-recall proxy for the coarse quantizer — see
+    // Kmeans.localFit; GateTune prints the measured values; training is
+    // seeded-deterministic, so the margin covers only future code drift)
+    assert(rPruned >= 0.74, s"a11-config routed recall $rPruned (measured 0.7550)")
     assert(accP.value * 3 < accF.value * 2, // probing 4/8 shards: evals ≤ ~2/3 of full
       s"routeProbe=4/8 evals ${accP.value} not below full ${accF.value}")
     gt.unpersist(); fixBase.unpersist()

@@ -39,11 +39,11 @@ class IvfSpec extends AnyFunSuite {
     val r2 = recall(2)
     val r8 = recall(8)
     assert(r8 >= r2, s"recall must not degrade with more probes: $r2 -> $r8")
-    // threshold calibrated to the graft Lloyd trainer (FixtureTune:
-    // LOWER quantization error than MLlib k-means|| on this fixture,
-    // 0.8819 vs 0.8943, but small-n probe recall prefers the coarser
-    // optimum; at the 200k operating point the trainer wins both)
-    assert(r8 >= 0.80, s"nprobe=8/16 recall too low: $r8")
+    // threshold = measured-minus-margin under the r9 trainer (restart
+    // selection by retrieval-recall proxy for the coarse quantizer — see
+    // Kmeans.localFit; GateTune prints the measured values; training is
+    // seeded-deterministic, so the margin covers only future code drift)
+    assert(r8 >= 0.82, s"nprobe=8/16 recall too low: $r8 (measured 0.8375)")
   }
 
   test("probe join scores only probed clusters (pruning works)") {

@@ -70,6 +70,24 @@ class KmeansSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("two-level combine path (> 8 sample partitions) is deterministic run-to-run") {
+    import spark.implicits._
+    // > combineGroupSize partitions forces the executor-side group fold;
+    // k >= 256 + n > 16384 forces the distributed Lloyd. The association
+    // tree is a pure function of the partition layout, so two runs over
+    // the SAME layout must be bitwise identical.
+    val rng = new scala.util.Random(23)
+    val df = (0 until 20000).map(_ => Array.fill(12)(rng.nextFloat()))
+      .toDF("vec").repartition(20).cache()
+    df.count()
+    val a = Kmeans.fit(df, k = 256, seed = 5L, maxIter = 3)
+    val b = Kmeans.fit(df, k = 256, seed = 5L, maxIter = 3)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) },
+      "two-level combine not deterministic run-to-run")
+    assert(a.length == 256 && a.forall(_ != null))
+    df.unpersist()
+  }
+
   test("k-means++ seeding spreads over a uniform draw (planted far cluster)") {
     // 31 tight points + 1 far outlier cluster: uniform seeding misses the
     // outlier with high probability; D² seeding must pick it

@@ -43,11 +43,11 @@ class PqSpec extends AnyFunSuite {
     val encoded = Pq.encode(base, books).cache()
     val adc = Pq.search(encoded, queries, books, k = 10)
     val rAdc = Ivf.meanRecall(adc, gt, 10).collect()(0).getDouble(0)
-    // threshold calibrated to the graft Lloyd trainer (FixtureTune:
-    // LOWER quantization error than MLlib k-means|| on this fixture,
-    // 0.8819 vs 0.8943, but small-n probe recall prefers the coarser
-    // optimum; at the 200k operating point the trainer wins both)
-    assert(rAdc >= 0.60, s"ADC-only recall too low: $rAdc")
+    // threshold = measured-minus-margin under the r9 trainer (restart
+    // selection by retrieval-recall proxy for the coarse quantizer — see
+    // Kmeans.localFit; GateTune prints the measured values; training is
+    // seeded-deterministic, so the margin covers only future code drift)
+    assert(rAdc >= 0.62, s"ADC-only recall too low: $rAdc (measured 0.6250)")
     val refined = Pq.searchRefined(base, encoded, queries, books, k = 10, refineK = 50)
     val rRef = Ivf.meanRecall(refined, gt, 10).collect()(0).getDouble(0)
     assert(rRef >= 0.95, s"PQ+refine recall too low: $rRef")
@@ -89,11 +89,11 @@ class PqSpec extends AnyFunSuite {
       ntrain = 500)
     val pred = Pq.ivfpqSearch(idx, spark, queries, nprobe = 8, k = 10)
     val r = Ivf.meanRecall(pred, gt, 10).collect()(0).getDouble(0)
-    // threshold calibrated to the graft Lloyd trainer (FixtureTune:
-    // LOWER quantization error than MLlib k-means|| on this fixture,
-    // 0.8819 vs 0.8943, but small-n probe recall prefers the coarser
-    // optimum; at the 200k operating point the trainer wins both)
-    assert(r >= 0.45, s"full-probe IVF-PQ ADC recall too low: $r")
+    // threshold = measured-minus-margin under the r9 trainer (restart
+    // selection by retrieval-recall proxy for the coarse quantizer — see
+    // Kmeans.localFit; GateTune prints the measured values; training is
+    // seeded-deterministic, so the margin covers only future code drift)
+    assert(r >= 0.58, s"full-probe IVF-PQ ADC recall too low: $r (measured 0.6000)")
     // widened candidates + exact refine recovers near-exact results
     val cands = Pq.ivfpqSearch(idx, spark, queries, nprobe = 8, k = 50)
       .groupBy("qid").agg(collect_list(col("id")).as("cand_ids"))

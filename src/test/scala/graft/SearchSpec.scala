@@ -93,7 +93,7 @@ class SearchSpec extends AnyFunSuite {
     assert(r8 >= 0.9, s"int8 recall $r8")
   }
 
-  test("batched quantized scans match their per-pair BNLJ twins") {
+  test("batched AND fused quantized scans match their per-pair BNLJ twins") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
       df.select("qid", "id", "rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
@@ -105,6 +105,10 @@ class SearchSpec extends AnyFunSuite {
           VectorFunctions.dotHalf(col("qvec"), col("hbits")).as("score")),
       "qid", "gid", "score", 10, larger = true)
     assert(asSet(Search.exactTopKBatchedHalf(hbase, queries, 10)) == asSet(bnljH))
+    // fused flavor (per-partition top-k buffers inside the scan) — same
+    // scoreAllHalf hoist as the batched expression, so ranks must agree
+    // exactly with the per-pair BNLJ
+    assert(asSet(Search.exactTopKFusedHalf(hbase, queries, 10)) == asSet(bnljH))
 
     val qbase = base.select(col("id"), VectorFunctions.quantizeI8(col("vec")).as("q"))
       .select(col("id"), col("q.codes").as("codes"), col("q.scale").as("scale"))
@@ -114,6 +118,7 @@ class SearchSpec extends AnyFunSuite {
           VectorFunctions.dotI8(col("qvec"), col("codes"), col("scale")).as("score")),
       "qid", "gid", "score", 10, larger = true)
     assert(asSet(Search.exactTopKBatchedI8(qbase, queries, 10)) == asSet(bnljI))
+    assert(asSet(Search.exactTopKFusedI8(qbase, queries, 10)) == asSet(bnljI))
   }
 
   test("refine recovers exact top-k from a candidate superset") {
