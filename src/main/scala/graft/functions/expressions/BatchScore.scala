@@ -169,6 +169,59 @@ object BatchScore {
     dotsInto(x, queries, scale.toDouble, out)
   }
 
+  /** LE-packed fp16 BINARY row (see `VectorKernels.packShortsLE`) → all-
+    * query dots. `unpackShortLE ∘ packShortsLE` is the identity on the
+    * bit patterns, so scores are bitwise-identical to [[scoreAllHalf]]
+    * over the unpacked array.
+    */
+  def scoreAllHalfBin(b: Array[Byte], queries: Array[Array[Float]],
+                      out: Array[Double]): Unit =
+    scoreAllHalfSlice(b, 0, b.length / 2, queries, out)
+
+  // ---- slice flavors: score ONE vector out of a block-packed blob
+  // (BlockedTables). Same decode math as the per-row kernels element for
+  // element, so every score is bitwise-identical to the unpacked paths —
+  // the blob is only an amortization of per-row plan overhead.
+
+  /** fp16 slice: `dim` LE shorts starting at byte `off`. */
+  def scoreAllHalfSlice(b: Array[Byte], off: Int, dim: Int,
+                        queries: Array[Array[Float]], out: Array[Double]): Unit = {
+    val x = bufOf(dim)
+    var i = 0
+    while (i < dim) {
+      val s = (((b(off + 2 * i + 1) & 0xff) << 8) | (b(off + 2 * i) & 0xff)).toShort
+      x(i) = VectorKernels.halfToFloat(s)
+      i += 1
+    }
+    dotsInto(x, queries, 1.0, out)
+  }
+
+  /** int8 slice: `dim` code bytes starting at `off`, dequant by `scale`. */
+  def scoreAllI8Slice(b: Array[Byte], off: Int, dim: Int, scale: Float,
+                      queries: Array[Array[Float]], out: Array[Double]): Unit = {
+    val x = bufOf(dim)
+    var i = 0
+    while (i < dim) { x(i) = b(off + i).toFloat; i += 1 }
+    dotsInto(x, queries, scale.toDouble, out)
+  }
+
+  /** f32 slice: `dim` LE floats starting at byte `off` (raw bit patterns
+    * — intBitsToFloat reproduces the stored floats exactly).
+    */
+  def scoreAllF32Slice(b: Array[Byte], off: Int, dim: Int,
+                       queries: Array[Array[Float]], out: Array[Double]): Unit = {
+    val x = bufOf(dim)
+    var i = 0
+    while (i < dim) {
+      val o = off + 4 * i
+      val bits = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | (b(o + 3) << 24)
+      x(i) = java.lang.Float.intBitsToFloat(bits)
+      i += 1
+    }
+    dotsInto(x, queries, 1.0, out)
+  }
+
   /** fp16 flavor: decode the row's half bits ONCE, then score all
     * queries. Bit-identical to per-pair `DotHalf` (same products, same
     * accumulation order).
@@ -176,6 +229,19 @@ object BatchScore {
   def scoresHalf(bits: ArrayData, queries: Array[Array[Float]]): ArrayData = {
     val out = new Array[Double](queries.length)
     scoreAllHalf(bits.toShortArray(), queries, out)
+    new GenericArrayData(out)
+  }
+
+  def scoresHalfBin(b: Array[Byte], queries: Array[Array[Float]]): ArrayData = {
+    val out = new Array[Double](queries.length)
+    scoreAllHalfBin(b, queries, out)
+    new GenericArrayData(out)
+  }
+
+  def scoresI8Bin(b: Array[Byte], scale: Float,
+                  queries: Array[Array[Float]]): ArrayData = {
+    val out = new Array[Double](queries.length)
+    scoreAllI8(b, scale, queries, out)
     new GenericArrayData(out)
   }
 
@@ -230,6 +296,46 @@ case class BatchScoresHalf(child: Expression, queries: Array[Array[Float]])
   }
   override def prettyName: String = "batch_scores_half"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `batch_scores_half_bin(blob)` — the LE-packed BINARY flavor of
+  * [[BatchScoresHalf]] (same scores bitwise; the input decodes per-byte
+  * at the parquet scan instead of per-element).
+  */
+case class BatchScoresHalfBin(child: Expression, queries: Array[Array[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    BatchScore.scoresHalfBin(v.asInstanceOf[Array[Byte]], queries)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("queries", queries, "float[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.expressions.BatchScore.scoresHalfBin($v, $ref)")
+  }
+  override def prettyName: String = "batch_scores_half_bin"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `batch_scores_i8_bin(blob, scale)` — BINARY-codes flavor of
+  * [[BatchScoresI8]] (bytes are the codes; same scores bitwise).
+  */
+case class BatchScoresI8Bin(left: Expression, right: Expression,
+                            queries: Array[Array[Float]])
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, FloatType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(codes: Any, scale: Any): Any =
+    BatchScore.scoresI8Bin(codes.asInstanceOf[Array[Byte]],
+      scale.asInstanceOf[Float], queries)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("queries", queries, "float[][]")
+    defineCodeGen(ctx, ev, (c, s) =>
+      s"graft.functions.expressions.BatchScore.scoresI8Bin($c, $s, $ref)")
+  }
+  override def prettyName: String = "batch_scores_i8_bin"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
 }
 
 /** `batch_scores_i8(codes, scale)` → per-query dequantized dot. */

@@ -196,6 +196,47 @@ object VectorKernels {
     val s = i8Scale(f)
     InternalRow(new GenericArrayData(i8Codes(f, s)), s)
   }
+
+  /** fp16 bits → little-endian byte blob: the parquet BINARY twin of the
+    * vecbin payload (`vecbin_format.h:12` stores half payloads as raw
+    * uint16 bytes). One parquet value per ROW, decoded with one memcpy.
+    * Measured note: per-row blobs alone scan at parity with
+    * `array<smallint>` at 1M×384d (fixed per-row pipeline cost dominates
+    * either); their value is as the unit the BLOCKED layout
+    * (`QuantizedTables.write*Blocked`) concatenates, which amortizes that
+    * fixed cost and restores the stored-bytes scan economics.
+    */
+  def packShortsLE(v: ArrayData): Array[Byte] = {
+    val h = v.toShortArray()
+    val out = new Array[Byte](h.length * 2)
+    var i = 0
+    while (i < h.length) {
+      out(2 * i) = (h(i) & 0xff).toByte
+      out(2 * i + 1) = ((h(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** LE byte-pair → the original short (exact [[packShortsLE]] inverse). */
+  def unpackShortLE(b: Array[Byte], i: Int): Short =
+    (((b(2 * i + 1) & 0xff) << 8) | (b(2 * i) & 0xff)).toShort
+
+  /** int8 codes → byte blob (codes ARE bytes; this is a straight copy). */
+  def packBytes(v: ArrayData): Array[Byte] = v.toByteArray()
+
+  /** f32 row → little-endian byte blob (raw bit patterns — the vecbin
+    * f32 payload layout; `intBitsToFloat` on the read side reproduces the
+    * stored floats exactly).
+    */
+  def packFloatsLE(v: ArrayData): Array[Byte] = {
+    val f = v.toFloatArray()
+    val out = new Array[Byte](f.length * 4)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < f.length) { bb.putFloat(f(i)); i += 1 }
+    out
+  }
 }
 
 /** Base for binary kernels `(array<float>, array<float>) -> double`. */
@@ -310,5 +351,43 @@ case class QuantizeI8(child: Expression) extends UnaryExpression with ExpectsInp
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.expressions.VectorKernels.quantizeI8AD($a)")
   override def prettyName: String = "graft_quantize_i8"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** fp16-bits row → LE-packed BINARY blob (the scale storage flavor —
+  * see [[VectorKernels.packShortsLE]]'s per-byte-decode rationale).
+  */
+case class PackShortsLE(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(ShortType))
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.packShortsLE(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.expressions.VectorKernels.packShortsLE($a)")
+  override def prettyName: String = "graft_pack_shorts_le"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** int8-codes row → BINARY blob (codes are bytes; straight copy). */
+case class PackBytes(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(ByteType))
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.packBytes(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.expressions.VectorKernels.packBytes($a)")
+  override def prettyName: String = "graft_pack_bytes"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** f32 row → LE BINARY blob (raw bit patterns; vecbin payload layout). */
+case class PackFloatsLE(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.packFloatsLE(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.expressions.VectorKernels.packFloatsLE($a)")
+  override def prettyName: String = "graft_pack_floats_le"
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

@@ -29,4 +29,124 @@ object QuantizedTables {
       .write.mode("overwrite").parquet(path)
 
   def readI8(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  // ---- PACKED flavors: one BINARY blob per row (LE shorts for f16, raw
+  // codes for i8) — the vecbin payload layout carried into parquet.
+  // Measured at 1M×384d they scan at PARITY with the array<> schemas
+  // (the fixed ~16 µs/row pipeline cost dominates both, not the decode)
+  // — kept because blob rows are the building block of the BLOCKED
+  // layout below, which is the layout that actually moves the needle.
+  // The array flavors above remain the introspectable form (halfDecode
+  // etc. operate on them directly).
+
+  /** (id, vec f32) → (id, bits BINARY) parquet — LE-packed fp16 rows. */
+  def writeF16Packed(base: DataFrame, path: String, idCol: String = "id",
+                     vecCol: String = "vec"): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.expressions.{HalfEncode, PackShortsLE}
+    val bits = Bridge.column(PackShortsLE(
+      HalfEncode(Bridge.expression(col(vecCol)))))
+    base.select(col(idCol), bits.as("bits"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** (id, vec f32) → (id, codes BINARY, scale float) parquet. */
+  def writeI8Packed(base: DataFrame, path: String, idCol: String = "id",
+                    vecCol: String = "vec"): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.expressions.PackBytes
+    base.select(col(idCol), VectorFunctions.quantizeI8(col(vecCol)).as("q"))
+      .select(col(idCol),
+        Bridge.column(PackBytes(Bridge.expression(col("q.codes")))).as("codes"),
+        col("q.scale").as("scale"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  // ---- BLOCKED flavors: up to `block` id-sorted vectors per STORED row
+  // (ids array<long> + one contiguous payload blob + per-vector scales
+  // for i8). The 1M quantized scans measured ~16 µs/row of fixed
+  // pipeline cost (parquet row assembly, expression eval, encoder) —
+  // 10× the kernel time — so bytes/vector could never dominate;
+  // 128 vectors per stored row amortizes that fixed cost 128× and the
+  // scan becomes the reference's contiguous-payload walk
+  // (`src/vector_dataset.cpp:121-151`) inside one Spark row. The fused
+  // scorers slice the blob per vector with decode math identical to the
+  // per-row kernels, so ranks stay bitwise-equal (SearchSpec gates it).
+
+  private def packBlocks(rows: Iterator[(Long, Array[Byte])],
+                         block: Int): Iterator[(Array[Long], Array[Byte])] =
+    rows.grouped(block).map { g =>
+      val ids = g.map(_._1).toArray
+      val blob = new Array[Byte](g.map(_._2.length).sum)
+      var off = 0
+      g.foreach { case (_, b) =>
+        System.arraycopy(b, 0, blob, off, b.length); off += b.length
+      }
+      (ids, blob)
+    }
+
+  /** (id, vec f32) → (ids array<long>, vecs BINARY) parquet, LE floats. */
+  def writeF32Blocked(base: DataFrame, path: String, idCol: String = "id",
+                      vecCol: String = "vec", block: Int = 128): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.expressions.PackFloatsLE
+    val spark = base.sparkSession
+    import spark.implicits._
+    base.select(col(idCol).cast("long").as("id"),
+        Bridge.column(PackFloatsLE(Bridge.expression(col(vecCol)))).as("b"))
+      .repartitionByRange(col("id")).sortWithinPartitions("id")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(packBlocks(_, block))
+      .toDF("ids", "vecs")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** (id, vec f32) → (ids array<long>, bits BINARY) parquet, LE f16. */
+  def writeF16Blocked(base: DataFrame, path: String, idCol: String = "id",
+                      vecCol: String = "vec", block: Int = 128): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.expressions.{HalfEncode, PackShortsLE}
+    val spark = base.sparkSession
+    import spark.implicits._
+    base.select(col(idCol).cast("long").as("id"),
+        Bridge.column(PackShortsLE(HalfEncode(Bridge.expression(col(vecCol))))).as("b"))
+      .repartitionByRange(col("id")).sortWithinPartitions("id")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(packBlocks(_, block))
+      .toDF("ids", "bits")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** (id, vec f32) → (ids, codes BINARY, scales array<float>) parquet. */
+  def writeI8Blocked(base: DataFrame, path: String, idCol: String = "id",
+                     vecCol: String = "vec", block: Int = 128): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.expressions.PackBytes
+    val spark = base.sparkSession
+    import spark.implicits._
+    base.select(col(idCol).cast("long").as("id"),
+        VectorFunctions.quantizeI8(col(vecCol)).as("q"))
+      .select(col("id"),
+        Bridge.column(PackBytes(Bridge.expression(col("q.codes")))).as("b"),
+        col("q.scale").as("scale"))
+      .repartitionByRange(col("id")).sortWithinPartitions("id")
+      .as[(Long, Array[Byte], Float)]
+      .mapPartitions { rows =>
+        rows.grouped(block).map { g =>
+          val ids = g.map(_._1).toArray
+          val scales = g.map(_._3).toArray
+          val blob = new Array[Byte](g.map(_._2.length).sum)
+          var off = 0
+          g.foreach { case (_, b, _) =>
+            System.arraycopy(b, 0, blob, off, b.length); off += b.length
+          }
+          (ids, blob, scales)
+        }
+      }
+      .toDF("ids", "codes", "scales")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def readBlocked(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

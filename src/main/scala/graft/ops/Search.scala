@@ -194,9 +194,15 @@ object Search {
                          idCol: String = "id", bitsCol: String = "hbits",
                          qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    import graft.functions.expressions.BatchScoresHalf
+    import org.apache.spark.sql.types.BinaryType
+    import graft.functions.expressions.{BatchScoresHalf, BatchScoresHalfBin}
     val (qids, qvecs) = collectQueries(queries, qidCol, qvecCol)
-    val scores = Bridge.column(BatchScoresHalf(Bridge.expression(col(bitsCol)), qvecs))
+    // dtype dispatch: BINARY (LE-packed, QuantizedTables' packed flavor —
+    // per-byte scan decode) vs array<smallint>; scores bitwise-identical
+    val scores =
+      if (hbase.schema(bitsCol).dataType == BinaryType)
+        Bridge.column(BatchScoresHalfBin(Bridge.expression(col(bitsCol)), qvecs))
+      else Bridge.column(BatchScoresHalf(Bridge.expression(col(bitsCol)), qvecs))
     fusedScoredTopK(hbase.select(col(idCol).cast("long"), scores.as("scores")),
       qids, k, qidCol)
   }
@@ -207,12 +213,90 @@ object Search {
                        scaleCol: String = "scale",
                        qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    import graft.functions.expressions.BatchScoresI8
+    import org.apache.spark.sql.types.BinaryType
+    import graft.functions.expressions.{BatchScoresI8, BatchScoresI8Bin}
     val (qids, qvecs) = collectQueries(queries, qidCol, qvecCol)
-    val scores = Bridge.column(BatchScoresI8(
-      Bridge.expression(col(codesCol)), Bridge.expression(col(scaleCol)), qvecs))
+    val scores =
+      if (qbase.schema(codesCol).dataType == BinaryType)
+        Bridge.column(BatchScoresI8Bin(
+          Bridge.expression(col(codesCol)), Bridge.expression(col(scaleCol)), qvecs))
+      else Bridge.column(BatchScoresI8(
+        Bridge.expression(col(codesCol)), Bridge.expression(col(scaleCol)), qvecs))
     fusedScoredTopK(qbase.select(col(idCol).cast("long"), scores.as("scores")),
       qids, k, qidCol)
+  }
+
+  /** Fused scan over a BLOCK-PACKED table (`QuantizedTables.write*Blocked`
+    * — up to 128 id-sorted vectors per stored row, one contiguous payload
+    * blob): per-stored-row plan overhead (parquet row assembly,
+    * expression eval, encoder) amortizes over the whole block, which at
+    * 1M×384d was ~10× the kernel cost of the row-wise scans. Inside a
+    * block this is exactly the reference's contiguous payload walk
+    * (`src/vector_dataset.cpp:121-151` — `vectors + i*dim` pointer
+    * arithmetic as blob offsets). Dot metric (the storage-ladder scan);
+    * per-vector decode math is bitwise-identical to the per-row kernels,
+    * so ranks equal every other flavor (SearchSpec gates it).
+    *
+    * Layout dispatch by schema: (ids, vecs) f32 / (ids, bits) f16 /
+    * (ids, codes, scales) i8.
+    */
+  def exactTopKFusedBlocked(blocked: DataFrame, queries: DataFrame, k: Int,
+                            qidCol: String = "qid",
+                            qvecCol: String = "qvec"): DataFrame = {
+    import graft.functions.expressions.BatchScore
+    val (qids, qvecs) = collectQueries(queries, qidCol, qvecCol)
+    val nq = qvecs.length
+    val spark = blocked.sparkSession
+    import spark.implicits._
+    val fields = blocked.schema.fieldNames.toSet
+    def partialsOf[T](ds: org.apache.spark.sql.Dataset[T])(
+        score: (T, Int, Array[Double]) => Unit,
+        idsOf: T => Array[Long]): org.apache.spark.sql.Dataset[(Long, Long, Double)] =
+      ds.mapPartitions { it =>
+        val agg = new TopKAggregator(k, larger = true)
+        val bufs = Array.fill(nq)(agg.zero)
+        val row = new Array[Double](nq)
+        while (it.hasNext) {
+          val blockRow = it.next()
+          val ids = idsOf(blockRow)
+          var r = 0
+          while (r < ids.length) {
+            score(blockRow, r, row)
+            var q = 0
+            while (q < nq) { agg.consider(bufs(q), ids(r), row(q)); q += 1 }
+            r += 1
+          }
+        }
+        bufs.iterator.zipWithIndex.flatMap { case (b, qi) =>
+          (0 until b.n).iterator.map(i => (qids(qi), b.ids(i), b.scores(i)))
+        }
+      }
+    val partials =
+      if (fields("scales")) {
+        partialsOf(blocked.select(col("ids"), col("codes"), col("scales"))
+          .as[(Array[Long], Array[Byte], Array[Float])]) (
+          { case ((ids, blob, scales), r, out) =>
+            val stride = blob.length / ids.length
+            BatchScore.scoreAllI8Slice(blob, r * stride, stride, scales(r), qvecs, out)
+          }, _._1)
+      } else if (fields("bits")) {
+        partialsOf(blocked.select(col("ids"), col("bits"))
+          .as[(Array[Long], Array[Byte])]) (
+          { case ((ids, blob), r, out) =>
+            val stride = blob.length / ids.length
+            BatchScore.scoreAllHalfSlice(blob, r * stride, stride / 2, qvecs, out)
+          }, _._1)
+      } else {
+        partialsOf(blocked.select(col("ids"), col("vecs"))
+          .as[(Array[Long], Array[Byte])]) (
+          { case ((ids, blob), r, out) =>
+            val stride = blob.length / ids.length
+            BatchScore.scoreAllF32Slice(blob, r * stride, stride / 4, qvecs, out)
+          }, _._1)
+      }
+    TopK.perGroup(partials.toDF("qid", "gid", "score"),
+      "qid", "gid", "score", k, larger = true)
+      .withColumnRenamed("qid", qidCol)
   }
 
   /** Per-partition top-k over (id, scores-per-query) rows: the decode +

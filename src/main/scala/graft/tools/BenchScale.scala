@@ -253,6 +253,32 @@ object BenchScale {
         Map("rows" -> Search.exactTopKFusedI8(i8base, queries, k)
           .count().toDouble, "stored_mb" -> dirBytes(i8Path) / 1e6)
       }
+
+      // BLOCKED ladder (r9): the row-wise scans above pay ~16 µs/row of
+      // fixed pipeline cost — 10× the kernel time — so their wall time
+      // cannot track stored bytes however the payload is encoded
+      // (measured: BINARY-per-row packing moved nothing). Packing 128
+      // id-sorted vectors per stored row amortizes that fixed cost away;
+      // THIS is the layout whose ladder should approach the reference's
+      // bandwidth economics (INT8 1.82–1.90× over FP16,
+      // `Performance.md:242-255`), and the layout a 100 TB deployment
+      // would store scan corpora in.
+      val f32bPath = s"target/scale_f32b_${annN}_$annDim"
+      if (!new java.io.File(s"$f32bPath/_SUCCESS").isFile)
+        graft.io.QuantizedTables.writeF32Blocked(base, f32bPath)
+      val f16bPath = s"target/scale_f16b_${annN}_$annDim"
+      if (!new java.io.File(s"$f16bPath/_SUCCESS").isFile)
+        graft.io.QuantizedTables.writeF16Blocked(base, f16bPath)
+      val i8bPath = s"target/scale_i8b_${annN}_$annDim"
+      if (!new java.io.File(s"$i8bPath/_SUCCESS").isFile)
+        graft.io.QuantizedTables.writeI8Blocked(base, i8bPath)
+      for ((tag, path) <- Seq(("f32", f32bPath), ("f16", f16bPath), ("i8", i8bPath))) {
+        val t = graft.io.QuantizedTables.readBlocked(spark, path)
+        runAnn(s"ann_scan_${tag}_blocked") {
+          Map("rows" -> Search.exactTopKFusedBlocked(t, queries, k)
+            .count().toDouble, "stored_mb" -> dirBytes(path) / 1e6)
+        }
+      }
       val gt = Ivf.cachedGroundTruth(annKey, base, queries, k, Metric.Dot)
 
       // index build is DDL (cached on disk across JVMs) — measured once,

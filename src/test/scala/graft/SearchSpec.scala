@@ -119,6 +119,40 @@ class SearchSpec extends AnyFunSuite {
       "qid", "gid", "score", 10, larger = true)
     assert(asSet(Search.exactTopKBatchedI8(qbase, queries, 10)) == asSet(bnljI))
     assert(asSet(Search.exactTopKFusedI8(qbase, queries, 10)) == asSet(bnljI))
+
+    // PACKED (BINARY blob) storage layout: write through the packed sinks
+    // and re-read — the fused scans dtype-dispatch to the *Bin kernels,
+    // which must rank identically to every flavor above
+    val tmp = java.nio.file.Files.createTempDirectory("packed_scan").toString
+    graft.io.QuantizedTables.writeF16Packed(base, s"$tmp/f16p")
+    graft.io.QuantizedTables.writeI8Packed(base, s"$tmp/i8p")
+    val hPacked = graft.io.QuantizedTables.readF16(spark, s"$tmp/f16p")
+    val iPacked = graft.io.QuantizedTables.readI8(spark, s"$tmp/i8p")
+    assert(asSet(Search.exactTopKFusedHalf(hPacked, queries, 10, bitsCol = "bits"))
+      == asSet(bnljH))
+    assert(asSet(Search.exactTopKFusedI8(iPacked, queries, 10)) == asSet(bnljI))
+
+    // BLOCKED layout (128 vectors per stored row): slice scorers must
+    // rank identically to every per-row flavor — f32 blocked against the
+    // plain exact scan, f16/i8 blocked against their BNLJ twins. A block
+    // size that does not divide the corpus exercises the ragged tail.
+    graft.io.QuantizedTables.writeF32Blocked(base, s"$tmp/f32b", block = 96)
+    graft.io.QuantizedTables.writeF16Blocked(base, s"$tmp/f16b", block = 96)
+    graft.io.QuantizedTables.writeI8Blocked(base, s"$tmp/i8b", block = 96)
+    val bnljF = TopK.perGroup(
+      base.crossJoin(broadcast(queries))
+        .select(col("qid"), col("id").as("gid"),
+          VectorFunctions.dot(col("vec"), col("qvec")).as("score")),
+      "qid", "gid", "score", 10, larger = true)
+    assert(asSet(Search.exactTopKFusedBlocked(
+      graft.io.QuantizedTables.readBlocked(spark, s"$tmp/f32b"), queries, 10))
+      == asSet(bnljF))
+    assert(asSet(Search.exactTopKFusedBlocked(
+      graft.io.QuantizedTables.readBlocked(spark, s"$tmp/f16b"), queries, 10))
+      == asSet(bnljH))
+    assert(asSet(Search.exactTopKFusedBlocked(
+      graft.io.QuantizedTables.readBlocked(spark, s"$tmp/i8b"), queries, 10))
+      == asSet(bnljI))
   }
 
   test("refine recovers exact top-k from a candidate superset") {
