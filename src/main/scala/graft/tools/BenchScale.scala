@@ -512,7 +512,7 @@ object BenchScale {
       val midIntr = sys.env.getOrElse("SPARK_GRAFT_HNSW_MID_INTR", "48").toInt
       val midPath = s"target/scale_vectors_${annN}_${annDim}_lr$midIntr"
       if (!new java.io.File(s"$midPath/_SUCCESS").isFile)
-        SyntheticVectors.lowRank(spark, annN, annDim, intrinsic = midIntr)
+        SyntheticVectors.lowRankFast(spark, annN, annDim, intrinsic = midIntr)
           .write.mode("overwrite").parquet(midPath)
       val midBase = spark.read.parquet(midPath)
       val midQueries = midBase.filter(col("id") < 16)

@@ -39,7 +39,7 @@ object KneeTune {
         else s"target/scale_vectors_${n}_${dim}_lr$intr"
       if (!new java.io.File(s"$path/_SUCCESS").isFile)
         (if (intr < 0) SyntheticVectors.iidUnit(spark, n, dim)
-         else SyntheticVectors.lowRank(spark, n, dim, intrinsic = intr))
+         else SyntheticVectors.lowRankFast(spark, n, dim, intrinsic = intr))
           .write.mode("overwrite").parquet(path)
       val base = spark.read.parquet(path)
       val key = s"kneetune_${n}_${dim}_${intr}_efc${efc}_m$m"

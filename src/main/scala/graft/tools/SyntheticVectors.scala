@@ -124,6 +124,44 @@ object SyntheticVectors {
           .cast("float")).as("vec"))
   }
 
+  /** JVM-loop twin of [[lowRank]] for larger intrinsic dims. The SQL
+    * flavor nests `aggregate` inside `transform` — dim × intrinsic
+    * expression-tree steps per row — which leaves whole-stage codegen
+    * (nested higher-order functions don't compile) and interprets at
+    * ~µs/element: at 1M×384d×intrinsic=32 that is HOURS. This generator
+    * computes the same structure (fixed seeded mixing matrix × per-row
+    * uniform z, unit-normalized) in a tight loop: seconds at 1M.
+    * Deterministic like everything here (splitmix64 per (seed, id, j));
+    * NOT bit-compatible with [[lowRank]]'s draw — use one flavor per
+    * corpus key (the lr8 corpus predates this and stays on [[lowRank]]).
+    */
+  def lowRankFast(spark: SparkSession, n: Long, dim: Int, intrinsic: Int,
+                  seed: Long = 42L): DataFrame = {
+    require(n > 0 && dim > 0 && intrinsic > 0 && intrinsic <= dim)
+    val mix: Array[Array[Double]] = Array.tabulate(dim, intrinsic)((d, j) =>
+      uLocal(seed * 0x51_7c_c1b7L + d.toLong * intrinsic + j))
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val z = Array.tabulate(intrinsic)(j =>
+          uLocal(id * 1000003L + j.toLong * 7919L + seed * 0x9e3779b9L))
+        val x = new Array[Double](dim)
+        var nrm2 = 0.0
+        var d = 0
+        while (d < dim) {
+          val row = mix(d)
+          var acc = 0.0
+          var j = 0
+          while (j < intrinsic) { acc += row(j) * z(j); j += 1 }
+          x(d) = acc; nrm2 += acc * acc
+          d += 1
+        }
+        val inv = 1.0 / math.max(math.sqrt(nrm2), 1e-12)
+        (id, x.map(v => (v * inv).toFloat))
+      }
+    }.toDF("id", "vec")
+  }
+
   def lowRank(spark: SparkSession, n: Long, dim: Int, intrinsic: Int = 8,
               seed: Long = 42L): DataFrame = {
     require(n > 0 && dim > 0 && intrinsic > 0 && intrinsic <= dim)
