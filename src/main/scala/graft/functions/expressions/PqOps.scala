@@ -90,6 +90,29 @@ object PqOps {
     acc
   }
 
+  /** All-query ADC scores for one codes row: `luts(q)` is that query's
+    * flattened m×ksub table; per (row, query) the lookup-sum is identical
+    * to [[adc]] (PqSpec gates rank equality), so this is only the batched
+    * plan shape — the code table streams ONCE for the whole query batch
+    * instead of materializing Q×N joined rows.
+    */
+  def adcAll(codes: ArrayData, luts: Array[Array[Float]]): ArrayData = {
+    val cs = codes.toByteArray()
+    val m = cs.length
+    val out = new Array[Double](luts.length)
+    var q = 0
+    while (q < luts.length) {
+      val l = luts(q)
+      val ksub = l.length / m
+      var acc = 0.0
+      var s = 0
+      while (s < m) { acc += l(s * ksub + (cs(s) & 0xff)); s += 1 }
+      out(q) = acc
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Residual vs a coarse centroid: vec - centroids[cid] (IVF-PQ encodes
     * residuals, `nvdb_ivfpq_build.cpp` via FAISS IndexIVFPQ).
     */
@@ -161,4 +184,21 @@ case class CentroidResidual(left: Expression, right: Expression,
   }
   override def prettyName: String = "centroid_residual"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** `batch_adc_scores(codes)` → array<double>, one ADC score per broadcast
+  * query LUT (the J2 batched-scan shape over the PQ code table).
+  */
+case class BatchAdcScores(child: Expression, luts: Array[Array[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(ByteType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(codes: Any): Any =
+    PqOps.adcAll(codes.asInstanceOf[ArrayData], luts)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("luts", luts, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.expressions.PqOps.adcAll($c, $ref)")
+  }
+  override def prettyName: String = "batch_adc_scores"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -77,16 +77,47 @@ object Pq {
     TopK.perGroup(scored, "qid", "gid", "score", k, larger = !l2)
   }
 
+  /** Batched flat ADC search: the query batch's LUTs ride as ONE codegen
+    * reference object, the code table streams once, and per-partition
+    * top-k buffers absorb the scores (`Search.fusedScoredTopK`) — no Q×N
+    * joined rows. Per-pair lookup-sums are [[PqOps.adc]]'s exactly
+    * (driver builds LUTs with the same [[PqOps.lut]] the broadcast side
+    * runs), so ranks match [[search]] (PqSpec gates it). This is the
+    * probe shape for serving-latency measurements.
+    */
+  def searchBatched(encoded: DataFrame, queries: DataFrame, books: Codebooks,
+                    k: Int, l2: Boolean = true, idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.expressions.{BatchAdcScores, PqOps}
+    val q = queries.select(col("qid"), col("qvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val qids = q.map(_._1)
+    val luts = q.map { case (_, qv) =>
+      PqOps.lut(new GenericArrayData(qv), books, l2).toFloatArray()
+    }
+    Search.fusedScoredTopK(
+      encoded.select(col(idCol).cast("long"),
+        Bridge.column(BatchAdcScores(Bridge.expression(col("codes")), luts))
+          .as("scores")),
+      qids, k, "qid", larger = !l2)
+  }
+
   /** ADC candidates → exact-L2 refine (J3), the reference's
     * PQ+Refine operating point (recall 0.974 @ R=50, `Performance.md:623`).
+    * `batched = true` generates candidates via [[searchBatched]] (same
+    * ranks, one code-table pass for the whole query batch).
     */
   def searchRefined(base: DataFrame, encoded: DataFrame, queries: DataFrame,
                     books: Codebooks, k: Int, refineK: Int, l2: Boolean = true,
-                    idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+                    idCol: String = "id", vecCol: String = "vec",
+                    batched: Boolean = false): DataFrame = {
     val kSearch = math.max(refineK, k)
-    if (refineK <= k) search(encoded, queries, books, k, l2, idCol)
+    def adc(kk: Int) =
+      if (batched) searchBatched(encoded, queries, books, kk, l2, idCol)
+      else search(encoded, queries, books, kk, l2, idCol)
+    if (refineK <= k) adc(k)
     else {
-      val cands = search(encoded, queries, books, kSearch, l2, idCol)
+      val cands = adc(kSearch)
         .groupBy("qid").agg(collect_list(col("id")).as("cand_ids"))
         .join(queries, Seq("qid"))
         .select(col("qid"), col("qvec"), col("cand_ids"))
@@ -108,7 +139,7 @@ object Pq {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
-  private def saveBooks(file: String, books: Codebooks): Unit = {
+  private[graft] def saveBooks(file: String, books: Codebooks): Unit = {
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(file)))
     try {
@@ -121,7 +152,7 @@ object Pq {
     } finally out.close()
   }
 
-  private def loadBooks(file: String): Option[Codebooks] =
+  private[graft] def loadBooks(file: String): Option[Codebooks] =
     if (!new java.io.File(file).isFile) None
     else {
       val in = new java.io.DataInputStream(new java.io.BufferedInputStream(

@@ -303,17 +303,19 @@ object Search {
     * multi-query scoring stays in whole-stage codegen (the batch
     * expressions above), and only the K2 buffers live in this imperative
     * tail — each partition emits Q×k rows instead of the Q×N posexplode
-    * stream the batched flavors feed through the aggregate.
+    * stream the batched flavors feed through the aggregate. Also drives
+    * `Pq.searchBatched`'s ADC scan (`larger = false` ranks ascending L2).
     */
-  private def fusedScoredTopK(scored: DataFrame, qids: Array[Long], k: Int,
-                              qidCol: String): DataFrame = {
+  private[ops] def fusedScoredTopK(scored: DataFrame, qids: Array[Long], k: Int,
+                                   qidCol: String,
+                                   larger: Boolean = true): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     val nq = qids.length
     val partials = scored
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        val agg = new TopKAggregator(k, larger = true)
+        val agg = new TopKAggregator(k, larger)
         val bufs = Array.fill(nq)(agg.zero)
         while (it.hasNext) {
           val (id, row) = it.next()
@@ -325,7 +327,7 @@ object Search {
         }
       }
     TopK.perGroup(partials.toDF("qid", "gid", "score"),
-      "qid", "gid", "score", k, larger = true)
+      "qid", "gid", "score", k, larger)
       .withColumnRenamed("qid", qidCol)
   }
 

@@ -279,6 +279,23 @@ object BenchScale {
             .count().toDouble, "stored_mb" -> dirBytes(path) / 1e6)
         }
       }
+      // deeper batch (Q=64): at Q=16 a ~0.3 s fixed job cost (scheduler +
+      // plan + collect — see ann_hnsw_single_breakdown's noop_job_sec)
+      // drowns the per-byte deltas and the format ratios wander run to
+      // run; 64 queries amortize it the way the reference's Q=1000
+      // batches do (`Performance.md:242-255` measures INT8's 1.82–1.90×
+      // at Q=1000), so THIS trio is the stored-bytes-economics reading.
+      val queries64 = base.filter(col("id") < 64)
+        .select(col("id").as("qid"), col("vec").as("qvec")).cache()
+      queries64.count()
+      for ((tag, path) <- Seq(("f32", f32bPath), ("f16", f16bPath), ("i8", i8bPath))) {
+        val t = graft.io.QuantizedTables.readBlocked(spark, path)
+        runAnn(s"ann_scan_${tag}_blocked_q64") {
+          Map("rows" -> Search.exactTopKFusedBlocked(t, queries64, k)
+            .count().toDouble, "stored_mb" -> dirBytes(path) / 1e6)
+        }
+      }
+      queries64.unpersist()
       val gt = Ivf.cachedGroundTruth(annKey, base, queries, k, Metric.Dot)
 
       // index build is DDL (cached on disk across JVMs) — measured once,
@@ -352,21 +369,33 @@ object BenchScale {
         "flat_mb" -> flatBytes / 1e6, "pq_mb" -> pqBytes / 1e6,
         "ratio" -> flatBytes.toDouble / math.max(pqBytes, 1L))
 
-      // PQ PROBE operating point (r9): ADC-scored scan over the 12 MB
-      // code table + exact-L2 refine of the top-R — the reference's PQ
-      // headline is precisely this shape (OPQ-PQ + Refine R=50: recall
-      // 0.9743 at TOTAL p99 0.857 ms from a 42 MB index,
-      // `Performance.md:621-623`). Recall vs the exact-scan GT; on the
-      // unit-normalized corpus L2 ranking ≡ Dot ranking, so the L2 refine
-      // grades against the Dot GT directly.
-      val pqEncoded = spark.read.parquet(pqPath)
+      // PQ PROBE operating point (r9): ADC-scored scan over the code
+      // table + exact-L2 refine of the top-R — the reference's PQ
+      // headline shape (OPQ-PQ + Refine R=50: recall 0.9743 at TOTAL p99
+      // 0.857 ms from a 42 MB index, `Performance.md:621-623`). The probe
+      // books are m=48 (48 B/vector ≈ the reference's m=64/42 MB class;
+      // the m=8 books above are the extreme-compression footprint story —
+      // their ADC is too coarse for refine to recover: measured 0.525
+      // recall at R=50). Batched fused ADC: one code-table pass scores
+      // the whole query batch. Recall vs the exact-scan GT; on the
+      // unit-normalized corpus L2 ranking ≡ Dot ranking.
+      val pq48BooksFile = s"target/scale_pq48_${annN}_$annDim.books.bin"
+      val books48 = Pq.loadBooks(pq48BooksFile).getOrElse {
+        val b = Pq.train(base, m = 48, ksub = 256, ntrain = 65536)
+        Pq.saveBooks(pq48BooksFile, b)
+        b
+      }
+      val pq48Path = s"target/scale_pq48_${annN}_$annDim"
+      if (!new java.io.File(s"$pq48Path/_SUCCESS").isFile)
+        Pq.encode(base, books48).write.mode("overwrite").parquet(pq48Path)
+      val pq48Encoded = spark.read.parquet(pq48Path)
       val pqRefineK = 50
       runAnn("ann_pq_probe") {
-        val pred = Pq.searchRefined(base, pqEncoded, queries, books, k,
-          refineK = pqRefineK)
+        val pred = Pq.searchRefined(base, pq48Encoded, queries, books48, k,
+          refineK = pqRefineK, batched = true)
         val rec = Ivf.meanRecall(pred, gt, k).collect()(0).getDouble(0)
-        Map("recall" -> rec, "refine_k" -> pqRefineK.toDouble,
-          "scanned_mb" -> pqBytes / 1e6)
+        Map("recall" -> rec, "refine_k" -> pqRefineK.toDouble, "m" -> 48.0,
+          "stored_mb" -> dirBytes(pq48Path) / 1e6)
       }
 
       // refine join against plain vs bucketed base, measured in the
@@ -506,7 +535,7 @@ object BenchScale {
       // embedding tables sit between (low-but-not-tiny intrinsic dim).
       // intrinsic=48 at 1M gives the frontier the reference's SHAPE
       // (knee below 1.0 at small efSearch, ≥0.95 at the top —
-      // `Performance.md:452-456`: 0.8961@16 → 0.9975@256 at 1M), built at
+      // `Performance.md:457-461`: 0.8961@16 → 0.9975@256 at 1M), built at
       // the reference's baseline construction point efC=200/m=16
       // (`Performance.md:490`, Table 15 baseline).
       val midIntr = sys.env.getOrElse("SPARK_GRAFT_HNSW_MID_INTR", "48").toInt

@@ -55,6 +55,21 @@ class PqSpec extends AnyFunSuite {
     encoded.unpersist()
   }
 
+  test("batched fused ADC search ranks identically to the joined flavor") {
+    val encoded = Pq.encode(base, books).cache()
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // driver-built LUTs run the same PqOps.lut as the broadcast side, and
+    // adcAll's per-pair lookup-sum is adc's — ranks must be equal
+    assert(asSet(Pq.searchBatched(encoded, queries, books, 10))
+      == asSet(Pq.search(encoded, queries, books, 10)))
+    assert(asSet(Pq.searchRefined(base, encoded, queries, books, 10,
+        refineK = 50, batched = true))
+      == asSet(Pq.searchRefined(base, encoded, queries, books, 10, refineK = 50)))
+    encoded.unpersist()
+  }
+
   test("refine-skip threshold: refineK <= k returns the plain ADC result") {
     val encoded = Pq.encode(base, books)
     val skipped = Pq.searchRefined(base, encoded, queries, books, k = 10, refineK = 5)
