@@ -129,6 +129,44 @@ class AnnScaleSpec extends AnyFunSuite {
     gt.unpersist()
   }
 
+  test("lowRankFast: deterministic, unit-norm, genuinely low intrinsic dimension") {
+    // the JVM-loop generator behind the 1M mid-hardness HNSW corpus —
+    // its structural promises must hold like the SQL flavor's
+    val intr = 4
+    val d = 32
+    val a = SyntheticVectors.lowRankFast(spark, 512L, d, intrinsic = intr)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val b = SyntheticVectors.lowRankFast(spark, 512L, d, intrinsic = intr)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(a.length == 512 && a.zip(b).forall { case ((i1, v1), (i2, v2)) =>
+      i1 == i2 && v1.sameElements(v2) }, "generator not deterministic")
+    a.foreach { case (id, v) =>
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-3, s"row $id norm $nrm")
+    }
+    // rank: any intrinsic+1 vectors must be linearly dependent — the
+    // (intr+1)x(intr+1) Gram determinant of unit vectors is ~0 (vs ~1 for
+    // generic full-rank unit vectors)
+    val g = Array.tabulate(intr + 1, intr + 1)((i, j) =>
+      a(i * 97)._2.zip(a(j * 97)._2).map { case (x, y) => x.toDouble * y }.sum)
+    // Gaussian elimination determinant
+    var det = 1.0
+    val m = g.map(_.clone())
+    for (col0 <- 0 until intr + 1) {
+      var p = col0
+      for (r <- col0 + 1 until intr + 1) if (math.abs(m(r)(col0)) > math.abs(m(p)(col0))) p = r
+      if (p != col0) { val t = m(p); m(p) = m(col0); m(col0) = t; det = -det }
+      det *= m(col0)(col0)
+      if (m(col0)(col0) != 0.0)
+        for (r <- col0 + 1 until intr + 1) {
+          val f = m(r)(col0) / m(col0)(col0)
+          for (c2 <- col0 until intr + 1) m(r)(c2) -= f * m(col0)(c2)
+        }
+    }
+    assert(math.abs(det) < 1e-6,
+      s"Gram determinant $det says intrinsic dim exceeds $intr")
+  }
+
   test("pq index bytes an order of magnitude below flat vectors") {
     def dirBytes(path: String): Long = {
       val f = new java.io.File(path)
