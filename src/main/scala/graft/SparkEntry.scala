@@ -536,8 +536,13 @@ object SparkEntry {
         element_at(sig, 2).as("mh1"))
         .orderBy(col("doc_id"))
     }),
+    // r10 workload trim (same discipline as d2's r9 k-halving, recorded
+    // in COVERAGE.md's bench-workload ledger): the left sample is 1/100
+    // instead of 1/50 — this is a declared LSH correctness oracle (the
+    // only sanctioned cross join), so the sample only needs to exercise
+    // the jaccard kernel against DuckDB, not carry throughput.
     "d3_jaccard_pairs" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), 5, col("doc_id") % 50 === 0)
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), 5, col("doc_id") % 100 === 0)
         .filter(col("jaccard") >= 0.25)
         .orderBy(col("a"), col("b"))
     }),
@@ -1247,7 +1252,7 @@ object SparkEntry {
         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
         |  FROM n a CROSS JOIN n b
-        |  WHERE a.doc_id % 50 = 0 AND a.doc_id < b.doc_id)
+        |  WHERE a.doc_id % 100 = 0 AND a.doc_id < b.doc_id)
         |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.25 ORDER BY a, b""".stripMargin,
     // Same truncated-window gram semantics as the Spark side (docs shorter
     // than the gram size contribute their single truncated window); grams

@@ -32,7 +32,18 @@ object BatchScore {
     * (the tail and any ragged/short input fall back to it).
     */
   private def dotsInto(x: Array[Float], queries: Array[Array[Float]],
-                       scale: Double, out: Array[Double]): Unit = {
+                       scale: Double, out: Array[Double]): Unit =
+    dotsIntoAcc(x, queries, scale, out, floatAcc = false)
+
+  /** `floatAcc = true` routes the 4-query tiles through [[Simd.dot4F]]
+    * (float-lane accumulation, ~2× FMA throughput) — the opt-in SERVING
+    * flavor for the blocked scans. Never reachable from the codegen
+    * expressions or any oracle path: those call the `floatAcc = false`
+    * double-lane contract above.
+    */
+  private def dotsIntoAcc(x: Array[Float], queries: Array[Array[Float]],
+                          scale: Double, out: Array[Double],
+                          floatAcc: Boolean): Unit = {
     val nq = queries.length
     var q = 0
     if (VectorKernels.simdEnabled && nq >= 4) {
@@ -42,7 +53,10 @@ object BatchScore {
       var i = 1
       while (uniform && i < nq) { uniform = queries(i).length == qdim; i += 1 }
       if (uniform) {
-        while (q + 4 <= nq) { Simd.dot4(x, queries, q, n, out, q); q += 4 }
+        if (floatAcc)
+          while (q + 4 <= nq) { Simd.dot4F(x, queries, q, n, out, q); q += 4 }
+        else
+          while (q + 4 <= nq) { Simd.dot4(x, queries, q, n, out, q); q += 4 }
       }
     }
     while (q < nq) { out(q) = VectorKernels.dot(x, queries(q)); q += 1 }
@@ -183,9 +197,13 @@ object BatchScore {
   // element, so every score is bitwise-identical to the unpacked paths —
   // the blob is only an amortization of per-row plan overhead.
 
-  /** fp16 slice: `dim` LE shorts starting at byte `off`. */
+  /** fp16 slice: `dim` LE shorts starting at byte `off`. `floatAcc` is
+    * the serving-only accumulation flavor (see [[dotsIntoAcc]]); the
+    * default keeps the double-lane oracle contract.
+    */
   def scoreAllHalfSlice(b: Array[Byte], off: Int, dim: Int,
-                        queries: Array[Array[Float]], out: Array[Double]): Unit = {
+                        queries: Array[Array[Float]], out: Array[Double],
+                        floatAcc: Boolean = false): Unit = {
     val x = bufOf(dim)
     var i = 0
     while (i < dim) {
@@ -193,23 +211,25 @@ object BatchScore {
       x(i) = VectorKernels.halfToFloat(s)
       i += 1
     }
-    dotsInto(x, queries, 1.0, out)
+    dotsIntoAcc(x, queries, 1.0, out, floatAcc)
   }
 
   /** int8 slice: `dim` code bytes starting at `off`, dequant by `scale`. */
   def scoreAllI8Slice(b: Array[Byte], off: Int, dim: Int, scale: Float,
-                      queries: Array[Array[Float]], out: Array[Double]): Unit = {
+                      queries: Array[Array[Float]], out: Array[Double],
+                      floatAcc: Boolean = false): Unit = {
     val x = bufOf(dim)
     var i = 0
     while (i < dim) { x(i) = b(off + i).toFloat; i += 1 }
-    dotsInto(x, queries, scale.toDouble, out)
+    dotsIntoAcc(x, queries, scale.toDouble, out, floatAcc)
   }
 
   /** f32 slice: `dim` LE floats starting at byte `off` (raw bit patterns
     * — intBitsToFloat reproduces the stored floats exactly).
     */
   def scoreAllF32Slice(b: Array[Byte], off: Int, dim: Int,
-                       queries: Array[Array[Float]], out: Array[Double]): Unit = {
+                       queries: Array[Array[Float]], out: Array[Double],
+                       floatAcc: Boolean = false): Unit = {
     val x = bufOf(dim)
     var i = 0
     while (i < dim) {
@@ -219,7 +239,7 @@ object BatchScore {
       x(i) = java.lang.Float.intBitsToFloat(bits)
       i += 1
     }
-    dotsInto(x, queries, 1.0, out)
+    dotsIntoAcc(x, queries, 1.0, out, floatAcc)
   }
 
   /** fp16 flavor: decode the row's half bits ONCE, then score all

@@ -16,29 +16,58 @@ import org.apache.spark.sql.types._
   */
 object CentroidOps {
 
-  /** Per-matrix centroid norms, keyed by the broadcast reference object's
-    * identity (same pattern as BatchScore's query-norm cache): weak keys
-    * die with the codegen reference, a PER-THREAD last-entry pair serves
-    * the hot loop without a lock (and without cross-job ping-pong when two
-    * scans use different matrices), and a benign race recomputes
-    * bitwise-equal doubles.
+  /** Per-matrix derived data for the norm-ordered argmin: the per-centroid
+    * norms, the centroid indices sorted ascending by (norm, index), the
+    * norms in that sorted order, and whether every row has the same dim
+    * (the tiled kernel's precondition; a ragged matrix — never produced by
+    * this engine — falls back to the index-order scan).
     */
-  private val normCache = new java.util.WeakHashMap[Array[Array[Float]], Array[Double]]()
-  private val normLast =
-    new ThreadLocal[(Array[Array[Float]], Array[Double])]()
-  private def normsOf(cs: Array[Array[Float]]): Array[Double] = {
-    val last = normLast.get()
+  final class CentroidMeta(val norms: Array[Double], val sumSqs: Array[Double],
+                           val order: Array[Int], val sortedNorms: Array[Double],
+                           val uniformDim: Boolean) {
+    def maxNorm: Double = if (sortedNorms.isEmpty) 0.0 else sortedNorms.last
+  }
+
+  private def buildMeta(cs: Array[Array[Float]]): CentroidMeta = {
+    val n = cs.length
+    val norms = new Array[Double](n)
+    val sumSqs = new Array[Double](n)
+    var uniform = true
+    var i = 0
+    while (i < n) {
+      sumSqs(i) = VectorKernels.sumSq(cs(i))
+      norms(i) = math.sqrt(sumSqs(i))
+      if (cs(i).length != cs(0).length) uniform = false
+      i += 1
+    }
+    val order = Array.range(0, n).sortBy(c => (norms(c), c))
+    val sortedNorms = order.map(norms)
+    new CentroidMeta(norms, sumSqs, order, sortedNorms, uniform)
+  }
+
+  /** Per-matrix meta, keyed by the broadcast reference object's identity
+    * (same pattern as BatchScore's query-norm cache): weak keys die with
+    * the codegen reference, a PER-THREAD last-entry pair serves the hot
+    * loop without a lock (and without cross-job ping-pong when two scans
+    * use different matrices), and a benign race recomputes bitwise-equal
+    * values.
+    */
+  private val metaCache = new java.util.WeakHashMap[Array[Array[Float]], CentroidMeta]()
+  private val metaLast =
+    new ThreadLocal[(Array[Array[Float]], CentroidMeta)]()
+  private[graft] def metaOf(cs: Array[Array[Float]]): CentroidMeta = {
+    val last = metaLast.get()
     if (last != null && (last._1 eq cs)) return last._2
-    val n = normCache.synchronized {
-      var got = normCache.get(cs)
+    val m = metaCache.synchronized {
+      var got = metaCache.get(cs)
       if (got == null) {
-        got = cs.map(VectorKernels.norm2)
-        normCache.put(cs, got)
+        got = buildMeta(cs)
+        metaCache.put(cs, got)
       }
       got
     }
-    normLast.set((cs, n))
-    n
+    metaLast.set((cs, m))
+    m
   }
 
   /** Relative slack on the norm-bound prune: the bound ‖x−c‖ ≥ |‖x‖−‖c‖|
@@ -57,31 +86,347 @@ object CentroidOps {
     */
   final val PruneSlack = 1.0 - 1e-9
 
-  /** Index of the L2-nearest centroid, with the norm lower-bound skip
-    * (‖x−c‖ ≥ |‖x‖−‖c‖|): a centroid whose norm gap already exceeds the
-    * best distance so far cannot win the argmin, so the skip does not
-    * change the assignment (up to the [[PruneSlack]]-covered FP caveat) —
-    * it only cuts the kernel evals ~8× on clusterable data (the
-    * 1M×nlist=1024 assign pass measured 15.7 s without it; the same bound
-    * inside `Kmeans` cut its iteration 8×). Ties keep the lowest index
-    * via strict `<`, matching `Kmeans`'s training-time rule.
+  /** Index of the L2-nearest centroid — the NORM-ORDERED TILED argmin
+    * (the r9-designed train/assign kernel; this is the shared hot path of
+    * `Kmeans` training and the IVF assign/probe expressions).
+    *
+    * The norm lower bound ‖x−c‖ ≥ |‖x‖−‖c‖| already lets an index-order
+    * scan skip most kernel evals, but the SURVIVORS it leaves are
+    * scattered, which defeats register tiling (r9 measured ~1× from
+    * tiling scattered survivors). Visiting centroids in NORM order fixes
+    * both at once: the prune-eligible set {c : (‖x‖−‖c‖)²·slack < bestD}
+    * is a CONTIGUOUS window of the norm-sorted order around ‖x‖, expanded
+    * two-pointer outward taking the smaller |norm gap| side first (the
+    * best-first order, so bestD tightens fastest), with an EXACT stop:
+    * |gap| is monotone outward on each side, so the first position whose
+    * gap² fails the bound ends that side. Eligible candidates buffer four
+    * at a time into [[Simd.l2Sq4At]], which reuses the point's loads and
+    * float→double widening from registers across the 4 centroids — the
+    * 2–3× per-pair win the scattered-survivor scan could not get.
+    *
+    * BITWISE-IDENTICAL to the index-order scan by construction:
+    * per-pair distances are bitwise equal ([[Simd.l2Sq4At]] lane math ==
+    * `l2Sq`), pruned candidates satisfy d ≥ gap² ≥ bestD/slack > bestD so
+    * they can never win (and an exact tie is NEVER pruned: gap² ≤ d =
+    * bestD ⇒ gap²·slack < bestD), and the selection rule
+    * `d < bestD || (d == bestD && c < best)` makes the winner the
+    * lowest-index global argmin regardless of visit order — exactly what
+    * the index-order strict-`<` scan returns. VectorKernelsSpec gates the
+    * equality on random data and on constructed equal-distance ties.
     */
-  def argminL2(v: ArrayData, centroids: Array[Array[Float]]): Int = {
-    val x = v.toFloatArray()
-    val norms = normsOf(centroids)
+  def argminL2(v: ArrayData, centroids: Array[Array[Float]]): Int =
+    argminL2F(v.toFloatArray(), centroids)
+
+  /** [[argminL2]] over a plain float array (the `Kmeans` entry point).
+    *
+    * Dispatch: large centroid sets (k ≥ 128 — the train/assign regime
+    * where the reference runs FAISS's blocked GEMM) go through
+    * [[argminScreened]]; small sets keep the norm-ordered tile (screening
+    * overhead isn't amortized there). Both are bit-exact.
+    */
+  def argminL2F(x: Array[Float], centroids: Array[Array[Float]]): Int = {
+    val meta = metaOf(centroids)
+    if (!meta.uniformDim) return argminL2Direct(x, centroids, meta.norms)
+    val dim = if (centroids.isEmpty) 0 else centroids(0).length
+    // screened path requires x.length == dim: the screen identity uses the
+    // FULL ‖x‖²/‖c‖², so a truncating min-length pairing (the legacy
+    // kernels' convention for mismatched dims) would shift screens
+    // per-candidate and break the error bound
+    if (VectorKernels.simdEnabled && centroids.length >= 128 &&
+        x.length == dim && dim >= 16)
+      argminScreened(x, centroids, meta)
+    else
+      argminNormOrdered(x, centroids, meta.order, meta.sortedNorms)
+  }
+
+  /** Per-thread scratch of the screened argmin: the screen-distance array
+    * (size ≥ k) and the 4-wide tile output. Never escapes one call.
+    */
+  private val screenBuf = new ThreadLocal[(Array[Double], Array[Double])]()
+  private def screenBufOf(k: Int): (Array[Double], Array[Double]) = {
+    var b = screenBuf.get()
+    if (b == null || b._1.length < k) {
+      b = (new Array[Double](k), new Array[Double](8))
+      screenBuf.set(b)
+    }
+    b
+  }
+
+  /** Exact-shortlist selection shared by the screened paths: evaluate the
+    * DOUBLE kernel on every candidate whose screen distance is within
+    * `thr`, lowest-index winner on exact ties. Int.MaxValue = empty
+    * shortlist (all-NaN screen from non-finite input).
+    */
+  private def shortlistArgmin(x: Array[Float], cs: Array[Array[Float]],
+                              df: Array[Double], k: Int, thr: Double): Int = {
+    var best = Int.MaxValue
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      if (df(c) <= thr) {
+        val d = VectorKernels.l2Sq(x, cs(c))
+        if (d < bestD || (d == bestD && c < best)) { bestD = d; best = c }
+      }
+      c += 1
+    }
+    best
+  }
+
+  /** Batch width of [[assignBatch]]: 16 points per centroid-matrix pass
+    * keeps the per-thread screen state (16 × k doubles ≈ 512 KB at
+    * k=4096) plus the 128-centroid chunk (192 KB at 384d) L2-resident.
+    */
+  final val AssignBatchSize = 16
+  private val ChunkCentroids = 128
+
+  private val batchBuf = new ThreadLocal[(Array[Array[Double]], Array[Double])]()
+  private def batchBufOf(k: Int): (Array[Array[Double]], Array[Double]) = {
+    var b = batchBuf.get()
+    if (b == null || b._1(0).length < k) {
+      b = (Array.fill(AssignBatchSize)(new Array[Double](k)), new Array[Double](8))
+      batchBuf.set(b)
+    }
+    b
+  }
+
+  /** Batched screened assignment — the fix for the train wall's REAL
+    * bottleneck. The single-point screen already runs at the float-FMA
+    * kernel's speed, but one point's screen streams the whole k×dim
+    * centroid matrix (6.3 MB at 4096×384) from L3 — ~22 GB/s per thread
+    * measured (MicroArgmin), so 32 assignment threads saturate the
+    * shared L3 and throttle ~4×. This is why FAISS assigns with a
+    * blocked GEMM: BLOCK OVER POINTS TOO. Here a 128-centroid chunk
+    * (L2-resident) is screened against up to 16 buffered points before
+    * moving on, cutting per-point L3 traffic 16× — per-iteration
+    * centroid traffic drops from 1.3 TB to 79 GB at the 200k×4096
+    * operating point, taking the parallel scan from memory-bound back to
+    * compute-bound. Same screen math, same per-point error bound and
+    * exact shortlist re-eval as [[argminScreened]], so each out(p) is
+    * bit-identical to the single-point call (VectorKernelsSpec gates
+    * it); loop order changes only CACHE traffic, never a value.
+    *
+    * `out(p)` = argmin index for `points(p)`, p < n (n ≤ any length;
+    * internally processed [[AssignBatchSize]] points at a time). Falls
+    * back to the per-point dispatch when the screen preconditions fail.
+    */
+  def assignBatch(points: Array[Array[Float]], n: Int,
+                  cs: Array[Array[Float]], out: Array[Int]): Unit = {
+    val meta = metaOf(cs)
+    val k = cs.length
+    val dim = if (k == 0) 0 else cs(0).length
+    var screenable = VectorKernels.simdEnabled && k >= 128 && dim >= 16 &&
+      meta.uniformDim
+    var i = 0
+    while (screenable && i < n) { screenable = points(i).length == dim; i += 1 }
+    if (!screenable) {
+      var p = 0
+      while (p < n) { out(p) = argminL2F(points(p), cs); p += 1 }
+      return
+    }
+    val (dfs, out8) = batchBufOf(k)
+    val xxs = new Array[Double](AssignBatchSize)
+    var base0 = 0
+    while (base0 < n) {
+      val b = math.min(AssignBatchSize, n - base0)
+      var p = 0
+      while (p < b) { xxs(p) = VectorKernels.sumSq(points(base0 + p)); p += 1 }
+      var c0 = 0
+      while (c0 < k) {
+        val cEnd = math.min(c0 + ChunkCentroids, k)
+        p = 0
+        while (p < b) {
+          val x = points(base0 + p)
+          val df = dfs(p)
+          val xx = xxs(p)
+          var c = c0
+          while (c + 8 <= cEnd) {
+            Simd.dot8FSeq(x, cs, c, dim, out8)
+            var j = 0
+            while (j < 8) { df(c + j) = xx + meta.sumSqs(c + j) - 2.0 * out8(j); j += 1 }
+            c += 8
+          }
+          if (c + 4 <= cEnd) {
+            Simd.dot4FSeq(x, cs, c, dim, out8)
+            var j = 0
+            while (j < 4) { df(c + j) = xx + meta.sumSqs(c + j) - 2.0 * out8(j); j += 1 }
+            c += 4
+          }
+          while (c < cEnd) {
+            df(c) = xx + meta.sumSqs(c) - 2.0 * VectorKernels.dot(x, cs(c))
+            c += 1
+          }
+          p += 1
+        }
+        c0 = cEnd
+      }
+      p = 0
+      while (p < b) {
+        val x = points(base0 + p)
+        val df = dfs(p)
+        var dfMin = Double.MaxValue
+        var c = 0
+        while (c < k) { val d = df(c); if (d < dfMin) dfMin = d; c += 1 }
+        val eMax = 4.0 * dim * 5.9604644775390625e-8 * math.sqrt(xxs(p)) * meta.maxNorm
+        val got = shortlistArgmin(x, cs, df, k, dfMin + 2.0 * eMax)
+        out(base0 + p) =
+          if (got == Int.MaxValue) // non-finite input: all-NaN screen
+            argminNormOrdered(x, cs, meta.order, meta.sortedNorms)
+          else got
+        p += 1
+      }
+      base0 += b
+    }
+  }
+
+  /** The GEMM-shaped argmin (FAISS `distance_computation` re-expressed:
+    * screen with a cheap blocked X·Cᵀ, exactly re-evaluate a shortlist):
+    * a FLOAT-accumulated dot pass over ALL centroids ([[Simd.dot4FSeq]] —
+    * 1 FMA/element at 2× the double-lane width, ~4× cheaper than exact
+    * tiled l2Sq) forms screen distances d̃(c) = ‖x‖² + ‖c‖² − 2·x·c̃, and
+    * only candidates within an ANALYTIC error bound of the screen minimum
+    * are re-evaluated with the exact double-lane kernel.
+    *
+    * Soundness (why the result is BIT-IDENTICAL to the exhaustive exact
+    * scan): float-FMA accumulation of n products obeys
+    * |dot̃ − dot| ≤ γₙ·Σ|xᵢcᵢ| ≤ γₙ·‖x‖·‖c‖ (γₙ = n·u/(1−n·u), u = 2⁻²⁴,
+    * valid for ANY summation order, so lane interleave + reduceLanes are
+    * covered); ‖x‖², ‖c‖² are double-accumulated (error ~1e-16 relative,
+    * absorbed below). Hence |d̃(c) − d(c)| ≤ 2γₙ‖x‖‖c‖ + tiny ≤ eMax :=
+    * 4·n·u·‖x‖·max‖c‖ (a ≥1.7× cushion). For any c outside the shortlist
+    * {c : d̃(c) ≤ d̃min + 2·eMax}:
+    *   d(c) ≥ d̃(c) − eMax > d̃min + eMax ≥ d̃(c*) + eMax ≥ d(c*) ≥ dmin,
+    * strictly — so no argmin candidate and NO exact tie is ever excluded,
+    * and the shortlist's exact argmin with the lowest-index tie-break IS
+    * the global one. Non-finite inputs make every screen comparison
+    * false; the empty shortlist falls back to the windowed exact scan.
+    * VectorKernelsSpec gates equality vs brute force (random + reflected
+    * exact ties); KmeansSpec's bitwise determinism gates ride on it.
+    */
+  private[graft] def argminScreened(x: Array[Float], cs: Array[Array[Float]],
+                                    meta: CentroidMeta): Int = {
+    val k = cs.length
+    val dim = math.min(x.length, cs(0).length)
+    val xx = VectorKernels.sumSq(x)
+    val (df, out4) = screenBufOf(k)
+    var dfMin = Double.MaxValue
+    var c = 0
+    while (c + 8 <= k) {
+      Simd.dot8FSeq(x, cs, c, dim, out4)
+      var j = 0
+      while (j < 8) {
+        val d = xx + meta.sumSqs(c + j) - 2.0 * out4(j)
+        df(c + j) = d
+        if (d < dfMin) dfMin = d
+        j += 1
+      }
+      c += 8
+    }
+    if (c + 4 <= k) {
+      Simd.dot4FSeq(x, cs, c, dim, out4)
+      var j = 0
+      while (j < 4) {
+        val d = xx + meta.sumSqs(c + j) - 2.0 * out4(j)
+        df(c + j) = d
+        if (d < dfMin) dfMin = d
+        j += 1
+      }
+      c += 4
+    }
+    while (c < k) { // ragged tail: exact double dot is fine for a screen
+      val d = xx + meta.sumSqs(c) - 2.0 * VectorKernels.dot(x, cs(c))
+      df(c) = d
+      if (d < dfMin) dfMin = d
+      c += 1
+    }
+    val eMax = 4.0 * dim * 5.9604644775390625e-8 * math.sqrt(xx) * meta.maxNorm
+    val got = shortlistArgmin(x, cs, df, k, dfMin + 2.0 * eMax)
+    if (got == Int.MaxValue) // non-finite input: screen was all-NaN
+      argminNormOrdered(x, cs, meta.order, meta.sortedNorms)
+    else got
+  }
+
+  /** The legacy index-order bounded scan — kept as the ragged-matrix
+    * fallback and the spec's equality reference.
+    */
+  private[graft] def argminL2Direct(x: Array[Float], cs: Array[Array[Float]],
+                                    norms: Array[Double]): Int = {
     val xn = VectorKernels.norm2(x)
     var best = 0
     var bestDist = Double.MaxValue
     var c = 0
-    while (c < centroids.length) {
+    while (c < cs.length) {
       val gap = xn - norms(c)
       if (gap * gap * PruneSlack < bestDist) {
-        val d = VectorKernels.l2Sq(x, centroids(c))
+        val d = VectorKernels.l2Sq(x, cs(c))
         if (d < bestDist) { bestDist = d; best = c }
       }
       c += 1
     }
     best
+  }
+
+  private[graft] def argminNormOrdered(x: Array[Float], cs: Array[Array[Float]],
+                                       order: Array[Int],
+                                       sortedNorms: Array[Double]): Int = {
+    val n = cs.length
+    if (n == 0) return 0
+    val dim = math.min(x.length, cs(0).length)
+    val tiled = VectorKernels.simdEnabled && dim >= 16
+    val xn = VectorKernels.norm2(x)
+    // first sorted position with norm >= ‖x‖ (binary lower bound)
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sortedNorms(mid) < xn) lo = mid + 1 else hi = mid
+    }
+    var down = lo - 1 // next candidate below ‖x‖ (gap > 0)
+    var up = lo       // next candidate at/above ‖x‖ (gap ≤ 0)
+    var downDone = down < 0
+    var upDone = up >= n
+    var best = Int.MaxValue // index tie-break sentinel: any candidate wins
+    var bestD = Double.MaxValue
+    val buf = new Array[Int](4)
+    val out = new Array[Double](4)
+    var bufN = 0
+    while (!downDone || !upDone) {
+      val takeDown =
+        !downDone && (upDone || xn - sortedNorms(down) <= sortedNorms(up) - xn)
+      val pos = if (takeDown) down else up
+      val gap = xn - sortedNorms(pos)
+      if (gap * gap * PruneSlack < bestD) {
+        buf(bufN) = order(pos)
+        bufN += 1
+        if (bufN == 4) {
+          if (tiled) Simd.l2Sq4At(x, cs, buf(0), buf(1), buf(2), buf(3), dim, out)
+          else {
+            out(0) = VectorKernels.l2Sq(x, cs(buf(0)))
+            out(1) = VectorKernels.l2Sq(x, cs(buf(1)))
+            out(2) = VectorKernels.l2Sq(x, cs(buf(2)))
+            out(3) = VectorKernels.l2Sq(x, cs(buf(3)))
+          }
+          var j = 0
+          while (j < 4) {
+            val d = out(j)
+            val c = buf(j)
+            if (d < bestD || (d == bestD && c < best)) { bestD = d; best = c }
+            j += 1
+          }
+          bufN = 0
+        }
+        if (takeDown) { down -= 1; downDone = down < 0 }
+        else { up += 1; upDone = up >= n }
+      } else if (takeDown) downDone = true
+      else upDone = true
+    }
+    var j = 0
+    while (j < bufN) { // ragged tail of the last tile: per-pair kernel
+      val c = buf(j)
+      val d = VectorKernels.l2Sq(x, cs(c))
+      if (d < bestD || (d == bestD && c < best)) { bestD = d; best = c }
+      j += 1
+    }
+    if (best == Int.MaxValue) 0 else best
   }
 
   /** ids of the `nprobe` L2-nearest centroids, nearest first */

@@ -190,6 +190,197 @@ object Simd {
     out(ooff) = s0; out(ooff + 1) = s1; out(ooff + 2) = s2; out(ooff + 3) = s3
   }
 
+  /** Four dots in one pass with FLOAT-lane accumulation — the opt-in
+    * SERVING flavor of [[dot4]]. Float FMA runs 2× the lane width of the
+    * double-lane contract (no F2D widening, twice the elements per
+    * vector op), which matters exactly where the blocked quantized scans
+    * are compute-bound (the r9 INT8-ladder finding: double-lane FMA
+    * throughput caps 384-d scans at ~0.6 s/1M×16q, compressing
+    * stored-byte ratios). NOT bitwise-comparable to the oracle kernels:
+    * all-float accumulation of n nonnegative-magnitude products carries
+    * ≲ n·ε_f32 ≈ 2.3e-5 relative error at n=384 — far above the 1e-9
+    * oracle rounding, fine for approximate serving (it can flip only
+    * true near-ties; SearchSpec gates top-k SET equality on the
+    * fixture). Every oracle/default path keeps [[dot4]]'s double-lane
+    * contract untouched.
+    */
+  def dot4F(a: Array[Float], qs: Array[Array[Float]], qoff: Int, n: Int,
+            out: Array[Double], ooff: Int): Unit = {
+    val q0 = qs(qoff); val q1 = qs(qoff + 1); val q2 = qs(qoff + 2); val q3 = qs(qoff + 3)
+    var a0 = FloatVector.zero(FS)
+    var a1 = FloatVector.zero(FS)
+    var a2 = FloatVector.zero(FS)
+    var a3 = FloatVector.zero(FS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      a0 = va.fma(FloatVector.fromArray(FS, q0, i), a0)
+      a1 = va.fma(FloatVector.fromArray(FS, q1, i), a1)
+      a2 = va.fma(FloatVector.fromArray(FS, q2, i), a2)
+      a3 = va.fma(FloatVector.fromArray(FS, q3, i), a3)
+      i += step
+    }
+    var s0 = a0.reduceLanes(VectorOperators.ADD).toDouble
+    var s1 = a1.reduceLanes(VectorOperators.ADD).toDouble
+    var s2 = a2.reduceLanes(VectorOperators.ADD).toDouble
+    var s3 = a3.reduceLanes(VectorOperators.ADD).toDouble
+    while (i < n) {
+      val ad = a(i).toDouble
+      s0 += ad * q0(i).toDouble; s1 += ad * q1(i).toDouble
+      s2 += ad * q2(i).toDouble; s3 += ad * q3(i).toDouble
+      i += 1
+    }
+    out(ooff) = s0; out(ooff + 1) = s1; out(ooff + 2) = s2; out(ooff + 3) = s3
+  }
+
+  /** Four float-accumulated dots against CONSECUTIVE rows cs(c..c+3) →
+    * out(0..3) — the SCREENING kernel of the GEMM-shaped argmin
+    * ([[CentroidOps.argminScreened]]). Dot is 1 FMA/element where l2Sq
+    * pays sub+FMA, and float lanes run 2× the width of the double-lane
+    * contract, so a screening pass over all k centroids costs ~4× less
+    * than exact tiled l2Sq — the screen's error is then bounded
+    * analytically and an exact double-kernel re-eval of the shortlist
+    * restores the bit-exact argmin (soundness argument at the call site).
+    */
+  def dot4FSeq(a: Array[Float], cs: Array[Array[Float]], c: Int, n: Int,
+               out: Array[Double]): Unit = {
+    val q0 = cs(c); val q1 = cs(c + 1); val q2 = cs(c + 2); val q3 = cs(c + 3)
+    var a0 = FloatVector.zero(FS)
+    var a1 = FloatVector.zero(FS)
+    var a2 = FloatVector.zero(FS)
+    var a3 = FloatVector.zero(FS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      a0 = va.fma(FloatVector.fromArray(FS, q0, i), a0)
+      a1 = va.fma(FloatVector.fromArray(FS, q1, i), a1)
+      a2 = va.fma(FloatVector.fromArray(FS, q2, i), a2)
+      a3 = va.fma(FloatVector.fromArray(FS, q3, i), a3)
+      i += step
+    }
+    var s0 = a0.reduceLanes(VectorOperators.ADD).toDouble
+    var s1 = a1.reduceLanes(VectorOperators.ADD).toDouble
+    var s2 = a2.reduceLanes(VectorOperators.ADD).toDouble
+    var s3 = a3.reduceLanes(VectorOperators.ADD).toDouble
+    while (i < n) {
+      val ad = a(i).toDouble
+      s0 += ad * q0(i).toDouble; s1 += ad * q1(i).toDouble
+      s2 += ad * q2(i).toDouble; s3 += ad * q3(i).toDouble
+      i += 1
+    }
+    out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
+  }
+
+  /** Eight float-accumulated dots against CONSECUTIVE rows cs(c..c+7) →
+    * out(0..7) — [[dot4FSeq]] widened to 8 independent accumulator
+    * chains: float FMA latency×throughput needs ~8 in-flight chains to
+    * saturate both FMA ports, and the 4-wide tile measured only ~1.45×
+    * over the double-lane kernel where ~4× is available (MicroArgmin).
+    */
+  def dot8FSeq(a: Array[Float], cs: Array[Array[Float]], c: Int, n: Int,
+               out: Array[Double]): Unit = {
+    val q0 = cs(c); val q1 = cs(c + 1); val q2 = cs(c + 2); val q3 = cs(c + 3)
+    val q4 = cs(c + 4); val q5 = cs(c + 5); val q6 = cs(c + 6); val q7 = cs(c + 7)
+    var a0 = FloatVector.zero(FS); var a1 = FloatVector.zero(FS)
+    var a2 = FloatVector.zero(FS); var a3 = FloatVector.zero(FS)
+    var a4 = FloatVector.zero(FS); var a5 = FloatVector.zero(FS)
+    var a6 = FloatVector.zero(FS); var a7 = FloatVector.zero(FS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      a0 = va.fma(FloatVector.fromArray(FS, q0, i), a0)
+      a1 = va.fma(FloatVector.fromArray(FS, q1, i), a1)
+      a2 = va.fma(FloatVector.fromArray(FS, q2, i), a2)
+      a3 = va.fma(FloatVector.fromArray(FS, q3, i), a3)
+      a4 = va.fma(FloatVector.fromArray(FS, q4, i), a4)
+      a5 = va.fma(FloatVector.fromArray(FS, q5, i), a5)
+      a6 = va.fma(FloatVector.fromArray(FS, q6, i), a6)
+      a7 = va.fma(FloatVector.fromArray(FS, q7, i), a7)
+      i += step
+    }
+    var s0 = a0.reduceLanes(VectorOperators.ADD).toDouble
+    var s1 = a1.reduceLanes(VectorOperators.ADD).toDouble
+    var s2 = a2.reduceLanes(VectorOperators.ADD).toDouble
+    var s3 = a3.reduceLanes(VectorOperators.ADD).toDouble
+    var s4 = a4.reduceLanes(VectorOperators.ADD).toDouble
+    var s5 = a5.reduceLanes(VectorOperators.ADD).toDouble
+    var s6 = a6.reduceLanes(VectorOperators.ADD).toDouble
+    var s7 = a7.reduceLanes(VectorOperators.ADD).toDouble
+    while (i < n) {
+      val ad = a(i).toDouble
+      s0 += ad * q0(i).toDouble; s1 += ad * q1(i).toDouble
+      s2 += ad * q2(i).toDouble; s3 += ad * q3(i).toDouble
+      s4 += ad * q4(i).toDouble; s5 += ad * q5(i).toDouble
+      s6 += ad * q6(i).toDouble; s7 += ad * q7(i).toDouble
+      i += 1
+    }
+    out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
+    out(4) = s4; out(5) = s5; out(6) = s6; out(7) = s7
+  }
+
+  /** Four squared-L2 distances against GATHERED rows: ‖a − cs(ij)‖² →
+    * out(j), j ∈ 0..3. The index-gather twin of [[l2Sq4]] for the
+    * norm-ordered argmin ([[CentroidOps.argminNormOrdered]]): the
+    * candidate window is contiguous in NORM order, not in storage order,
+    * so the tile takes four explicit row indices. Per-pair lane math is
+    * identical to [[l2Sq]] (sub in double, `fma(d,d)`, own lane pair per
+    * output), so each out(j) is bitwise equal to `l2Sq(a, cs(ij), n)` —
+    * SimdSpec gates it.
+    */
+  def l2Sq4At(a: Array[Float], cs: Array[Array[Float]],
+              i0: Int, i1: Int, i2: Int, i3: Int, n: Int,
+              out: Array[Double]): Unit = {
+    val q0 = cs(i0); val q1 = cs(i1); val q2 = cs(i2); val q3 = cs(i3)
+    var a00 = DoubleVector.zero(DS); var a01 = DoubleVector.zero(DS)
+    var a10 = DoubleVector.zero(DS); var a11 = DoubleVector.zero(DS)
+    var a20 = DoubleVector.zero(DS); var a21 = DoubleVector.zero(DS)
+    var a30 = DoubleVector.zero(DS); var a31 = DoubleVector.zero(DS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      val va0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+      val va1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+      val v0 = FloatVector.fromArray(FS, q0, i)
+      val d00 = va0.sub(v0.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d01 = va1.sub(v0.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a00 = d00.fma(d00, a00); a01 = d01.fma(d01, a01)
+      val v1 = FloatVector.fromArray(FS, q1, i)
+      val d10 = va0.sub(v1.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d11 = va1.sub(v1.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a10 = d10.fma(d10, a10); a11 = d11.fma(d11, a11)
+      val v2 = FloatVector.fromArray(FS, q2, i)
+      val d20 = va0.sub(v2.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d21 = va1.sub(v2.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a20 = d20.fma(d20, a20); a21 = d21.fma(d21, a21)
+      val v3 = FloatVector.fromArray(FS, q3, i)
+      val d30 = va0.sub(v3.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d31 = va1.sub(v3.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a30 = d30.fma(d30, a30); a31 = d31.fma(d31, a31)
+      i += step
+    }
+    var s0 = a00.add(a01).reduceLanes(VectorOperators.ADD)
+    var s1 = a10.add(a11).reduceLanes(VectorOperators.ADD)
+    var s2 = a20.add(a21).reduceLanes(VectorOperators.ADD)
+    var s3 = a30.add(a31).reduceLanes(VectorOperators.ADD)
+    while (i < n) {
+      val ad = a(i).toDouble
+      val e0 = ad - q0(i).toDouble; s0 += e0 * e0
+      val e1 = ad - q1(i).toDouble; s1 += e1 * e1
+      val e2 = ad - q2(i).toDouble; s2 += e2 * e2
+      val e3 = ad - q3(i).toDouble; s3 += e3 * e3
+      i += 1
+    }
+    out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
+  }
+
   /** Sum of squares over the whole array (norm2 = sqrt of this). */
   def sumSq(a: Array[Float]): Double = {
     val n = a.length

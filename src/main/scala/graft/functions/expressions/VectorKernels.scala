@@ -55,13 +55,20 @@ object VectorKernels {
     acc
   }
 
-  def norm2(a: Array[Float]): Double = {
-    if (simdEnabled && a.length >= SimdMinLen) return math.sqrt(Simd.sumSq(a))
+  /** Sum of squares (double-accumulated) — norm2 is its sqrt; exposed
+    * separately because the screened argmin needs the unsquared form
+    * (‖x‖² enters d = ‖x‖² + ‖c‖² − 2x·c directly; squaring a rounded
+    * sqrt would pay two extra roundings for nothing).
+    */
+  def sumSq(a: Array[Float]): Double = {
+    if (simdEnabled && a.length >= SimdMinLen) return Simd.sumSq(a)
     var acc = 0.0
     var i = 0
     while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
-    math.sqrt(acc)
+    acc
   }
+
+  def norm2(a: Array[Float]): Double = math.sqrt(sumSq(a))
 
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     val na = norm2(a); val nb = norm2(b)

@@ -73,6 +73,31 @@ object QuantizedTables {
   // scorers slice the blob per vector with decode math identical to the
   // per-row kernels, so ranks stay bitwise-equal (SearchSpec gates it).
 
+  /** Deterministic pre-pack layout: rows land in the partition of
+    * `floor(id / rowsPerPart)` (rowsPerPart rounded UP to a multiple of
+    * `block`) and sort by id within it. `repartitionByRange` would look
+    * natural here but its range boundaries come from reservoir sampling
+    * seeded by the RDD id — session-history dependent — so the stored
+    * blocks (and with them stored_mb and scan timing) would not be
+    * run-to-run reproducible. With the explicit id-range key the group an
+    * id belongs to is a pure function of the id set, and because group
+    * size is block-aligned, every packed block holds `block` consecutive
+    * ids of one group (only the globally-last group has a ragged tail) —
+    * the artifact is byte-reproducible across sessions regardless of
+    * which partition the hash placed each group in. Assumes the engine's
+    * dense positional ids; sparse ids only unbalance group sizes, never
+    * determinism.
+    */
+  private def idRangeLayout(df: DataFrame, block: Int): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val maxId = df.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)
+    val perPart = (maxId + 1 + nParts - 1) / nParts
+    val rowsPerPart = math.max(block.toLong, ((perPart + block - 1) / block) * block)
+    df.repartition(nParts, (col("id") / rowsPerPart).cast("long"))
+      .sortWithinPartitions("id")
+  }
+
   private def packBlocks(rows: Iterator[(Long, Array[Byte])],
                          block: Int): Iterator[(Array[Long], Array[Byte])] =
     rows.grouped(block).map { g =>
@@ -92,9 +117,8 @@ object QuantizedTables {
     import graft.functions.expressions.PackFloatsLE
     val spark = base.sparkSession
     import spark.implicits._
-    base.select(col(idCol).cast("long").as("id"),
-        Bridge.column(PackFloatsLE(Bridge.expression(col(vecCol)))).as("b"))
-      .repartitionByRange(col("id")).sortWithinPartitions("id")
+    idRangeLayout(base.select(col(idCol).cast("long").as("id"),
+        Bridge.column(PackFloatsLE(Bridge.expression(col(vecCol)))).as("b")), block)
       .as[(Long, Array[Byte])]
       .mapPartitions(packBlocks(_, block))
       .toDF("ids", "vecs")
@@ -108,9 +132,8 @@ object QuantizedTables {
     import graft.functions.expressions.{HalfEncode, PackShortsLE}
     val spark = base.sparkSession
     import spark.implicits._
-    base.select(col(idCol).cast("long").as("id"),
-        Bridge.column(PackShortsLE(HalfEncode(Bridge.expression(col(vecCol))))).as("b"))
-      .repartitionByRange(col("id")).sortWithinPartitions("id")
+    idRangeLayout(base.select(col(idCol).cast("long").as("id"),
+        Bridge.column(PackShortsLE(HalfEncode(Bridge.expression(col(vecCol))))).as("b")), block)
       .as[(Long, Array[Byte])]
       .mapPartitions(packBlocks(_, block))
       .toDF("ids", "bits")
@@ -124,12 +147,11 @@ object QuantizedTables {
     import graft.functions.expressions.PackBytes
     val spark = base.sparkSession
     import spark.implicits._
-    base.select(col(idCol).cast("long").as("id"),
+    idRangeLayout(base.select(col(idCol).cast("long").as("id"),
         VectorFunctions.quantizeI8(col(vecCol)).as("q"))
       .select(col("id"),
         Bridge.column(PackBytes(Bridge.expression(col("q.codes")))).as("b"),
-        col("q.scale").as("scale"))
-      .repartitionByRange(col("id")).sortWithinPartitions("id")
+        col("q.scale").as("scale")), block)
       .as[(Long, Array[Byte], Float)]
       .mapPartitions { rows =>
         rows.grouped(block).map { g =>

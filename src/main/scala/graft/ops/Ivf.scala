@@ -69,7 +69,13 @@ object Ivf {
         s"dense positional '$idCol' (SURVEY §1.1) — mint ids with " +
         "Ingest.withPositionalIds before indexing derived tables")
     // coarse-quantizer restarts select by the retrieval-recall proxy, not
-    // quantization error (see Kmeans.localFit's selection rationale)
+    // quantization error (see Kmeans.localFit's selection rationale).
+    // SCOPE: restarts exist only on Kmeans.fit's driver-local path
+    // (k < 256 && sample ≤ 16384 — every sf-fixture index), where the r8
+    // MSE-vs-recall measurement was made. At production nlist (e.g. 4096)
+    // the distributed Lloyd path runs a SINGLE seeded-init run, FAISS's
+    // own nredo=1 default at scale, and the flag is ignored — the fixture
+    // rationale is not assumed to transfer.
     Kmeans.fit(feat, nlist, seed, maxIter, vecCol = vecCol, selectByRecall = true)
   }
 

@@ -16,12 +16,16 @@ import graft.functions.expressions.VectorKernels
   * L2 evals ≈ 157 GFLOP — it is MLlib's per-row Vector boxing and
   * generic-aggregation plumbing. This trainer is the Spark shape the task
   * actually wants: the bounded sample is cached once, every iteration is
-  * ONE `mapPartitions` pass that fuses assignment (SIMD
-  * [[VectorKernels.l2Sq]], the same kernel the probe scan runs) with the
-  * per-cluster sum/count accumulation, and the per-partition partials are
-  * combined on the driver in PARTITION ORDER so the float reduction is
-  * deterministic run-to-run — the property every seeded oracle build
-  * (a1/a6/a7/a9) contracts on. FAISS's own clustering policy is kept:
+  * ONE `mapPartitions` pass that fuses assignment with the per-cluster
+  * sum/count accumulation, and the per-partition partials are combined on
+  * the driver in PARTITION ORDER so the float reduction is deterministic
+  * run-to-run — the property every seeded oracle build (a1/a6/a7/a9)
+  * contracts on. Assignment itself is the GEMM-shaped batched screen
+  * (`CentroidOps.assignBatch` — float-dot screening over L2-blocked
+  * point×centroid tiles, exact double-kernel shortlist re-eval,
+  * bit-identical to the exhaustive scan by its error-bound contract;
+  * r10: 129 s at the reference's nlist=4096 vs 465 s for the per-pair
+  * bounded scan it replaced). FAISS's own clustering policy is kept:
   * bounded iterations, seeded sample init, empty clusters re-seeded by
   * splitting the largest (`faiss/Clustering.cpp` semantics, re-expressed).
   *
@@ -110,22 +114,40 @@ object Kmeans {
         val partialsRdd = rdd
           .mapPartitionsWithIndex { (pid, it) =>
             val cs = bc.value
-            // norm lower bound (MLlib's findClosest pruning): for L2,
-            // ‖x−c‖ ≥ |‖x‖−‖c‖|, so a centroid whose norm gap already
-            // exceeds the best-so-far distance needs no full kernel eval.
-            // On clusterable data this skips MOST of the k evals — the
-            // difference between 13 s and ~2 s per iteration at
-            // 200k×384d×k=1024.
-            val cnorms = cs.map(VectorKernels.norm2)
+            // assignment is the BATCHED screened argmin
+            // (CentroidOps.assignBatch — FAISS's blocked-GEMM shape):
+            // float-dot screen over L2-resident centroid chunks reused
+            // across 16 buffered points, exact double-kernel re-eval of
+            // an error-bounded shortlist. Bit-identical to the per-point
+            // scan by the screen's soundness contract; the point-blocking
+            // is what keeps 32 concurrent assignment threads off the
+            // shared-L3 wall (per-iteration centroid traffic drops 16×).
+            import graft.functions.expressions.CentroidOps
             val sums = new Array[Double](k * dim)
             val counts = new Array[Long](k)
-            it.foreach { v =>
-              val c = nearestBounded(v, cs, cnorms)
-              counts(c) += 1
-              var i = 0
-              val off = c * dim
-              while (i < dim) { sums(off + i) += v(i); i += 1 }
+            val bsize = CentroidOps.AssignBatchSize
+            val batch = new Array[Array[Float]](bsize)
+            val assigned = new Array[Int](bsize)
+            def fold(bn: Int): Unit = {
+              CentroidOps.assignBatch(batch, bn, cs, assigned)
+              var p = 0
+              while (p < bn) {
+                val c = assigned(p)
+                val v = batch(p)
+                counts(c) += 1
+                var i = 0
+                val off = c * dim
+                while (i < dim) { sums(off + i) += v(i); i += 1 }
+                p += 1
+              }
             }
+            var bn = 0
+            while (it.hasNext) {
+              batch(bn) = it.next()
+              bn += 1
+              if (bn == bsize) { fold(bn); bn = 0 }
+            }
+            if (bn > 0) fold(bn)
             Iterator.single((pid, (sums, counts)))
           }
         // Ordered combine, two-level past `combineGroupSize` partitions:
@@ -278,8 +300,7 @@ object Kmeans {
         pts.indices.filter(_ != qi).sortBy(i => (d(i), i)).take(gtK).toArray
       }
     def proxyRecall(cents: Array[Array[Float]]): Double = {
-      val cnorms = cents.map(VectorKernels.norm2)
-      val assign = pts.map(nearestBounded(_, cents, cnorms))
+      val assign = pts.map(nearestBounded(_, cents))
       val np = math.max(1, cents.length / 4)
       var hits = 0
       var qi = 0
@@ -303,16 +324,21 @@ object Kmeans {
       var moved = Double.MaxValue
       val sums = new Array[Double](k * dim)
       val counts = new Array[Long](k)
+      val localAssign = new Array[Int](pts.length)
       while (iter < maxIter && moved > tol) {
         java.util.Arrays.fill(sums, 0.0)
         java.util.Arrays.fill(counts, 0L)
-        val cnorms = cents.map(VectorKernels.norm2)
-        pts.foreach { v =>
-          val c = nearestBounded(v, cents, cnorms)
+        graft.functions.expressions.CentroidOps.assignBatch(
+          pts, pts.length, cents, localAssign)
+        var pi = 0
+        while (pi < pts.length) {
+          val c = localAssign(pi)
+          val v = pts(pi)
           counts(c) += 1
           val off = c * dim
           var i = 0
           while (i < dim) { sums(off + i) += v(i); i += 1 }
+          pi += 1
         }
         val next = Array.tabulate(k) { c =>
           if (counts(c) == 0L) null
@@ -332,10 +358,13 @@ object Kmeans {
         cents = next
         iter += 1
       }
-      val cnorms = cents.map(VectorKernels.norm2)
+      graft.functions.expressions.CentroidOps.assignBatch(
+        pts, pts.length, cents, localAssign)
       var err = 0.0
-      pts.foreach { v =>
-        err += VectorKernels.l2Sq(v, cents(nearestBounded(v, cents, cnorms)))
+      var ei = 0
+      while (ei < pts.length) {
+        err += VectorKernels.l2Sq(pts(ei), cents(localAssign(ei)))
+        ei += 1
       }
       val rec = if (selectByRecall) proxyRecall(cents) else 0.0
       if (verbose) println(f"[kmeans] local redo $r err=$err%.4f proxy_recall=$rec%.4f")
@@ -348,29 +377,17 @@ object Kmeans {
     best
   }
 
-  /** Index of the L2-nearest centroid with the norm lower-bound skip
-    * (shrunk by `CentroidOps.PruneSlack` — the FP-rounding caveat on the
-    * real-arithmetic bound, documented there). Ties (including
-    * bound-ineligible exact ties) resolve to the lowest index via strict
-    * `<`, the same rule as `CentroidOps.argminL2`, so training-time and
-    * serving-time assignment can never disagree.
+  /** Index of the L2-nearest centroid — the SAME norm-ordered tiled
+    * argmin the serving-side assign expression runs
+    * (`CentroidOps.argminL2F`: norm lower bound shrunk by `PruneSlack`,
+    * contiguous norm-window visit order, 4-wide register tile,
+    * lowest-index winner on ties — bitwise-identical to the legacy
+    * index-order bounded scan by the kernel's contract). One shared code
+    * path means training-time and serving-time assignment can never
+    * disagree.
     */
-  private def nearestBounded(v: Array[Float], cs: Array[Array[Float]],
-                             cnorms: Array[Double]): Int = {
-    val vn = VectorKernels.norm2(v)
-    var best = 0
-    var bestD = Double.MaxValue
-    var c = 0
-    while (c < cs.length) {
-      val gap = vn - cnorms(c)
-      if (gap * gap * graft.functions.expressions.CentroidOps.PruneSlack < bestD) {
-        val d = VectorKernels.l2Sq(v, cs(c))
-        if (d < bestD) { bestD = d; best = c }
-      }
-      c += 1
-    }
-    best
-  }
+  private def nearestBounded(v: Array[Float], cs: Array[Array[Float]]): Int =
+    graft.functions.expressions.CentroidOps.argminL2F(v, cs)
 
   /** FAISS `Clustering.cpp` empty-cluster policy, re-expressed: an empty
     * cluster re-seeds from the LARGEST cluster's centroid, nudged by a

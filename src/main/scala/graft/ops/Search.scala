@@ -239,10 +239,18 @@ object Search {
     *
     * Layout dispatch by schema: (ids, vecs) f32 / (ids, bits) f16 /
     * (ids, codes, scales) i8.
+    *
+    * `floatAcc = true` is the opt-in SERVING accumulation flavor
+    * (`Simd.dot4F`, float lanes — 2× FMA throughput where the 384-d scan
+    * is compute-bound): approximate at ~2e-5 relative, so it can flip
+    * only true near-ties; top-k SET equality vs the exact flavor is
+    * SearchSpec-gated on the fixture. The default (and every oracle
+    * path) keeps the double-lane contract.
     */
   def exactTopKFusedBlocked(blocked: DataFrame, queries: DataFrame, k: Int,
                             qidCol: String = "qid",
-                            qvecCol: String = "qvec"): DataFrame = {
+                            qvecCol: String = "qvec",
+                            floatAcc: Boolean = false): DataFrame = {
     import graft.functions.expressions.BatchScore
     val (qids, qvecs) = collectQueries(queries, qidCol, qvecCol)
     val nq = qvecs.length
@@ -277,21 +285,24 @@ object Search {
           .as[(Array[Long], Array[Byte], Array[Float])]) (
           { case ((ids, blob, scales), r, out) =>
             val stride = blob.length / ids.length
-            BatchScore.scoreAllI8Slice(blob, r * stride, stride, scales(r), qvecs, out)
+            BatchScore.scoreAllI8Slice(blob, r * stride, stride, scales(r), qvecs,
+              out, floatAcc)
           }, _._1)
       } else if (fields("bits")) {
         partialsOf(blocked.select(col("ids"), col("bits"))
           .as[(Array[Long], Array[Byte])]) (
           { case ((ids, blob), r, out) =>
             val stride = blob.length / ids.length
-            BatchScore.scoreAllHalfSlice(blob, r * stride, stride / 2, qvecs, out)
+            BatchScore.scoreAllHalfSlice(blob, r * stride, stride / 2, qvecs,
+              out, floatAcc)
           }, _._1)
       } else {
         partialsOf(blocked.select(col("ids"), col("vecs"))
           .as[(Array[Long], Array[Byte])]) (
           { case ((ids, blob), r, out) =>
             val stride = blob.length / ids.length
-            BatchScore.scoreAllF32Slice(blob, r * stride, stride / 4, qvecs, out)
+            BatchScore.scoreAllF32Slice(blob, r * stride, stride / 4, qvecs,
+              out, floatAcc)
           }, _._1)
       }
     TopK.perGroup(partials.toDF("qid", "gid", "score"),

@@ -295,6 +295,24 @@ object BenchScale {
             .count().toDouble, "stored_mb" -> dirBytes(path) / 1e6)
         }
       }
+      // FLOAT-ACCUMULATION serving flavor (r10, verdict task #2): the
+      // double-lane precision contract halves FMA throughput, making the
+      // 384-d scans compute-bound (~0.6 s floor at 1M×16q) so the
+      // stored-byte ladder compresses to i8/f16 ≈ 0.87× where the
+      // reference reads 0.53-0.55× (`Performance.md:242-255`). dot4F's
+      // float lanes double the arithmetic rate; if the compute-bound
+      // diagnosis is right, these points should re-open the ladder —
+      // either way the measurement settles the INT8-margin item.
+      // Approximate serving only (top-k ID-set gate in SearchSpec);
+      // oracle paths never touch this flavor.
+      for ((tag, path) <- Seq(("f32", f32bPath), ("f16", f16bPath), ("i8", i8bPath))) {
+        val t = graft.io.QuantizedTables.readBlocked(spark, path)
+        runAnn(s"ann_scan_${tag}_blocked_q64_facc") {
+          Map("rows" -> Search.exactTopKFusedBlocked(t, queries64, k,
+            floatAcc = true).count().toDouble,
+            "stored_mb" -> dirBytes(path) / 1e6)
+        }
+      }
       queries64.unpersist()
       val gt = Ivf.cachedGroundTruth(annKey, base, queries, k, Metric.Dot)
 
@@ -643,6 +661,33 @@ object BenchScale {
         val perQ = acc.value.toDouble / 16
         Map("recall" -> rec, "evals_per_query" -> perQ,
           "frac_of_corpus" -> perQ / annN)
+      }
+      // Routed IN-PROCESS serve (r10, the serving-floor decomposition's
+      // missing point): ann_hnsw_single_breakdown showed the graph work
+      // is 10–19 ms scanning ALL 32 shards in-process; with the IVF
+      // router the local call visits routeProbe of nlist cluster-shards
+      // (~1.3% of the corpus, the rp32 point above) — this records the
+      // routeProbe cut on the latency tier. Result-equality to the warm
+      // routed Spark path is HnswSpec-gated.
+      if (only.forall(_.contains("ann_hnsw_local_routed"))) {
+        val qv = base.filter(col("id") === 7L).select(col("vec"))
+          .collect()(0).getSeq[Float](0).toArray
+        Hnsw.searchLocal(qv, routedKey, nlist, k, Metric.Dot, hM, hEfc,
+          efSearch = 64, centroids = idx.centroids, routeProbe = 32) // warm JIT
+        val reps = 200
+        val t0 = System.nanoTime()
+        var r = 0
+        var got = 0
+        while (r < reps) {
+          got = Hnsw.searchLocal(qv, routedKey, nlist, k, Metric.Dot, hM, hEfc,
+            efSearch = 64, centroids = idx.centroids, routeProbe = 32).length
+          r += 1
+        }
+        val routedUs = (System.nanoTime() - t0) / 1e3 / reps
+        annResults("ann_hnsw_local_routed") = Map(
+          "local_serve_routed_us" -> routedUs, "route_probe" -> 32.0,
+          "n_shards" -> nlist.toDouble, "rows" -> got.toDouble)
+        println(f"[scale] ann_hnsw_local_routed  local_serve_routed=${routedUs}%8.1f us")
       }
       listSizes.unpersist()
     }

@@ -67,11 +67,11 @@ class FilteredSearchSpec extends AnyFunSuite {
     val rWide = recallOf(widened, gt)
     assert(rWide >= rPlain,
       s"widening must not lose recall: plain=$rPlain widened=$rWide")
-    // threshold = measured-minus-margin under the r9 trainer (restart
-    // selection by retrieval-recall proxy for the coarse quantizer — see
-    // Kmeans.localFit; GateTune prints the measured values; training is
-    // seeded-deterministic, so the margin covers only future code drift)
-    assert(rWide >= 0.82, s"widened filtered recall too low: $rWide (measured 0.8250)")
+    // threshold = measured minus ≥2 hit-quanta (quantum 0.0125 here; the
+    // measured value is bitwise-reproducible only per SIMD configuration —
+    // a different Vector-API species width or the scalar fallback reorders
+    // float accumulation and can flip a single near-tie neighbor)
+    assert(rWide >= 0.80, s"widened filtered recall too low: $rWide (measured 0.8250)")
     assigned.unpersist()
   }
 
@@ -156,7 +156,7 @@ class FilteredSearchSpec extends AnyFunSuite {
     val got = FilteredSearch.auto(base, halfPred, queries, 10,
       ivfIndex = Some((assigned, cents, 4)), exactThreshold = 0)
     val gt = filteredGt(halfPred)
-    assert(recallOf(got, gt) >= 0.82) // same pipeline/gate as the widened-probe test
+    assert(recallOf(got, gt) >= 0.80) // same pipeline/gate as the widened-probe test
   }
 
   test("filtered IVF probe pushes BOTH predicates into the clustered parquet scan") {

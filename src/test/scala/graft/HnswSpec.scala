@@ -147,6 +147,21 @@ class HnswSpec extends AnyFunSuite {
     // routed pruning pays off already at modest probes: near-full recall
     // at a quarter of the shards (cluster routing concentrates neighbors)
     assert(rPruned >= 0.8, s"routeProbe=2 recall $rPruned — routing useless?")
+    // in-process ROUTED serve twin (r10): searchLocal with the same
+    // centroids+routeProbe must return exactly what the warm routed Spark
+    // path returns — same router kernel (topNprobe), same graphs, same
+    // merge tie-break; the BENCH_SCALE local_serve_routed_us point rides
+    // on this equality
+    val q0 = qs.orderBy("qid").limit(1).collect()(0)
+    val warmRouted = Hnsw.searchWarm(qs.filter(col("qid") === q0.getLong(0)),
+        key, nShards = 8, k = 10, Metric.Dot, efSearch = 64,
+        centroids = cents, routeProbe = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val localRouted = Hnsw.searchLocal(q0.getSeq[Float](1).toArray, key,
+      nShards = 8, k = 10, Metric.Dot, efSearch = 64,
+      centroids = cents, routeProbe = 2).toSeq
+    assert(localRouted == warmRouted,
+      s"routed in-process serve diverged: $localRouted vs $warmRouted")
     gt.unpersist(); big.unpersist()
   }
 

@@ -43,11 +43,12 @@ class PqSpec extends AnyFunSuite {
     val encoded = Pq.encode(base, books).cache()
     val adc = Pq.search(encoded, queries, books, k = 10)
     val rAdc = Ivf.meanRecall(adc, gt, 10).collect()(0).getDouble(0)
-    // threshold = measured-minus-margin under the r9 trainer (restart
-    // selection by retrieval-recall proxy for the coarse quantizer — see
-    // Kmeans.localFit; GateTune prints the measured values; training is
-    // seeded-deterministic, so the margin covers only future code drift)
-    assert(rAdc >= 0.62, s"ADC-only recall too low: $rAdc (measured 0.6250)")
+    // threshold = measured minus ≥2 hit-quanta (one GT hit over 16q×k=10
+    // moves recall by 0.00625; the measured value is bitwise-reproducible
+    // only per SIMD configuration — a different Vector-API species width
+    // or the scalar fallback reorders float accumulation and can flip a
+    // single near-tie neighbor, so the gate must absorb ±1–2 hits)
+    assert(rAdc >= 0.60, s"ADC-only recall too low: $rAdc (measured 0.6250)")
     val refined = Pq.searchRefined(base, encoded, queries, books, k = 10, refineK = 50)
     val rRef = Ivf.meanRecall(refined, gt, 10).collect()(0).getDouble(0)
     assert(rRef >= 0.95, s"PQ+refine recall too low: $rRef")

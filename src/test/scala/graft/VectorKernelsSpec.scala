@@ -139,4 +139,106 @@ class VectorKernelsSpec extends AnyFunSuite {
       assert(CentroidOps.argminL2(new GenericArrayData(x), cents) == brute)
     }
   }
+
+  test("l2Sq4At gather tile is BIT-identical to per-pair l2Sq") {
+    // the norm-ordered argmin's tile kernel: every determinism contract on
+    // train/assign (cached |t4 indexes, seeded oracles) rides on each
+    // gathered output being bitwise the per-pair kernel's value
+    import graft.functions.expressions.Simd
+    if (VectorKernels.simdEnabled) {
+      val r = new scala.util.Random(77)
+      (1 to 50).foreach { _ =>
+        val dim = 16 + r.nextInt(120)
+        val x = Array.fill(dim)((r.nextFloat() - 0.5f) * 100f)
+        val cs = Array.fill(9)(Array.fill(dim)((r.nextFloat() - 0.5f) * 100f))
+        val idx = Array.fill(4)(r.nextInt(9))
+        val out = new Array[Double](4)
+        Simd.l2Sq4At(x, cs, idx(0), idx(1), idx(2), idx(3), dim, out)
+        idx.indices.foreach { j =>
+          val exp = VectorKernels.l2Sq(x, cs(idx(j)))
+          assert(java.lang.Double.doubleToRawLongBits(out(j)) ==
+            java.lang.Double.doubleToRawLongBits(exp),
+            s"tile out($j)=${out(j)} per-pair=$exp differ in bits")
+        }
+      }
+    }
+  }
+
+  test("norm-ordered tiled argmin equals the index-order scan, incl. exact ties") {
+    // visit order changed (norm window, 4-wide tiles) but the winner must
+    // stay the lowest-index global argmin: random matrices, duplicate
+    // centroids, and REFLECTED pairs x±d (whose squared distances are
+    // bitwise equal — a constructed exact tie the index rule must break)
+    import graft.functions.expressions.CentroidOps
+    val r = new scala.util.Random(123)
+    (1 to 40).foreach { t =>
+      val dim = 16 + r.nextInt(100)
+      val k = 5 + r.nextInt(300)
+      val cents = Array.fill(k)(Array.fill(dim)((r.nextFloat() - 0.5f) * 2f))
+      val x =
+        if (t % 3 == 0) Array.fill(dim)((r.nextFloat() - 0.5f) * 2f)
+        else cents(r.nextInt(k)).map(f => f + (r.nextFloat() - 0.5f) * 1e-4f)
+      if (k >= 8) {
+        val d = Array.fill(dim)((r.nextFloat() - 0.5f) * 0.1f)
+        val i1 = r.nextInt(k); val i2 = r.nextInt(k)
+        cents(i1) = Array.tabulate(dim)(i => x(i) + d(i)) // reflected tie pair
+        cents(i2) = Array.tabulate(dim)(i => x(i) - d(i))
+        cents(r.nextInt(k)) = cents(i1).clone() // exact duplicate centroid
+      }
+      val brute = cents.indices.minBy(c => (VectorKernels.l2Sq(x, cents(c)), c))
+      val meta = cents.indices.map(c => VectorKernels.norm2(cents(c))).toArray
+      val order = Array.range(0, k).sortBy(c => (meta(c), c))
+      val got = CentroidOps.argminNormOrdered(x, cents, order, order.map(meta))
+      assert(got == brute, s"norm-ordered=$got brute=$brute (k=$k dim=$dim)")
+      assert(CentroidOps.argminL2F(x, cents) == brute)
+    }
+  }
+
+  test("screened argmin (k >= 128 dispatch) equals brute force on ties and near-ties") {
+    // the GEMM-shaped screen (float dots + error-bounded exact shortlist)
+    // must never lose the argmin or an exact tie: random matrices plus
+    // the adversarial cases — bitwise-equal reflected pairs x±d, exact
+    // duplicates, and sub-screen-error near-ties (margin ~1e-7 ≪ the
+    // ~9e-5 screen bound, so BOTH must enter the shortlist and the exact
+    // double kernel must decide)
+    import graft.functions.expressions.CentroidOps
+    val r = new scala.util.Random(321)
+    (1 to 25).foreach { t =>
+      val dim = 16 + 8 * r.nextInt(47) // 16..384
+      val k = 128 + r.nextInt(400)
+      val cents = Array.fill(k)(Array.fill(dim)((r.nextFloat() - 0.5f) * 2f))
+      val x = Array.fill(dim)((r.nextFloat() - 0.5f) * 2f)
+      val d = Array.fill(dim)((r.nextFloat() - 0.5f) * 0.2f)
+      val i1 = r.nextInt(k); val i2 = r.nextInt(k); val i3 = r.nextInt(k)
+      cents(i1) = Array.tabulate(dim)(i => x(i) + d(i)) // reflected exact tie
+      cents(i2) = Array.tabulate(dim)(i => x(i) - d(i))
+      // near-tie: same offset with one component nudged by ~1e-7
+      cents(i3) = Array.tabulate(dim)(i =>
+        x(i) + d(i) * (if (i == 0) 1.0000002f else 1.0f))
+      if (t % 2 == 0) cents(r.nextInt(k)) = cents(i1).clone() // duplicate
+      val brute = cents.indices.minBy(c => (VectorKernels.l2Sq(x, cents(c)), c))
+      assert(CentroidOps.argminL2F(x, cents) == brute,
+        s"screened argmin diverged from brute (k=$k dim=$dim trial=$t)")
+    }
+  }
+
+  test("assignBatch equals per-point argminL2F (blocked loop order moves no values)") {
+    import graft.functions.expressions.CentroidOps
+    val r = new scala.util.Random(555)
+    for (k <- Seq(32, 128, 300); dim <- Seq(24, 384)) {
+      val cents = Array.fill(k)(Array.fill(dim)((r.nextFloat() - 0.5f) * 2f))
+      // 37 points: exercises full 16-batches plus a ragged tail, with
+      // jittered-copy near-ties mixed in
+      val pts = Array.tabulate(37) { i =>
+        if (i % 3 == 0) cents(r.nextInt(k)).map(f => f + (r.nextFloat() - 0.5f) * 1e-4f)
+        else Array.fill(dim)((r.nextFloat() - 0.5f) * 2f)
+      }
+      val out = new Array[Int](pts.length)
+      CentroidOps.assignBatch(pts, pts.length, cents, out)
+      pts.indices.foreach { i =>
+        assert(out(i) == CentroidOps.argminL2F(pts(i), cents),
+          s"assignBatch($i) diverged (k=$k dim=$dim)")
+      }
+    }
+  }
 }
