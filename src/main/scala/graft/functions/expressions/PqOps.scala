@@ -113,6 +113,26 @@ object PqOps {
     new GenericArrayData(out)
   }
 
+  /** [[adcAll]] over one `m`-byte slice of a block-packed codes blob
+    * (`QuantizedTables.writeBytesBlocked`): identical lookups in the
+    * identical order, so scores are bitwise [[adcAll]]'s — the blob is
+    * only an amortization of per-row plan overhead, exactly the blocked
+    * vector scans' argument. `out` is caller-owned for reuse across rows.
+    */
+  def adcAllSlice(b: Array[Byte], off: Int, m: Int,
+                  luts: Array[Array[Float]], out: Array[Double]): Unit = {
+    var q = 0
+    while (q < luts.length) {
+      val l = luts(q)
+      val ksub = l.length / m
+      var acc = 0.0
+      var s = 0
+      while (s < m) { acc += l(s * ksub + (b(off + s) & 0xff)); s += 1 }
+      out(q) = acc
+      q += 1
+    }
+  }
+
   /** Residual vs a coarse centroid: vec - centroids[cid] (IVF-PQ encodes
     * residuals, `nvdb_ivfpq_build.cpp` via FAISS IndexIVFPQ).
     */

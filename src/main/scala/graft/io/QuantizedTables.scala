@@ -171,4 +171,30 @@ object QuantizedTables {
 
   def readBlocked(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Generic blocked sink for fixed-stride byte rows — (id, bytes BINARY)
+    * → (ids array<long>, codes BINARY) with `block` id-sorted rows per
+    * stored row. The PQ code table's blocked layout rides this (m bytes
+    * per vector; the 1M ADC scan pays ~µs/row of per-row plan overhead —
+    * 48 B of codes per 1 stored row — until blocking amortizes it the
+    * same way the vector scans' blocked ladder did).
+    */
+  def writeBytesBlocked(rows: DataFrame, path: String, idCol: String = "id",
+                        bytesCol: String = "bytes", block: Int = 128): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    import graft.functions.expressions.PackBytes
+    val spark = rows.sparkSession
+    import spark.implicits._
+    // accept array<byte> (e.g. PQ codes) as well as BINARY
+    val asBin =
+      if (rows.schema(bytesCol).dataType == BinaryType) col(bytesCol)
+      else Bridge.column(PackBytes(Bridge.expression(col(bytesCol))))
+    idRangeLayout(rows.select(col(idCol).cast("long").as("id"),
+        asBin.as("b")), block)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(packBlocks(_, block))
+      .toDF("ids", "codes")
+      .write.mode("overwrite").parquet(path)
+  }
 }

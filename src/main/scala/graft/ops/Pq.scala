@@ -102,6 +102,55 @@ object Pq {
       qids, k, "qid", larger = !l2)
   }
 
+  /** Batched ADC scan over a BLOCK-PACKED code table
+    * (`QuantizedTables.writeBytesBlocked` — up to 128 id-sorted code rows
+    * per stored row, one contiguous blob): the 1M row-wise ADC scan pays
+    * ~µs-per-row plan overhead to read 48 BYTES of codes, which dwarfs
+    * the 768 L2-resident lookups the row actually costs — the same
+    * fixed-cost wall the blocked vector scans hit, fixed the same way.
+    * Lookup-sums are bitwise [[searchBatched]]'s ([[PqOps.adcAllSlice]];
+    * PqSpec gates rank equality).
+    */
+  def searchBatchedBlocked(blocked: DataFrame, queries: DataFrame,
+                           books: Codebooks, k: Int,
+                           l2: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.expressions.PqOps
+    val spark = blocked.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("qid"), col("qvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val qids = q.map(_._1)
+    val luts = q.map { case (_, qv) =>
+      PqOps.lut(new GenericArrayData(qv), books, l2).toFloatArray()
+    }
+    val nq = qids.length
+    val larger = !l2
+    val partials = blocked.select(col("ids"), col("codes"))
+      .as[(Array[Long], Array[Byte])]
+      .mapPartitions { it =>
+        val agg = new TopKAggregator(k, larger)
+        val bufs = Array.fill(nq)(agg.zero)
+        val row = new Array[Double](nq)
+        while (it.hasNext) {
+          val (ids, blob) = it.next()
+          val stride = blob.length / ids.length
+          var r = 0
+          while (r < ids.length) {
+            PqOps.adcAllSlice(blob, r * stride, stride, luts, row)
+            var qi = 0
+            while (qi < nq) { agg.consider(bufs(qi), ids(r), row(qi)); qi += 1 }
+            r += 1
+          }
+        }
+        bufs.iterator.zipWithIndex.flatMap { case (b, qi) =>
+          (0 until b.n).iterator.map(i => (qids(qi), b.ids(i), b.scores(i)))
+        }
+      }
+    TopK.perGroup(partials.toDF("qid", "gid", "score"),
+      "qid", "gid", "score", k, larger)
+  }
+
   /** ADC candidates → exact-L2 refine (J3), the reference's
     * PQ+Refine operating point (recall 0.974 @ R=50, `Performance.md:623`).
     * `batched = true` generates candidates via [[searchBatched]] (same
@@ -111,10 +160,24 @@ object Pq {
                     books: Codebooks, k: Int, refineK: Int, l2: Boolean = true,
                     idCol: String = "id", vecCol: String = "vec",
                     batched: Boolean = false): DataFrame = {
-    val kSearch = math.max(refineK, k)
     def adc(kk: Int) =
       if (batched) searchBatched(encoded, queries, books, kk, l2, idCol)
       else search(encoded, queries, books, kk, l2, idCol)
+    refineAdc(base, queries, k, refineK, adc, idCol, vecCol)
+  }
+
+  /** [[searchRefined]] over the block-packed code table. */
+  def searchRefinedBlocked(base: DataFrame, blocked: DataFrame,
+                           queries: DataFrame, books: Codebooks, k: Int,
+                           refineK: Int, l2: Boolean = true,
+                           idCol: String = "id", vecCol: String = "vec"): DataFrame =
+    refineAdc(base, queries, k, refineK,
+      kk => searchBatchedBlocked(blocked, queries, books, kk, l2), idCol, vecCol)
+
+  private def refineAdc(base: DataFrame, queries: DataFrame, k: Int,
+                        refineK: Int, adc: Int => DataFrame,
+                        idCol: String, vecCol: String): DataFrame = {
+    val kSearch = math.max(refineK, k)
     if (refineK <= k) adc(k)
     else {
       val cands = adc(kSearch)

@@ -415,6 +415,25 @@ object BenchScale {
         Map("recall" -> rec, "refine_k" -> pqRefineK.toDouble, "m" -> 48.0,
           "stored_mb" -> dirBytes(pq48Path) / 1e6)
       }
+      // BLOCKED code table (r10, verdict task #7): the row-wise ADC scan
+      // reads 48 B of codes per parquet row, so per-row plan overhead —
+      // not the 768 L2-resident lookups — is the scan's cost; 128 code
+      // rows per stored row amortizes it exactly like the vector scans'
+      // blocked ladder. Same ranks (PqSpec bitwise gate); this is the
+      // operating point to compare against ivf_frontier at matched recall.
+      val pq48bPath = s"target/scale_pq48b_${annN}_$annDim"
+      if (!new java.io.File(s"$pq48bPath/_SUCCESS").isFile)
+        graft.io.QuantizedTables.writeBytesBlocked(
+          pq48Encoded.select(col("id"), col("codes")), pq48bPath,
+          bytesCol = "codes")
+      val pq48Blocked = graft.io.QuantizedTables.readBlocked(spark, pq48bPath)
+      runAnn("ann_pq_probe_blocked") {
+        val pred = Pq.searchRefinedBlocked(base, pq48Blocked, queries,
+          books48, k, refineK = pqRefineK)
+        val rec = Ivf.meanRecall(pred, gt, k).collect()(0).getDouble(0)
+        Map("recall" -> rec, "refine_k" -> pqRefineK.toDouble, "m" -> 48.0,
+          "stored_mb" -> dirBytes(pq48bPath) / 1e6)
+      }
 
       // refine join against plain vs bucketed base, measured in the
       // BIG-BATCH regime (autoBroadcast off — the 100 TB case where the
@@ -608,8 +627,12 @@ object BenchScale {
       annResults("ann_hnsw_hard_build") = Map(
         "sec" -> (System.nanoTime() - tHh) / 1e9,
         "m" -> hHardM.toDouble, "efc" -> 200.0, "shards" -> hShards.toDouble)
+      // r10: the sweep extends past 256 — r9 topped at 0.813@256 with the
+      // curve still climbing (+0.21 per doubling), so 512/1024 answer
+      // whether the m=24/efC=200 graph REACHES a servable point on iid
+      // data or the curve flattens into an intrinsic-dimensionality wall
       hnswHardFrontier = Eval.hnswSweep(spark, hardBase, hardQueries, hardGt,
-        k, efSearches = Seq(16, 32, 64, 128, 256), m = hHardM,
+        k, efSearches = Seq(16, 32, 64, 128, 256, 512, 1024), m = hHardM,
         efConstruction = 200, nShards = hShards, runs = runsPer,
         cacheKey = hardKey).collect()
       Hnsw.invalidate(hardKey)

@@ -68,6 +68,19 @@ class PqSpec extends AnyFunSuite {
     assert(asSet(Pq.searchRefined(base, encoded, queries, books, 10,
         refineK = 50, batched = true))
       == asSet(Pq.searchRefined(base, encoded, queries, books, 10, refineK = 50)))
+    // BLOCKED code table (r10): adcAllSlice over the packed blob performs
+    // the identical lookup-sums, so ranks must equal every flavor above —
+    // block=96 does not divide 500, exercising the ragged tail
+    val tmp = java.nio.file.Files.createTempDirectory("pq_blocked").toString
+    graft.io.QuantizedTables.writeBytesBlocked(
+      encoded.select(col("id"), col("codes")), s"$tmp/pqb",
+      bytesCol = "codes", block = 96)
+    val blocked = graft.io.QuantizedTables.readBlocked(spark, s"$tmp/pqb")
+    assert(asSet(Pq.searchBatchedBlocked(blocked, queries, books, 10))
+      == asSet(Pq.search(encoded, queries, books, 10)))
+    assert(asSet(Pq.searchRefinedBlocked(base, blocked, queries, books, 10,
+        refineK = 50))
+      == asSet(Pq.searchRefined(base, encoded, queries, books, 10, refineK = 50)))
     encoded.unpersist()
   }
 
