@@ -174,12 +174,19 @@ object BatchScore {
     dotsInto(x, queries, 1.0, out)
   }
 
-  /** int8+scale row → all-query dequantized dot scores into `out`. */
+  /** int8+scale row → all-query dequantized dot scores into `out`. The
+    * widen is SIMD ([[Simd.i8ToFloat]]) — int8→float is exact, so the
+    * vector form is bitwise the scalar loop and the oracle contract is
+    * untouched.
+    */
   def scoreAllI8(c: Array[Byte], scale: Float, queries: Array[Array[Float]],
                  out: Array[Double]): Unit = {
     val x = bufOf(c.length)
-    var i = 0
-    while (i < c.length) { x(i) = c(i).toFloat; i += 1 }
+    if (VectorKernels.simdEnabled) Simd.i8ToFloat(c, 0, c.length, x)
+    else {
+      var i = 0
+      while (i < c.length) { x(i) = c(i).toFloat; i += 1 }
+    }
     dotsInto(x, queries, scale.toDouble, out)
   }
 
@@ -214,13 +221,18 @@ object BatchScore {
     dotsIntoAcc(x, queries, 1.0, out, floatAcc)
   }
 
-  /** int8 slice: `dim` code bytes starting at `off`, dequant by `scale`. */
+  /** int8 slice: `dim` code bytes starting at `off`, dequant by `scale`.
+    * SIMD widen, bitwise the scalar loop (see [[scoreAllI8]]).
+    */
   def scoreAllI8Slice(b: Array[Byte], off: Int, dim: Int, scale: Float,
                       queries: Array[Array[Float]], out: Array[Double],
                       floatAcc: Boolean = false): Unit = {
     val x = bufOf(dim)
-    var i = 0
-    while (i < dim) { x(i) = b(off + i).toFloat; i += 1 }
+    if (VectorKernels.simdEnabled) Simd.i8ToFloat(b, off, dim, x)
+    else {
+      var i = 0
+      while (i < dim) { x(i) = b(off + i).toFloat; i += 1 }
+    }
     dotsIntoAcc(x, queries, scale.toDouble, out, floatAcc)
   }
 

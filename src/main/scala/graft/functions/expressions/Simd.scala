@@ -1,6 +1,6 @@
 package graft.functions.expressions
 
-import jdk.incubator.vector.{DoubleVector, FloatVector, VectorOperators}
+import jdk.incubator.vector.{ByteVector, DoubleVector, FloatVector, VectorOperators}
 
 /** Explicit SIMD kernels via the JDK Vector API — the Spark-side analogue
   * of the reference's runtime-dispatched AVX2+FMA kernel family
@@ -379,6 +379,45 @@ object Simd {
       i += 1
     }
     out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
+  }
+
+  private val BS = ByteVector.SPECIES_PREFERRED
+
+  /** SIMD int8→float widen: out(i) = b(off+i).toFloat, i < n. The
+    * conversion is EXACT (every int8 is representable in float), so this
+    * is bitwise-identical to the scalar widen loop and safe on every
+    * oracle path (VectorKernelsSpec gates the equality at every
+    * offset/length).
+    *
+    * Measured honestly (r10, two same-boot BENCH_SCALE runs): this moved
+    * the 1M i8 scan NOTHING — the i8/f16 facc ratio read 0.85 both
+    * before and after, i.e. C2 was already auto-vectorizing the trivial
+    * scalar widen. Kept because the explicit form is JIT-independent
+    * (auto-vectorization of the scalar loop is a heuristic, not a
+    * contract) and it documents the decode-asymmetry point: f16's
+    * bit-twiddling decode (subnormals, RNE) has no vector form on Java
+    * 17 (no F16C analogue), mirroring the reference's AVX2-without-F16C
+    * fallback asymmetry (`src/simd_dot.cpp` runtime dispatch).
+    */
+  def i8ToFloat(b: Array[Byte], off: Int, n: Int, out: Array[Float]): Unit = {
+    val bstep = BS.length()
+    val fstep = FS.length()
+    val parts = bstep / fstep
+    var i = 0
+    // full byte-vector strides only — convertShape(B2F, part) expands one
+    // fstep-wide slice of the byte vector per part
+    while (i + bstep <= n) {
+      val bv = ByteVector.fromArray(BS, b, off + i)
+      var p = 0
+      while (p < parts) {
+        bv.convertShape(VectorOperators.B2F, FS, p)
+          .asInstanceOf[FloatVector]
+          .intoArray(out, i + p * fstep)
+        p += 1
+      }
+      i += bstep
+    }
+    while (i < n) { out(i) = b(off + i).toFloat; i += 1 }
   }
 
   /** Sum of squares over the whole array (norm2 = sqrt of this). */

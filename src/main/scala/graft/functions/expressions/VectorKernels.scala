@@ -85,8 +85,11 @@ object VectorKernels {
   def dotI8(q: Array[Float], codes: Array[Byte], scale: Float): Double = {
     val n = math.min(q.length, codes.length)
     val x = new Array[Float](n)
-    var i = 0
-    while (i < n) { x(i) = codes(i).toFloat; i += 1 }
+    if (simdEnabled) Simd.i8ToFloat(codes, 0, n, x)
+    else {
+      var i = 0
+      while (i < n) { x(i) = codes(i).toFloat; i += 1 }
+    }
     dot(q, x) * scale
   }
 

@@ -427,6 +427,18 @@ object BenchScale {
           pq48Encoded.select(col("id"), col("codes")), pq48bPath,
           bytesCol = "codes")
       val pq48Blocked = graft.io.QuantizedTables.readBlocked(spark, pq48bPath)
+      // the ADC candidate-generation stage ALONE (top-R over the 52 MB
+      // blocked code table): the number to read against ann_exact_scan's
+      // 1.5 GB flat pass — the footprint story at the stage level. The
+      // full probe below adds the exact-refine join (a second corpus-
+      // shaped stage to fetch candidate vectors) + fixed per-job cost,
+      // which is what separates total probe latency from IVF-flat at
+      // Q=16 (both ~fixed-cost-bound there).
+      runAnn("ann_pq_adc_blocked") {
+        Map("rows" -> Pq.searchBatchedBlocked(pq48Blocked, queries, books48,
+          pqRefineK).count().toDouble,
+          "k" -> pqRefineK.toDouble, "stored_mb" -> dirBytes(pq48bPath) / 1e6)
+      }
       runAnn("ann_pq_probe_blocked") {
         val pred = Pq.searchRefinedBlocked(base, pq48Blocked, queries,
           books48, k, refineK = pqRefineK)

@@ -140,6 +140,27 @@ class VectorKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("SIMD i8ToFloat widen is BIT-identical to the scalar loop") {
+    // int8→float is exact, so the vector widen must reproduce the scalar
+    // loop bit for bit at every offset/length/alignment — the v8 oracle
+    // and every i8 scan flavor ride on it
+    import graft.functions.expressions.Simd
+    if (VectorKernels.simdEnabled) {
+      val r = new scala.util.Random(99)
+      (1 to 60).foreach { _ =>
+        val b = Array.fill(16 + r.nextInt(600))((r.nextInt(256) - 128).toByte)
+        val off = r.nextInt(math.max(1, b.length / 3))
+        val n = r.nextInt(b.length - off + 1)
+        val got = new Array[Float](n)
+        Simd.i8ToFloat(b, off, n, got)
+        (0 until n).foreach { i =>
+          assert(got(i) == b(off + i).toFloat,
+            s"i8ToFloat($off+$i) = ${got(i)} != ${b(off + i).toFloat}")
+        }
+      }
+    }
+  }
+
   test("l2Sq4At gather tile is BIT-identical to per-pair l2Sq") {
     // the norm-ordered argmin's tile kernel: every determinism contract on
     // train/assign (cached |t4 indexes, seeded oracles) rides on each
