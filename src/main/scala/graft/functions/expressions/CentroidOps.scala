@@ -264,14 +264,32 @@ object CentroidOps {
         val x = points(base0 + p)
         val df = dfs(p)
         var dfMin = Double.MaxValue
+        var allFinite = true
         var c = 0
-        while (c < k) { val d = df(c); if (d < dfMin) dfMin = d; c += 1 }
+        while (c < k) {
+          val d = df(c)
+          if (d < dfMin) dfMin = d
+          if (!java.lang.Double.isFinite(d)) allFinite = false
+          c += 1
+        }
         val eMax = 4.0 * dim * 5.9604644775390625e-8 * math.sqrt(xxs(p)) * meta.maxNorm
-        val got = shortlistArgmin(x, cs, df, k, dfMin + 2.0 * eMax)
+        // ANY non-finite screen value voids the γₙ bound for that
+        // candidate (a float dot that OVERFLOWED on finite inputs with
+        // ‖x‖·‖c‖ ≳ 3.4e38 makes d̃ = ±Inf or NaN): a -Inf minimum
+        // collapses the shortlist to the overflowed candidate, and a
+        // +Inf/NaN entry silently excludes a candidate whose true
+        // distance is unbounded by the screen — either way the
+        // 'bit-identical by construction' contract needs the exact
+        // norm-ordered scan instead.
         out(base0 + p) =
-          if (got == Int.MaxValue) // non-finite input: all-NaN screen
+          if (!allFinite)
             argminNormOrdered(x, cs, meta.order, meta.sortedNorms)
-          else got
+          else {
+            val got = shortlistArgmin(x, cs, df, k, dfMin + 2.0 * eMax)
+            if (got == Int.MaxValue) // defensive: cannot happen when finite
+              argminNormOrdered(x, cs, meta.order, meta.sortedNorms)
+            else got
+          }
         p += 1
       }
       base0 += b
@@ -292,9 +310,10 @@ object CentroidOps {
     * valid for ANY summation order, so lane interleave + reduceLanes are
     * covered); ‖x‖², ‖c‖² are double-accumulated (error ~1e-16 relative,
     * absorbed below). Hence |d̃(c) − d(c)| ≤ 2γₙ‖x‖‖c‖ + tiny ≤ eMax :=
-    * 4·n·u·‖x‖·max‖c‖ (a ≥1.7× cushion). For any c outside the shortlist
-    * {c : d̃(c) ≤ d̃min + 2·eMax}:
-    *   d(c) ≥ d̃(c) − eMax > d̃min + eMax ≥ d̃(c*) + eMax ≥ d(c*) ≥ dmin,
+    * 4·n·u·‖x‖·max‖c‖ (a ≥1.7× cushion). Writing c* for the exact argmin:
+    * d̃min = min_c d̃(c) ≥ min_c (d(c) − eMax) = d(c*) − eMax. For any c
+    * outside the shortlist {c : d̃(c) ≤ d̃min + 2·eMax}:
+    *   d(c) ≥ d̃(c) − eMax > d̃min + eMax ≥ d(c*),
     * strictly — so no argmin candidate and NO exact tie is ever excluded,
     * and the shortlist's exact argmin with the lowest-index tie-break IS
     * the global one. Non-finite inputs make every screen comparison
@@ -309,6 +328,7 @@ object CentroidOps {
     val xx = VectorKernels.sumSq(x)
     val (df, out4) = screenBufOf(k)
     var dfMin = Double.MaxValue
+    var allFinite = true
     var c = 0
     while (c + 8 <= k) {
       Simd.dot8FSeq(x, cs, c, dim, out4)
@@ -317,6 +337,7 @@ object CentroidOps {
         val d = xx + meta.sumSqs(c + j) - 2.0 * out4(j)
         df(c + j) = d
         if (d < dfMin) dfMin = d
+        if (!java.lang.Double.isFinite(d)) allFinite = false
         j += 1
       }
       c += 8
@@ -328,6 +349,7 @@ object CentroidOps {
         val d = xx + meta.sumSqs(c + j) - 2.0 * out4(j)
         df(c + j) = d
         if (d < dfMin) dfMin = d
+        if (!java.lang.Double.isFinite(d)) allFinite = false
         j += 1
       }
       c += 4
@@ -336,11 +358,16 @@ object CentroidOps {
       val d = xx + meta.sumSqs(c) - 2.0 * VectorKernels.dot(x, cs(c))
       df(c) = d
       if (d < dfMin) dfMin = d
+      if (!java.lang.Double.isFinite(d)) allFinite = false
       c += 1
     }
     val eMax = 4.0 * dim * 5.9604644775390625e-8 * math.sqrt(xx) * meta.maxNorm
+    // overflow guard (see assignBatch): any non-finite screen value voids
+    // the error bound for that candidate — exit to the exact scan
+    if (!allFinite)
+      return argminNormOrdered(x, cs, meta.order, meta.sortedNorms)
     val got = shortlistArgmin(x, cs, df, k, dfMin + 2.0 * eMax)
-    if (got == Int.MaxValue) // non-finite input: screen was all-NaN
+    if (got == Int.MaxValue) // defensive: cannot happen when finite
       argminNormOrdered(x, cs, meta.order, meta.sortedNorms)
     else got
   }

@@ -94,7 +94,11 @@ object QuantizedTables {
     val maxId = df.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)
     val perPart = (maxId + 1 + nParts - 1) / nParts
     val rowsPerPart = math.max(block.toLong, ((perPart + block - 1) / block) * block)
-    df.repartition(nParts, (col("id") / rowsPerPart).cast("long"))
+    // integral division (`div`), not Divide-then-cast: double division is
+    // exact only below ~2^53, and a boundary id landing in the adjacent
+    // group would break the block-aligned-group invariant the
+    // byte-reproducibility argument relies on
+    df.repartition(nParts, expr(s"id div ${rowsPerPart}L"))
       .sortWithinPartitions("id")
   }
 

@@ -67,11 +67,16 @@ class FilteredSearchSpec extends AnyFunSuite {
     val rWide = recallOf(widened, gt)
     assert(rWide >= rPlain,
       s"widening must not lose recall: plain=$rPlain widened=$rWide")
-    // threshold = measured minus ≥2 hit-quanta (quantum 0.0125 here; the
-    // measured value is bitwise-reproducible only per SIMD configuration —
-    // a different Vector-API species width or the scalar fallback reorders
-    // float accumulation and can flip a single near-tie neighbor)
-    assert(rWide >= 0.80, s"widened filtered recall too low: $rWide (measured 0.8250)")
+    // Two-tier threshold (quantum 0.0125 here): the canonical CI SIMD
+    // configuration (16 float lanes) reproduces the measured 0.8250
+    // bitwise, so it keeps the tight one-quantum gate; only a different
+    // species width / scalar fallback (which reorders float accumulation
+    // and can flip a near-tie neighbor) gets the 2-quanta margin.
+    val canonicalSimd = graft.functions.expressions.VectorKernels.simdEnabled &&
+      graft.functions.expressions.Simd.floatLanes == 16
+    val wideGate = if (canonicalSimd) 0.8125 else 0.80
+    assert(rWide >= wideGate,
+      s"widened filtered recall too low: $rWide (measured 0.8250, canonical=$canonicalSimd)")
     assigned.unpersist()
   }
 

@@ -43,12 +43,18 @@ class PqSpec extends AnyFunSuite {
     val encoded = Pq.encode(base, books).cache()
     val adc = Pq.search(encoded, queries, books, k = 10)
     val rAdc = Ivf.meanRecall(adc, gt, 10).collect()(0).getDouble(0)
-    // threshold = measured minus ≥2 hit-quanta (one GT hit over 16q×k=10
-    // moves recall by 0.00625; the measured value is bitwise-reproducible
-    // only per SIMD configuration — a different Vector-API species width
-    // or the scalar fallback reorders float accumulation and can flip a
-    // single near-tie neighbor, so the gate must absorb ±1–2 hits)
-    assert(rAdc >= 0.60, s"ADC-only recall too low: $rAdc (measured 0.6250)")
+    // Two-tier threshold (one GT hit over 16q×k=10 moves recall by
+    // 0.00625). On the CANONICAL CI SIMD configuration (512-bit species,
+    // 16 float lanes) the measured 0.6250 is bitwise-reproducible, so the
+    // gate sits one quantum under it and still catches any drift; a
+    // different species width or the scalar fallback reorders float
+    // accumulation and can flip 1–2 near-tie neighbors, so only THOSE
+    // configurations get the ±2-quanta margin.
+    val canonicalSimd = graft.functions.expressions.VectorKernels.simdEnabled &&
+      graft.functions.expressions.Simd.floatLanes == 16
+    val adcGate = if (canonicalSimd) 0.62 else 0.60
+    assert(rAdc >= adcGate,
+      s"ADC-only recall too low: $rAdc (measured 0.6250, canonical=$canonicalSimd)")
     val refined = Pq.searchRefined(base, encoded, queries, books, k = 10, refineK = 50)
     val rRef = Ivf.meanRecall(refined, gt, 10).collect()(0).getDouble(0)
     assert(rRef >= 0.95, s"PQ+refine recall too low: $rRef")
