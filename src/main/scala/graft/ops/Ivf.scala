@@ -190,10 +190,10 @@ object Ivf {
                  cacheKey: String, nlist: Int, ntrain: Int,
                  seed: Long = 42L,
                  onPhase: (String, Double) => Unit = (_, _) => ()): Index = {
-    // "t4" versions the trainer (the graft fused-SIMD Lloyd, hash-draw /
+    // "t5" versions the trainer (the graft fused-SIMD Lloyd, hash-draw /
     // nredo init): cached artifacts from an older trainer must MISS, not
     // serve silently — bump this tag whenever trainer semantics change
-    val key = s"$cacheKey|$nlist|$ntrain|$seed|t4"
+    val key = s"$cacheKey|$nlist|$ntrain|$seed|t5"
     indexCache.computeIfAbsent(key, _ => {
       val path = s"target/ivf_cache/${cacheDigest(key)}"
       val centFile = s"$path.centroids.bin"

@@ -31,15 +31,30 @@ import graft.functions.expressions.VectorKernels
   *
   * Scale shape: cost is sample-bound (corpus-independent — [[Ivf.train]]
   * caps the sample at nlist × maxPointsPerCentroid like FAISS), and the
-  * sample is coalesced to ≤ `maxParts` partitions. Past `combineGroupSize`
-  * partitions the ordered combine goes TWO-LEVEL: fixed groups of
-  * consecutive partitions left-fold on executors (one partial shuffle),
-  * the driver folds only the per-group results — per-iteration driver
-  * traffic is ⌈numParts/8⌉ × k × dim × 8 B instead of numParts×, which at
-  * nlist=4096 is the difference between ~25 MB and ~150+ MB per iteration.
-  * A treeAggregate would cut the same traffic but its combine order is
-  * scheduling-dependent, which would break run-to-run determinism; the
-  * fixed group tree here is a pure function of the partition layout.
+  * sample is coalesced to ≤ `maxParts` partitions.
+  *
+  * Combine: the r10 floor was the PARTIAL traffic — every iteration each
+  * of numParts map tasks emitted a dense k × dim double partial
+  * (64 × 12.6 MB ≈ 800 MB/iter at nlist=4096/384d), and the deterministic
+  * two-level fold moved all of it through the shuffle. r11 replaces the
+  * data movement, not the arithmetic: the bounded sample is MIRRORED on
+  * the driver once (it is ≤ nlist × maxPointsPerCentroid rows by the
+  * FAISS cap — the same array FAISS's trainer holds in RAM), map tasks
+  * ship only the per-partition ASSIGNMENT vectors (4 B/point ≈ 800 KB/iter
+  * at 200k), and the driver rebuilds the per-partition partials from its
+  * mirror and folds them through the IDENTICAL association tree the
+  * distributed combine used (per-partition row-order accumulation, fixed
+  * consecutive-pid groups of `combineGroupSize`, group results folded in
+  * ascending order) — so the centroids are BITWISE IDENTICAL to the
+  * distributed combine's, gated by KmeansSpec. Assignment — the actual
+  * compute, ~630 GFLOP/iter at the 4096 point — stays distributed.
+  * Samples past `graft.kmeans.mirrorMaxBytes` (default 2 GiB ≈ 1.4M×384d;
+  * huge-nlist regimes) keep the two-level distributed combine: fixed
+  * groups of consecutive partitions left-fold on executors (one partial
+  * shuffle), the driver folds only the per-group results. A treeAggregate
+  * would cut the same traffic but its combine order is
+  * scheduling-dependent, which would break run-to-run determinism; both
+  * combine shapes here are pure functions of the partition layout.
   */
 object Kmeans {
 
@@ -63,8 +78,29 @@ object Kmeans {
           maxParts: Int = 64, selectByRecall: Boolean = false): Array[Array[Float]] = {
     val spark = sample.sparkSession
     import spark.implicits._
-    val rdd0 = sample.select(col(vecCol)).as[Array[Float]].rdd
-    val rdd = rdd0.coalesce(math.min(maxParts, math.max(1, rdd0.getNumPartitions)))
+    // Deterministic CONTENT-HASH layout of the sample, replacing the r10
+    // coalesce of the scan's own splits. Two reasons, both measured r11:
+    //  - BALANCE: the id-prefix training sample arrives pushdown-pruned to
+    //    a handful of parquet splits (the 200k×4096 point ran SEVEN
+    //    non-empty partitions on a 32-core box — the actual train wall:
+    //    every Lloyd iteration was a 7-wide job with 5 s stragglers, not
+    //    kernel- or combine-bound at all). A seeded-hash shuffle spreads
+    //    the sample evenly over maxParts regardless of file layout.
+    //  - DETERMINISM: the layout becomes a pure function of (content,
+    //    seed, maxParts) — the r10 layout depended on file split planning,
+    //    which the combine's run-to-run contract had to assume fixed.
+    //    Within-partition order is pinned by the (hash, vec) sort: shuffle
+    //    fetch order is scheduling-dependent, so an unsorted partition
+    //    would re-fold sums in a different order across runs. Hash ties
+    //    are either duplicate vectors (commute exactly in the sums) or
+    //    64-bit collisions broken by the vec tiebreak.
+    // Trained centroids shift numerically vs the r10 layout (same
+    // algorithm, different fold tree) — index cache keys bumped |t4→|t5.
+    val spreadKey = xxhash64(col("v"), lit(seed))
+    val rdd = sample.select(col(vecCol).as("v"))
+      .repartition(maxParts, spreadKey)
+      .sortWithinPartitions(spreadKey, col("v"))
+      .as[Array[Float]].rdd
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = rdd.count()
@@ -106,11 +142,74 @@ object Kmeans {
             hashDraw(math.min(n, math.max(k.toLong * 40, 4096L)).toInt), k, seed)
 
       val numParts = rdd.getNumPartitions
+      // Driver mirror of the bounded sample (see the combine note above):
+      // per-partition row arrays in the EXACT iterator order the map tasks
+      // see, so the driver-side partial rebuild replays the same adds.
+      val mirror: Array[Array[Array[Float]]] =
+        if (!mirrorEnabled || n * dim.toLong * 4L > mirrorMaxBytes) null
+        else {
+          val arr = new Array[Array[Array[Float]]](numParts)
+          rdd.mapPartitionsWithIndex((pid, it) => Iterator.single((pid, it.toArray)))
+            .collect().foreach { case (pid, rows) => arr(pid) = rows }
+          arr
+        }
       var iter = 0
       var moved = Double.MaxValue
       while (iter < maxIter && moved > tol) {
         val tIter = System.nanoTime()
         val bc = spark.sparkContext.broadcast(cents)
+        val (sums, counts): (Array[Double], Array[Long]) =
+        if (mirror != null) {
+          // MIRRORED combine: map tasks run the batched screened argmin
+          // (CentroidOps.assignBatch — see below) and ship ONLY the
+          // assignment vector; the driver rebuilds each partition's
+          // partial from its mirror and folds through the identical
+          // association tree as the distributed combine (gated bitwise
+          // by KmeansSpec).
+          val assignsRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+            val tTask = System.nanoTime()
+            val cs = bc.value
+            val tBc = System.nanoTime()
+            import graft.functions.expressions.CentroidOps
+            val bsize = CentroidOps.AssignBatchSize
+            val batch = new Array[Array[Float]](bsize)
+            val assigned = new Array[Int](bsize)
+            val out = new scala.collection.mutable.ArrayBuilder.ofInt
+            var bn = 0
+            def flush(): Unit = {
+              CentroidOps.assignBatch(batch, bn, cs, assigned)
+              var p = 0
+              while (p < bn) { out += assigned(p); p += 1 }
+              bn = 0
+            }
+            while (it.hasNext) {
+              batch(bn) = it.next()
+              bn += 1
+              if (bn == bsize) flush()
+            }
+            if (bn > 0) flush()
+            Iterator.single((pid, out.result(),
+              (tBc - tTask) / 1e9, (System.nanoTime() - tBc) / 1e9))
+          }
+          val assigns = new Array[Array[Int]](numParts)
+          var bcSecMax = 0.0; var bodySecMax = 0.0; var bodySecSum = 0.0
+          assignsRdd.collect().foreach { case (pid, a, bcs, bs) =>
+            assigns(pid) = a
+            if (bcs > bcSecMax) bcSecMax = bcs
+            if (bs > bodySecMax) bodySecMax = bs
+            bodySecSum += bs
+          }
+          if (verbose) {
+            println(
+              f"[kmeans]   task bc_max=$bcSecMax%5.2f body_max=$bodySecMax%5.2f body_sum=$bodySecSum%6.2f")
+            println("[kmeans]   rows/part: " + assigns.map(_.length).mkString(","))
+          }
+          val tFold = System.nanoTime()
+          val r = foldMirrored(mirror, assigns, k, dim, numParts)
+          if (verbose) println(
+            f"[kmeans]   assign_job ${(tFold - tIter) / 1e9}%6.2f s  driver_fold ${(System.nanoTime() - tFold) / 1e9}%6.2f s")
+          r
+        } else {
         val partialsRdd = rdd
           .mapPartitionsWithIndex { (pid, it) =>
             val cs = bc.value
@@ -192,6 +291,8 @@ object Kmeans {
           var j = 0
           while (j < k) { counts(j) += c(j); j += 1 }
         }
+        (sums, counts)
+        }
         bc.destroy()
         val next = Array.tabulate(k) { c =>
           if (counts(c) == 0L) null // re-seeded below
@@ -232,6 +333,89 @@ object Kmeans {
     * 8× (the r8 verdict's "next wall on the train path").
     */
   private val combineGroupSize = 8
+
+  /** Mirror kill-switch (`-Dgraft.kmeans.mirror=false`) — used by the
+    * KmeansSpec equality gate and as an operational escape hatch.
+    */
+  private def mirrorEnabled: Boolean =
+    !"false".equals(System.getProperty("graft.kmeans.mirror"))
+
+  /** Driver-memory budget for the sample mirror (float payload bytes).
+    * Default 2 GiB covers the FAISS cap nlist × 256 up to nlist ≈ 5,500 at
+    * 384d; bigger-nlist regimes fall back to the two-level distributed
+    * combine automatically.
+    */
+  private def mirrorMaxBytes: Long =
+    java.lang.Long.getLong("graft.kmeans.mirrorMaxBytes", 2L << 30)
+
+  /** Driver-side rebuild of the per-partition partials from the sample
+    * mirror + collected assignments, folded through the EXACT association
+    * tree of the distributed combine so the result is bitwise identical:
+    *  - each partition's partial accumulates its rows in iterator order
+    *    (fresh-zero arrays — same as the map-task fold);
+    *  - numParts ≤ combineGroupSize: partials fold into fresh-zero totals
+    *    in ascending pid order (the flat collect path);
+    *  - otherwise: fixed consecutive-pid groups of combineGroupSize — the
+    *    group acc IS the first partial, subsequent partials add into it
+    *    (the executor fold's `acc = first, acc += rest`), and group
+    *    results fold into fresh-zero totals in ascending group order.
+    */
+  private def foldMirrored(mirror: Array[Array[Array[Float]]],
+                           assigns: Array[Array[Int]], k: Int, dim: Int,
+                           numParts: Int): (Array[Double], Array[Long]) = {
+    val sums = new Array[Double](k * dim)
+    val counts = new Array[Long](k)
+    val partial = new Array[Double](k * dim)
+    val pcounts = new Array[Long](k)
+    def partialInto(pid: Int, s: Array[Double], c: Array[Long]): Unit = {
+      java.util.Arrays.fill(s, 0.0)
+      java.util.Arrays.fill(c, 0L)
+      val rows = mirror(pid)
+      val asg = assigns(pid)
+      var r = 0
+      while (r < rows.length) {
+        val cid = asg(r)
+        val v = rows(r)
+        c(cid) += 1
+        val off = cid * dim
+        var i = 0
+        while (i < dim) { s(off + i) += v(i); i += 1 }
+        r += 1
+      }
+    }
+    def addInto(dst: Array[Double], src: Array[Double],
+                dc: Array[Long], sc: Array[Long]): Unit = {
+      var i = 0
+      while (i < dst.length) { dst(i) += src(i); i += 1 }
+      var j = 0
+      while (j < dc.length) { dc(j) += sc(j); j += 1 }
+    }
+    if (numParts <= combineGroupSize) {
+      var pid = 0
+      while (pid < numParts) {
+        partialInto(pid, partial, pcounts)
+        addInto(sums, partial, counts, pcounts)
+        pid += 1
+      }
+    } else {
+      val gacc = new Array[Double](k * dim)
+      val gcounts = new Array[Long](k)
+      var start = 0
+      while (start < numParts) {
+        val end = math.min(start + combineGroupSize, numParts)
+        partialInto(start, gacc, gcounts)
+        var pid = start + 1
+        while (pid < end) {
+          partialInto(pid, partial, pcounts)
+          addInto(gacc, partial, gcounts, pcounts)
+          pid += 1
+        }
+        addInto(sums, gacc, counts, gcounts)
+        start = end
+      }
+    }
+    (sums, counts)
+  }
 
   /** Maps partial key `pid` to partition `pid / groupSize` — consecutive
     * source partitions land (sorted) in one combine task.

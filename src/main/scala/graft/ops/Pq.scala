@@ -243,8 +243,8 @@ object Pq {
                  nlist: Int, m: Int, ksub: Int, ntrain: Int,
                  seed: Long = 42L, idCol: String = "id",
                  vecCol: String = "vec"): Index = {
-    // |t4 versions the codebook trainer (graft Lloyd; see Ivf.buildOrGet)
-    val key = s"$cacheKey|$nlist|$m|$ksub|$ntrain|$seed|t4"
+    // |t5 versions the codebook trainer (graft Lloyd; see Ivf.buildOrGet)
+    val key = s"$cacheKey|$nlist|$m|$ksub|$ntrain|$seed|t5"
     indexCache.computeIfAbsent(key, _ => {
       val path = s"target/pq_cache/${Ivf.cacheDigest(key)}"
       (Ivf.loadMatrix(s"$path.coarse.bin"), loadBooks(s"$path.books.bin")) match {

@@ -319,7 +319,7 @@ object BenchScale {
       // index build is DDL (cached on disk across JVMs) — measured once,
       // not best-of: a cached hit records ~0 and says so
       val buildCached = new java.io.File(
-        s"target/ivf_cache/${Ivf.cacheDigest(s"$annKey|$nlist|200000|42|t4")}/_SUCCESS").isFile
+        s"target/ivf_cache/${Ivf.cacheDigest(s"$annKey|$nlist|200000|42|t5")}/_SUCCESS").isFile
       val tBuild = System.nanoTime()
       val buildPhases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val idx = Ivf.buildOrGet(spark, base, annKey, nlist = nlist,

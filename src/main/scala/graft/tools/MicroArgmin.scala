@@ -88,6 +88,36 @@ object MicroArgmin {
     val batSec = best3(() => CentroidOps.assignBatch(pts, pts.length, cents, outB))
     println(f"[micro] batched screened assign: ${batSec}%.2f s (${batSec / pts.length * 1e6}%.1f us/pt)")
 
+    // (b4) PARALLEL batched screened assign: same work split across T
+    // threads over disjoint point slices — isolates the shared-resource
+    // wall (L3/RAM bandwidth on the broadcast centroid matrix, allocator,
+    // frequency throttle) from single-thread kernel speed. Perfect scaling
+    // would match (b3)/T.
+    for (t <- Seq(8, 16, 32)) {
+      val per = (pts.length + t - 1) / t
+      val outP = new Array[Int](pts.length)
+      def runPar(): Unit = {
+        val threads = (0 until t).map { ti =>
+          val lo = ti * per
+          val hi = math.min(lo + per, pts.length)
+          new Thread(() => {
+            if (hi > lo) {
+              val slice = java.util.Arrays.copyOfRange(
+                pts.asInstanceOf[Array[AnyRef]], lo, hi).asInstanceOf[Array[Array[Float]]]
+              val o = new Array[Int](hi - lo)
+              CentroidOps.assignBatch(slice, hi - lo, cents, o)
+              System.arraycopy(o, 0, outP, lo, hi - lo)
+            }
+          })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+      }
+      val parSec = best3(() => runPar())
+      println(f"[micro] parallel($t) batched assign: ${parSec}%.2f s (${parSec / pts.length * 1e6}%.2f us/pt, scaling ${batSec / parSec}%.1fx of ${t}x)")
+      require(java.util.Arrays.equals(outP, outB), "parallel assign diverged")
+    }
+
     // (c) legacy index-order bounded scan (1 rep — slow and already known)
     val t2 = System.nanoTime()
     pts.foreach { x => sink ^= CentroidOps.argminL2Direct(x, cents, norms) }

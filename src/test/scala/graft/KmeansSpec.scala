@@ -88,6 +88,35 @@ class KmeansSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("mirrored combine == distributed combine, bitwise (flat and two-level)") {
+    import spark.implicits._
+    // The r11 mirrored combine ships assignments and rebuilds partials on
+    // the driver through the distributed combine's exact association tree
+    // — so forcing the mirror OFF must reproduce bitwise-identical
+    // centroids, on BOTH the flat (<= 8 partitions) and the two-level
+    // (> 8 partitions) fold shapes.
+    val rng = new scala.util.Random(31)
+    val df = (0 until 20000).map(_ => Array.fill(12)(rng.nextFloat()))
+      .toDF("vec").cache()
+    df.count()
+    def run(parts: Int): (Array[Array[Float]], Array[Array[Float]]) = {
+      // maxParts drives the internal content-hash layout, so it selects
+      // the fold shape: <= 8 exercises the flat tree, > 8 the two-level
+      val mirrored = Kmeans.fit(df, k = 256, seed = 5L, maxIter = 3, maxParts = parts)
+      System.setProperty("graft.kmeans.mirror", "false")
+      val distributed =
+        try Kmeans.fit(df, k = 256, seed = 5L, maxIter = 3, maxParts = parts)
+        finally System.clearProperty("graft.kmeans.mirror")
+      (mirrored, distributed)
+    }
+    for (parts <- Seq(4, 20)) {
+      val (m, d) = run(parts)
+      assert(m.zip(d).forall { case (x, y) => x.sameElements(y) },
+        s"mirrored combine diverged from the distributed combine at maxParts=$parts")
+    }
+    df.unpersist()
+  }
+
   test("k-means++ seeding spreads over a uniform draw (planted far cluster)") {
     // 31 tight points + 1 far outlier cluster: uniform seeding misses the
     // outlier with high probability; D² seeding must pick it
