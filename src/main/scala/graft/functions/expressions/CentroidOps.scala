@@ -327,28 +327,49 @@ object CentroidOps {
     val dim = math.min(x.length, cs(0).length)
     val xx = VectorKernels.sumSq(x)
     val (df, out4) = screenBufOf(k)
+    // overflow guard (see assignBatch): any non-finite screen value voids
+    // the error bound for that candidate — exit to the exact scan
+    if (!screenFill(x, cs, dim, xx, meta, df, out4))
+      return argminNormOrdered(x, cs, meta.order, meta.sortedNorms)
     var dfMin = Double.MaxValue
+    var c = 0
+    while (c < k) { val d = df(c); if (d < dfMin) dfMin = d; c += 1 }
+    val eMax = 4.0 * dim * 5.9604644775390625e-8 * math.sqrt(xx) * meta.maxNorm
+    val got = shortlistArgmin(x, cs, df, k, dfMin + 2.0 * eMax)
+    if (got == Int.MaxValue) // defensive: cannot happen when finite
+      argminNormOrdered(x, cs, meta.order, meta.sortedNorms)
+    else got
+  }
+
+  /** The shared float-FMA screen pass: fills `df(c) = ‖x‖² + ‖c‖² − 2·x·c̃`
+    * for every centroid (the same per-entry math [[argminScreened]] and
+    * [[assignBatch]] prove their bounds over) and reports whether every
+    * screen value is finite — callers must fall back to an exact scan
+    * when it returns false.
+    */
+  private def screenFill(x: Array[Float], cs: Array[Array[Float]], dim: Int,
+                         xx: Double, meta: CentroidMeta,
+                         df: Array[Double], out: Array[Double]): Boolean = {
+    val k = cs.length
     var allFinite = true
     var c = 0
     while (c + 8 <= k) {
-      Simd.dot8FSeq(x, cs, c, dim, out4)
+      Simd.dot8FSeq(x, cs, c, dim, out)
       var j = 0
       while (j < 8) {
-        val d = xx + meta.sumSqs(c + j) - 2.0 * out4(j)
+        val d = xx + meta.sumSqs(c + j) - 2.0 * out(j)
         df(c + j) = d
-        if (d < dfMin) dfMin = d
         if (!java.lang.Double.isFinite(d)) allFinite = false
         j += 1
       }
       c += 8
     }
     if (c + 4 <= k) {
-      Simd.dot4FSeq(x, cs, c, dim, out4)
+      Simd.dot4FSeq(x, cs, c, dim, out)
       var j = 0
       while (j < 4) {
-        val d = xx + meta.sumSqs(c + j) - 2.0 * out4(j)
+        val d = xx + meta.sumSqs(c + j) - 2.0 * out(j)
         df(c + j) = d
-        if (d < dfMin) dfMin = d
         if (!java.lang.Double.isFinite(d)) allFinite = false
         j += 1
       }
@@ -357,19 +378,10 @@ object CentroidOps {
     while (c < k) { // ragged tail: exact double dot is fine for a screen
       val d = xx + meta.sumSqs(c) - 2.0 * VectorKernels.dot(x, cs(c))
       df(c) = d
-      if (d < dfMin) dfMin = d
       if (!java.lang.Double.isFinite(d)) allFinite = false
       c += 1
     }
-    val eMax = 4.0 * dim * 5.9604644775390625e-8 * math.sqrt(xx) * meta.maxNorm
-    // overflow guard (see assignBatch): any non-finite screen value voids
-    // the error bound for that candidate — exit to the exact scan
-    if (!allFinite)
-      return argminNormOrdered(x, cs, meta.order, meta.sortedNorms)
-    val got = shortlistArgmin(x, cs, df, k, dfMin + 2.0 * eMax)
-    if (got == Int.MaxValue) // defensive: cannot happen when finite
-      argminNormOrdered(x, cs, meta.order, meta.sortedNorms)
-    else got
+    allFinite
   }
 
   /** The legacy index-order bounded scan — kept as the ragged-matrix
@@ -457,18 +469,43 @@ object CentroidOps {
   }
 
   /** ids of the `nprobe` L2-nearest centroids, nearest first */
-  def topNprobe(v: ArrayData, centroids: Array[Array[Float]], nprobe: Int): ArrayData = {
-    val x = v.toFloatArray()
-    val n = centroids.length
-    val k = math.min(nprobe, n)
+  def topNprobe(v: ArrayData, centroids: Array[Array[Float]], nprobe: Int): ArrayData =
+    new GenericArrayData(topNprobeF(v.toFloatArray(), centroids, nprobe))
+
+  /** [[topNprobe]] over a plain float array. Dispatch mirrors
+    * [[argminL2F]]: the train/probe regime (k ≥ 128) goes through the
+    * SCREENED top-nprobe, small centroid sets keep the exhaustive
+    * double-kernel selection. Both return the nprobe nearest ids ordered
+    * by (distance, index) — bit-identical by the screen's set bound.
+    */
+  def topNprobeF(x: Array[Float], cs: Array[Array[Float]], nprobe: Int): Array[Int] = {
+    val k = cs.length
+    val np = math.min(nprobe, k)
+    if (np <= 0) return new Array[Int](0)
+    val meta = metaOf(cs)
+    val dim = if (k == 0) 0 else cs(0).length
+    if (VectorKernels.simdEnabled && k >= 128 && meta.uniformDim &&
+        x.length == dim && dim >= 16) {
+      val got = topNprobeScreened(x, cs, meta, np)
+      if (got != null) return got
+    }
+    topNprobeDirect(x, cs, np)
+  }
+
+  /** Exhaustive selection reference (and small-k / non-finite fallback):
+    * O(n·np) repeated strict-`<` min-scan — nearest first, lowest index
+    * on exact ties, i.e. ordered by (distance, index).
+    */
+  private[graft] def topNprobeDirect(x: Array[Float], cs: Array[Array[Float]],
+                                     np: Int): Array[Int] = {
+    val n = cs.length
     val dist = new Array[Double](n)
     var c = 0
-    while (c < n) { dist(c) = VectorKernels.l2Sq(x, centroids(c)); c += 1 }
-    // selection of k smallest (k and n are both small: nlist <= few thousand)
-    val picked = new Array[Int](k)
+    while (c < n) { dist(c) = VectorKernels.l2Sq(x, cs(c)); c += 1 }
+    val picked = new Array[Int](np)
     val used = new Array[Boolean](n)
     var j = 0
-    while (j < k) {
+    while (j < np) {
       var best = -1
       var bestDist = Double.MaxValue
       var i = 0
@@ -480,7 +517,95 @@ object CentroidOps {
       picked(j) = best
       j += 1
     }
-    new GenericArrayData(picked)
+    picked
+  }
+
+  /** Screened top-nprobe — [[argminScreened]]'s bound extended from the
+    * argmin to the top-np SET. With s̃ₙ = the np-th smallest screen
+    * distance: the np screen-smallest candidates each have true
+    * d ≤ d̃ + eMax ≤ s̃ₙ + eMax, so the exact np-th smallest distance dₙ
+    * satisfies dₙ ≤ s̃ₙ + eMax; any true top-np member (d ≤ dₙ) then has
+    * d̃ ≤ d + eMax ≤ s̃ₙ + 2·eMax. Hence the shortlist
+    * {c : d̃(c) ≤ s̃ₙ + 2·eMax} contains every candidate that could rank
+    * ≤ np under the (distance, index) order — including every exact tie —
+    * and each EXCLUDED c has d(c) ≥ d̃(c) − eMax > s̃ₙ + eMax ≥ dₙ,
+    * strictly, so it can never displace a selected one. Exact double
+    * kernel + (d, idx) insertion sort over the shortlist then reproduces
+    * [[topNprobeDirect]]'s output bit-for-bit (VectorKernelsSpec gates
+    * random + constructed-tie equality). Returns null on any non-finite
+    * screen value (overflow voids the bound — caller falls back).
+    */
+  private[graft] def topNprobeScreened(x: Array[Float], cs: Array[Array[Float]],
+                                       meta: CentroidMeta, np: Int): Array[Int] = {
+    val k = cs.length
+    val dim = cs(0).length
+    val xx = VectorKernels.sumSq(x)
+    val (df, out4) = screenBufOf(k)
+    if (!screenFill(x, cs, dim, xx, meta, df, out4)) return null
+    // np-th smallest screen distance via a bounded max-heap
+    val heap = new Array[Double](np)
+    var hn = 0
+    var c = 0
+    while (c < k) {
+      val d = df(c)
+      if (hn < np) {
+        heap(hn) = d
+        hn += 1
+        var i = hn - 1
+        while (i > 0 && heap((i - 1) >> 1) < heap(i)) {
+          val p = (i - 1) >> 1
+          val t = heap(i); heap(i) = heap(p); heap(p) = t
+          i = p
+        }
+      } else if (d < heap(0)) {
+        heap(0) = d
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1
+          val r = l + 1
+          var m = i
+          if (l < np && heap(l) > heap(m)) m = l
+          if (r < np && heap(r) > heap(m)) m = r
+          if (m == i) done = true
+          else { val t = heap(i); heap(i) = heap(m); heap(m) = t; i = m }
+        }
+      }
+      c += 1
+    }
+    val sNth = heap(0)
+    val eMax = 4.0 * dim * 5.9604644775390625e-8 * math.sqrt(xx) * meta.maxNorm
+    val thr = sNth + 2.0 * eMax
+    // exact re-eval of the shortlist, kept sorted by (d, idx) as it grows
+    // (insertion sort — the shortlist is np + a handful except under mass
+    // exact ties, where O(m²) on a few thousand is still microseconds)
+    var cap = math.min(k, np + 16)
+    var ids = new Array[Int](cap)
+    var ds = new Array[Double](cap)
+    var m = 0
+    c = 0
+    while (c < k) {
+      if (df(c) <= thr) {
+        if (m == cap) {
+          cap = math.min(k, cap * 2)
+          ids = java.util.Arrays.copyOf(ids, cap)
+          ds = java.util.Arrays.copyOf(ds, cap)
+        }
+        val d = VectorKernels.l2Sq(x, cs(c))
+        // insert keeping (d, idx) ascending; scanning c ascending means
+        // equal-d entries are already in index order — strict > suffices
+        var i = m - 1
+        while (i >= 0 && ds(i) > d) {
+          ds(i + 1) = ds(i); ids(i + 1) = ids(i)
+          i -= 1
+        }
+        ds(i + 1) = d
+        ids(i + 1) = c
+        m += 1
+      }
+      c += 1
+    }
+    java.util.Arrays.copyOf(ids, np)
   }
 }
 

@@ -243,6 +243,34 @@ class VectorKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("screened top-nprobe equals the exhaustive selection, incl. exact ties") {
+    // the argmin screen's set-bound extension: for every nprobe the
+    // screened path must return the SAME ids in the SAME (distance,
+    // index) order as the O(n·np) repeated min-scan — on random
+    // matrices and under reflected exact ties / duplicates straddling
+    // the np boundary
+    import graft.functions.expressions.CentroidOps
+    val r = new scala.util.Random(777)
+    (1 to 15).foreach { t =>
+      val dim = 16 + 8 * r.nextInt(47)
+      val k = 128 + r.nextInt(400)
+      val cents = Array.fill(k)(Array.fill(dim)((r.nextFloat() - 0.5f) * 2f))
+      val x = Array.fill(dim)((r.nextFloat() - 0.5f) * 2f)
+      val d = Array.fill(dim)((r.nextFloat() - 0.5f) * 0.2f)
+      val i1 = r.nextInt(k); val i2 = r.nextInt(k)
+      cents(i1) = Array.tabulate(dim)(i => x(i) + d(i)) // reflected exact tie
+      cents(i2) = Array.tabulate(dim)(i => x(i) - d(i))
+      cents(r.nextInt(k)) = cents(i1).clone() // duplicate: 3-way tie
+      for (np <- Seq(1, 2, 3, 8, 32, k - 1, k, k + 5)) {
+        val got = CentroidOps.topNprobeF(x, cents, np)
+        val want = CentroidOps.topNprobeDirect(x, cents, math.min(np, k))
+        assert(got.sameElements(want),
+          s"screened top-nprobe diverged (k=$k dim=$dim np=$np trial=$t): " +
+            s"got=${got.take(6).mkString(",")} want=${want.take(6).mkString(",")}")
+      }
+    }
+  }
+
   test("assignBatch equals per-point argminL2F (blocked loop order moves no values)") {
     import graft.functions.expressions.CentroidOps
     val r = new scala.util.Random(555)
