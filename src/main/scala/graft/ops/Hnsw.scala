@@ -131,60 +131,186 @@ object Hnsw {
       cur
     }
 
+    /** Per-thread reusable traversal scratch: epoch-stamped visited marks
+      * plus primitive parallel-array heaps. The r10 insert path allocated
+      * two boxed-tuple PriorityQueues, an O(n) BitSet and a boxed sort
+      * per layer per insert — allocation churn, not distance kernels, was
+      * the dominant build cost (measured ~13.8 ms/insert at 1M×32 shards
+      * against ~2-3 ms of kernel work). Inserts are single-threaded per
+      * shard; concurrent QUERY threads each get their own instance via
+      * the ThreadLocal. All (dist, idx) orderings go through
+      * java.lang.Double.compare — the same total order the old
+      * Ordering.Double.TotalOrdering heaps used — so traversal, results,
+      * and therefore the BUILT GRAPHS are bit-identical to the boxed
+      * implementation (HnswSpec determinism + a9/a11 gates ride on this).
+      */
+    private final class Scratch {
+      var stamp = new Array[Int](1024)
+      var epoch = 0
+      // frontier: min-heap by (d, idx)
+      var cd = new Array[Double](256); var ci = new Array[Int](256); var cn = 0
+      // results: max-heap by (d, idx), capped at ef
+      var rd = new Array[Double](256); var ri = new Array[Int](256); var rn = 0
+      // re-select staging (sized on demand to maxDeg + 1)
+      var sd = new Array[Double](8); var si = new Array[Int](8)
+      var popD = 0.0; var popI = 0
+
+      def reset(sz: Int): Unit = {
+        if (stamp.length < sz) {
+          stamp = new Array[Int](math.max(sz, stamp.length * 2))
+          epoch = 0
+        }
+        if (epoch == Int.MaxValue) { java.util.Arrays.fill(stamp, 0); epoch = 0 }
+        epoch += 1
+        cn = 0; rn = 0
+      }
+      def visited(i: Int): Boolean = stamp(i) == epoch
+      def visit(i: Int): Unit = stamp(i) = epoch
+
+      private def less(d1: Double, i1: Int, d2: Double, i2: Int): Boolean = {
+        val c = java.lang.Double.compare(d1, d2)
+        c < 0 || (c == 0 && i1 < i2)
+      }
+      def cPush(d: Double, i: Int): Unit = {
+        if (cn == cd.length) {
+          cd = java.util.Arrays.copyOf(cd, cn * 2)
+          ci = java.util.Arrays.copyOf(ci, cn * 2)
+        }
+        var x = cn
+        cd(x) = d; ci(x) = i; cn += 1
+        while (x > 0 && less(cd(x), ci(x), cd((x - 1) >> 1), ci((x - 1) >> 1))) {
+          val p = (x - 1) >> 1
+          val td = cd(x); cd(x) = cd(p); cd(p) = td
+          val ti = ci(x); ci(x) = ci(p); ci(p) = ti
+          x = p
+        }
+      }
+      /** pop the (d, idx)-minimum frontier entry into popD/popI */
+      def cPop(): Unit = {
+        popD = cd(0); popI = ci(0)
+        cn -= 1
+        cd(0) = cd(cn); ci(0) = ci(cn)
+        var x = 0
+        var done = false
+        while (!done) {
+          val l = 2 * x + 1; val r = l + 1
+          var m = x
+          if (l < cn && less(cd(l), ci(l), cd(m), ci(m))) m = l
+          if (r < cn && less(cd(r), ci(r), cd(m), ci(m))) m = r
+          if (m == x) done = true
+          else {
+            val td = cd(x); cd(x) = cd(m); cd(m) = td
+            val ti = ci(x); ci(x) = ci(m); ci(m) = ti
+            x = m
+          }
+        }
+      }
+      def rPush(d: Double, i: Int): Unit = {
+        if (rn == rd.length) {
+          rd = java.util.Arrays.copyOf(rd, rn * 2)
+          ri = java.util.Arrays.copyOf(ri, rn * 2)
+        }
+        var x = rn
+        rd(x) = d; ri(x) = i; rn += 1
+        while (x > 0 && less(rd((x - 1) >> 1), ri((x - 1) >> 1), rd(x), ri(x))) {
+          val p = (x - 1) >> 1
+          val td = rd(x); rd(x) = rd(p); rd(p) = td
+          val ti = ri(x); ri(x) = ri(p); ri(p) = ti
+          x = p
+        }
+      }
+      private def rSift(x0: Int, sz: Int): Unit = {
+        var x = x0
+        var done = false
+        while (!done) {
+          val l = 2 * x + 1; val r = l + 1
+          var m = x
+          if (l < sz && less(rd(m), ri(m), rd(l), ri(l))) m = l
+          if (r < sz && less(rd(m), ri(m), rd(r), ri(r))) m = r
+          if (m == x) done = true
+          else {
+            val td = rd(x); rd(x) = rd(m); rd(m) = td
+            val ti = ri(x); ri(x) = ri(m); ri(m) = ti
+            x = m
+          }
+        }
+      }
+      /** drop the (d, idx)-maximum result (heap overflow past ef) */
+      def rPopMax(): Unit = {
+        rn -= 1
+        rd(0) = rd(rn); ri(0) = ri(rn)
+        rSift(0, rn)
+      }
+      /** in-place heapsort: leaves rd/ri(0 until rn) ascending by (d, idx) */
+      def rSortAsc(): Int = {
+        val sz = rn
+        var h = rn
+        while (h > 1) {
+          h -= 1
+          val td = rd(0); rd(0) = rd(h); rd(h) = td
+          val ti = ri(0); ri(0) = ri(h); ri(h) = ti
+          rSift(0, h)
+        }
+        sz
+      }
+      def stage(cap: Int): Unit = if (sd.length < cap) {
+        sd = new Array[Double](cap); si = new Array[Int](cap)
+      }
+    }
+    private val scratchTL = new ThreadLocal[Scratch] {
+      override def initialValue(): Scratch = new Scratch
+    }
+
     /** Algorithm 2: beam search one layer from `ep`, beam width `ef`.
-      * Returns (dist, idx) sorted ascending by (dist, idx).
+      * Fills `s.rd`/`s.ri` ascending by (dist, idx) and returns the count.
       */
     private def searchLayer(q: Array[Float], ep: Int, ef: Int,
-                            layer: Int): Array[(Double, Int)] = {
-      // min-heap of frontier candidates, max-heap of current results;
-      // both tie-break on index so traversal order is deterministic
-      val candOrd = Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Int.reverse)
-      val resOrd = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
-      val cand = collection.mutable.PriorityQueue.empty[(Double, Int)](candOrd)
-      val res = collection.mutable.PriorityQueue.empty[(Double, Int)](resOrd)
-      val visited = new java.util.BitSet(n)
+                            layer: Int, s: Scratch): Int = {
+      s.reset(n)
       val d0 = dist(q, vecs(ep))
-      cand.enqueue((d0, ep)); res.enqueue((d0, ep)); visited.set(ep)
-      while (cand.nonEmpty) {
-        val (cd, c) = cand.dequeue()
-        if (cd > res.head._1 && res.size >= ef) {
-          cand.clear() // every remaining candidate is even farther
+      s.cPush(d0, ep); s.rPush(d0, ep); s.visit(ep)
+      var stop = false
+      while (!stop && s.cn > 0) {
+        s.cPop()
+        if (s.popD > s.rd(0) && s.rn >= ef) {
+          stop = true // every remaining candidate is even farther
         } else {
-          val nbrs = links(c)(layer)
+          val nbrs = links(s.popI)(layer)
           var i = 0
           while (i < nbrs.length) {
             val e = nbrs(i)
-            if (!visited.get(e)) {
-              visited.set(e)
+            if (!s.visited(e)) {
+              s.visit(e)
               val d = dist(q, vecs(e))
-              if (res.size < ef || d < res.head._1) {
-                cand.enqueue((d, e))
-                res.enqueue((d, e))
-                if (res.size > ef) res.dequeue()
+              if (s.rn < ef || d < s.rd(0)) {
+                s.cPush(d, e)
+                s.rPush(d, e)
+                if (s.rn > ef) s.rPopMax()
               }
             }
             i += 1
           }
         }
       }
-      res.dequeueAll.toArray.sorted(resOrd)
+      s.rSortAsc()
     }
 
-    /** Algorithm 4 neighbor selection (keepPrunedConnections flavor):
-      * greedily keep candidates closer to `q` than to anything already
-      * kept — spreads edges across directions instead of clumping — then
+    /** Algorithm 4 neighbor selection (keepPrunedConnections flavor) over
+      * `(ds, is)(0 until len)` sorted ascending by (dist, idx): greedily
+      * keep candidates closer to `q` than to anything already kept —
+      * spreads edges across directions instead of clumping — then
       * back-fill from the pruned list so degree stays at `max`.
       */
-    private def selectNeighbors(cands: Array[(Double, Int)],
+    private def selectNeighbors(ds: Array[Double], is: Array[Int], len: Int,
                                 max: Int): Array[Int] = {
-      if (cands.length <= max) return cands.map(_._2)
+      if (len <= max) return java.util.Arrays.copyOf(is, len)
       val kept = new Array[Int](max)
       var nKept = 0
-      val pruned = new Array[Int](cands.length)
+      val pruned = new Array[Int](len)
       var nPruned = 0
       var i = 0
-      while (i < cands.length && nKept < max) {
-        val (dq, c) = cands(i)
+      while (i < len && nKept < max) {
+        val dq = ds(i); val c = is(i)
         var ok = true
         var j = 0
         while (ok && j < nKept) {
@@ -211,32 +337,55 @@ object Hnsw {
       links(idx) = Array.fill(lvl + 1)(Array.emptyIntArray)
       n += 1
       if (entry < 0) { entry = idx; return }
+      val s = scratchTL.get()
       val topL = levels(entry)
       var ep = entry
       var lc = topL
       while (lc > lvl) { ep = greedy(vec, ep, lc); lc -= 1 }
       lc = math.min(topL, lvl)
       while (lc >= 0) {
-        val w = searchLayer(vec, ep, efC, lc)
+        val cnt = searchLayer(vec, ep, efC, lc, s)
+        val nextEp = s.ri(0) // closest at this layer: the next entry point
         val maxDeg = if (lc == 0) m0 else m
-        val nbrs = selectNeighbors(w, m)
+        val nbrs = selectNeighbors(s.rd, s.ri, cnt, m)
         links(idx)(lc) = nbrs
         var i = 0
         while (i < nbrs.length) {
           val nb = nbrs(i)
           val cur = links(nb)(lc)
-          val appended = java.util.Arrays.copyOf(cur, cur.length + 1)
-          appended(cur.length) = idx
-          links(nb)(lc) =
-            if (appended.length <= maxDeg) appended
-            else {
-              // re-select under the neighbor's own view, deterministic order
-              val scored = appended.map(x => (dist(vecs(nb), vecs(x)), x)).sorted
-              selectNeighbors(scored, maxDeg)
+          if (cur.length + 1 <= maxDeg) {
+            val appended = java.util.Arrays.copyOf(cur, cur.length + 1)
+            appended(cur.length) = idx
+            links(nb)(lc) = appended
+          } else {
+            // re-select under the neighbor's own view: stage (d, x) for
+            // cur + idx, insertion-sorted ascending by (d, idx) — the
+            // same total order the old boxed `.sorted` produced
+            val len = cur.length + 1
+            s.stage(len)
+            val sd = s.sd; val si = s.si
+            var mN = 0
+            var c = 0
+            while (c <= cur.length) {
+              val x = if (c < cur.length) cur(c) else idx
+              val d = dist(vecs(nb), vecs(x))
+              var j = mN - 1
+              while (j >= 0 && {
+                val cc = java.lang.Double.compare(sd(j), d)
+                cc > 0 || (cc == 0 && si(j) > x)
+              }) {
+                sd(j + 1) = sd(j); si(j + 1) = si(j)
+                j -= 1
+              }
+              sd(j + 1) = d; si(j + 1) = x
+              mN += 1
+              c += 1
             }
+            links(nb)(lc) = selectNeighbors(sd, si, len, maxDeg)
+          }
           i += 1
         }
-        ep = w(0)._2
+        ep = nextEp
         lc -= 1
       }
       if (lvl > topL) entry = idx
@@ -248,11 +397,18 @@ object Hnsw {
       */
     def search(q: Array[Float], k: Int, efSearch: Int): Array[(Long, Double)] = {
       if (n == 0) return Array.empty
+      val s = scratchTL.get()
       var ep = entry
       var lc = levels(entry)
       while (lc > 0) { ep = greedy(q, ep, lc); lc -= 1 }
-      val w = searchLayer(q, ep, math.max(efSearch, k), 0)
-      w.take(k).map { case (d, i) => (ids(i), score(d)) }
+      val cnt = searchLayer(q, ep, math.max(efSearch, k), 0, s)
+      val out = new Array[(Long, Double)](math.min(k, cnt))
+      var j = 0
+      while (j < out.length) {
+        out(j) = (ids(s.ri(j)), score(s.rd(j)))
+        j += 1
+      }
+      out
     }
   }
 
