@@ -210,7 +210,35 @@ object CentroidOps {
     * back to the per-point dispatch when the screen preconditions fail.
     */
   def assignBatch(points: Array[Array[Float]], n: Int,
-                  cs: Array[Array[Float]], out: Array[Int]): Unit = {
+                  cs: Array[Array[Float]], out: Array[Int]): Unit =
+    assignBatchBounded(points, n, cs, out, null, null)
+
+  /** Directed-rounding slack for the Hamerly bound maintenance
+    * ([[assignBatchBounded]] and `Kmeans`' skip test): upper bounds are
+    * INFLATED and lower bounds DEFLATED by 1e-12 relative per update, so
+    * a handful of double roundings (each ≤ 2⁻⁵² relative) compounded over
+    * every Lloyd iteration stays orders of magnitude inside the slack —
+    * a skip can therefore never hide a true assignment change.
+    */
+  final val BoundInflate = 1.0 + 1e-12
+  final val BoundDeflate = 1.0 - 1e-12
+
+  /** [[assignBatch]] that additionally emits Hamerly-style bounds when
+    * `uOut`/`lOut` are non-null (Hamerly 2010, "Making k-means even
+    * faster" — the bound maintenance lives in `Kmeans`):
+    *  - `uOut(p)`: an inflated UPPER bound on the euclidean distance to
+    *    the assigned centroid (√ of the exact kernel distance ×
+    *    [[BoundInflate]]);
+    *  - `lOut(p)`: a deflated LOWER bound on the distance to the nearest
+    *    OTHER centroid — from the screen: d(c) ≥ d̃(c) − eMax for every c,
+    *    so √(min_{c≠argmin} d̃(c) − eMax) × [[BoundDeflate]] lower-bounds
+    *    the second-nearest (0 when the screen can't certify one, e.g.
+    *    the non-screenable and non-finite fallbacks — callers then never
+    *    skip that point, which is conservative and exact).
+    */
+  def assignBatchBounded(points: Array[Array[Float]], n: Int,
+                         cs: Array[Array[Float]], out: Array[Int],
+                         uOut: Array[Double], lOut: Array[Double]): Unit = {
     val meta = metaOf(cs)
     val k = cs.length
     val dim = if (k == 0) 0 else cs(0).length
@@ -220,7 +248,15 @@ object CentroidOps {
     while (screenable && i < n) { screenable = points(i).length == dim; i += 1 }
     if (!screenable) {
       var p = 0
-      while (p < n) { out(p) = argminL2F(points(p), cs); p += 1 }
+      while (p < n) {
+        val got = argminL2F(points(p), cs)
+        out(p) = got
+        if (uOut != null) {
+          uOut(p) = math.sqrt(VectorKernels.l2Sq(points(p), cs(got))) * BoundInflate
+          lOut(p) = 0.0 // no certified second-distance bound: never skip
+        }
+        p += 1
+      }
       return
     }
     val (dfs, out8) = batchBufOf(k)
@@ -264,11 +300,14 @@ object CentroidOps {
         val x = points(base0 + p)
         val df = dfs(p)
         var dfMin = Double.MaxValue
+        var dfMin2 = Double.MaxValue
+        var dfMinIdx = -1
         var allFinite = true
         var c = 0
         while (c < k) {
           val d = df(c)
-          if (d < dfMin) dfMin = d
+          if (d < dfMin) { dfMin2 = dfMin; dfMin = d; dfMinIdx = c }
+          else if (d < dfMin2) dfMin2 = d
           if (!java.lang.Double.isFinite(d)) allFinite = false
           c += 1
         }
@@ -281,15 +320,32 @@ object CentroidOps {
         // distance is unbounded by the screen — either way the
         // 'bit-identical by construction' contract needs the exact
         // norm-ordered scan instead.
-        out(base0 + p) =
-          if (!allFinite)
-            argminNormOrdered(x, cs, meta.order, meta.sortedNorms)
-          else {
-            val got = shortlistArgmin(x, cs, df, k, dfMin + 2.0 * eMax)
-            if (got == Int.MaxValue) // defensive: cannot happen when finite
-              argminNormOrdered(x, cs, meta.order, meta.sortedNorms)
-            else got
+        val pi = base0 + p
+        if (!allFinite) {
+          val got = argminNormOrdered(x, cs, meta.order, meta.sortedNorms)
+          out(pi) = got
+          if (uOut != null) {
+            uOut(pi) = math.sqrt(VectorKernels.l2Sq(x, cs(got))) * BoundInflate
+            lOut(pi) = 0.0 // screen uncertified: never skip this point
           }
+        } else {
+          val got0 = shortlistArgmin(x, cs, df, k, dfMin + 2.0 * eMax)
+          val got =
+            if (got0 == Int.MaxValue) // defensive: cannot happen when finite
+              argminNormOrdered(x, cs, meta.order, meta.sortedNorms)
+            else got0
+          out(pi) = got
+          if (uOut != null) {
+            uOut(pi) = math.sqrt(VectorKernels.l2Sq(x, cs(got))) * BoundInflate
+            // nearest-other screen distance: the second screen minimum if
+            // the screen argmin IS the exact argmin, else the screen
+            // minimum itself (then over some c ≠ got)
+            val lScreen = if (dfMinIdx == got) dfMin2 else dfMin
+            val lSq = lScreen - eMax
+            lOut(pi) =
+              if (lSq <= 0.0) 0.0 else math.sqrt(lSq) * BoundDeflate
+          }
+        }
         p += 1
       }
       base0 += b

@@ -113,6 +113,45 @@ object PqOps {
     new GenericArrayData(out)
   }
 
+  /** One query's ADC lookup-sum over one `m`-byte slice of a block-packed
+    * codes blob — the single-query inner kernel of [[adcAllSlice]], split
+    * out so `Pq.searchBatchedBlocked`'s query-tiled loop can call it per
+    * (row, query) without the all-query output array. Identical lookups
+    * in identical order ⇒ bitwise [[adc]]'s sum.
+    */
+  def adcSlice(b: Array[Byte], off: Int, m: Int, l: Array[Float]): Double = {
+    val ksub = l.length / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) { acc += l(s * ksub + (b(off + s) & 0xff)); s += 1 }
+    acc
+  }
+
+  /** Four rows' ADC lookup-sums for one query in one pass — [[adcSlice]]
+    * with four INDEPENDENT accumulation chains interleaved. The LUT
+    * lookups are data-dependent scalar loads (48 per row at m=48), so a
+    * single row's chain is latency-bound; four rows quadruple the
+    * outstanding loads the core can overlap. Each row's adds run in the
+    * same s-ascending order as [[adcSlice]], so every sum is bitwise
+    * identical — only instruction scheduling changes.
+    */
+  def adcSlice4(b: Array[Byte], off0: Int, off1: Int, off2: Int, off3: Int,
+                m: Int, l: Array[Float], out: Array[Double]): Unit = {
+    val ksub = l.length / m
+    var a0 = 0.0; var a1 = 0.0; var a2 = 0.0; var a3 = 0.0
+    var s = 0
+    var base = 0
+    while (s < m) {
+      a0 += l(base + (b(off0 + s) & 0xff))
+      a1 += l(base + (b(off1 + s) & 0xff))
+      a2 += l(base + (b(off2 + s) & 0xff))
+      a3 += l(base + (b(off3 + s) & 0xff))
+      s += 1
+      base += ksub
+    }
+    out(0) = a0; out(1) = a1; out(2) = a2; out(3) = a3
+  }
+
   /** [[adcAll]] over one `m`-byte slice of a block-packed codes blob
     * (`QuantizedTables.writeBytesBlocked`): identical lookups in the
     * identical order, so scores are bitwise [[adcAll]]'s — the blob is

@@ -381,6 +381,56 @@ object Simd {
     out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
   }
 
+  /** Four double-accumulated dots against GATHERED rows: a · cs(ij) →
+    * out(j), j ∈ 0..3 — the index-gather twin of [[dot]] (and the
+    * dot-metric sibling of [[l2Sq4At]]), for consumers whose candidate
+    * set is scattered by index (the HNSW beam expansion). Per-pair lane
+    * math is identical to [[dot]] (two double-lane FMA chains per row,
+    * `acc0.add(acc1).reduceLanes`), so each out(j) is bitwise equal to
+    * `dot(a, cs(ij), n)` — SimdSpec gates it.
+    */
+  def dot4At(a: Array[Float], cs: Array[Array[Float]],
+             i0: Int, i1: Int, i2: Int, i3: Int, n: Int,
+             out: Array[Double]): Unit = {
+    val q0 = cs(i0); val q1 = cs(i1); val q2 = cs(i2); val q3 = cs(i3)
+    var a00 = DoubleVector.zero(DS); var a01 = DoubleVector.zero(DS)
+    var a10 = DoubleVector.zero(DS); var a11 = DoubleVector.zero(DS)
+    var a20 = DoubleVector.zero(DS); var a21 = DoubleVector.zero(DS)
+    var a30 = DoubleVector.zero(DS); var a31 = DoubleVector.zero(DS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      val va0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+      val va1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+      val v0 = FloatVector.fromArray(FS, q0, i)
+      a00 = va0.fma(v0.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a00)
+      a01 = va1.fma(v0.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a01)
+      val v1 = FloatVector.fromArray(FS, q1, i)
+      a10 = va0.fma(v1.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a10)
+      a11 = va1.fma(v1.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a11)
+      val v2 = FloatVector.fromArray(FS, q2, i)
+      a20 = va0.fma(v2.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a20)
+      a21 = va1.fma(v2.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a21)
+      val v3 = FloatVector.fromArray(FS, q3, i)
+      a30 = va0.fma(v3.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a30)
+      a31 = va1.fma(v3.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a31)
+      i += step
+    }
+    var s0 = a00.add(a01).reduceLanes(VectorOperators.ADD)
+    var s1 = a10.add(a11).reduceLanes(VectorOperators.ADD)
+    var s2 = a20.add(a21).reduceLanes(VectorOperators.ADD)
+    var s3 = a30.add(a31).reduceLanes(VectorOperators.ADD)
+    while (i < n) {
+      val ad = a(i).toDouble
+      s0 += ad * q0(i).toDouble; s1 += ad * q1(i).toDouble
+      s2 += ad * q2(i).toDouble; s3 += ad * q3(i).toDouble
+      i += 1
+    }
+    out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
+  }
+
   private val BS = ByteVector.SPECIES_PREFERRED
 
   /** SIMD int8→float widen: out(i) = b(off+i).toFloat, i < n. The

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
 
-import graft.functions.expressions.VectorKernels
+import graft.functions.expressions.{Simd, VectorKernels}
 
 /** Sharded HNSW — a true graph-ANN index (Malkov & Yashunin,
   * arXiv:1603.09320), the operator the reference delegates wholesale to
@@ -96,6 +96,34 @@ object Hnsw {
         case Metric.Cosine => -VectorKernels.cosine(a, b)
       }
     }
+
+    /** Whether the 4-wide gather tile applies: uniform-dim rows (engine
+      * contract; tracked defensively across inserts), SIMD linked, and a
+      * tiled kernel for the metric (L2/Dot; cosine stays per-pair).
+      */
+    private var dimU = -1
+    private var uniform = true
+    private def tiled(q: Array[Float]): Boolean =
+      uniform && VectorKernels.simdEnabled && dimU >= 16 &&
+        (metric == Metric.L2 || metric == Metric.Dot)
+
+    /** Four [[dist]] values against gathered rows — bitwise per-pair equal
+      * to [[dist]] ([[Simd.l2Sq4At]]/[[Simd.dot4At]] lane contracts), so
+      * tiling the beam expansion changes kernel-call batching only, never
+      * a value or the traversal order.
+      */
+    private def dist4(q: Array[Float], i0: Int, i1: Int, i2: Int, i3: Int,
+                      out: Array[Double]): Unit = {
+      evals += 4
+      val tn = math.min(q.length, dimU)
+      metric match {
+        case Metric.L2 =>
+          Simd.l2Sq4At(q, vecs, i0, i1, i2, i3, tn, out)
+        case _ =>
+          Simd.dot4At(q, vecs, i0, i1, i2, i3, tn, out)
+          out(0) = -out(0); out(1) = -out(1); out(2) = -out(2); out(3) = -out(3)
+      }
+    }
     /** Distance → the metric's score column value. */
     private def score(d: Double): Double = metric match {
       case Metric.L2 => d
@@ -153,6 +181,8 @@ object Hnsw {
       var rd = new Array[Double](256); var ri = new Array[Int](256); var rn = 0
       // re-select staging (sized on demand to maxDeg + 1)
       var sd = new Array[Double](8); var si = new Array[Int](8)
+      // beam-expansion distance tile (4 gathered rows per kernel call)
+      val ti = new Array[Int](4); val tout = new Array[Double](4)
       var popD = 0.0; var popI = 0
 
       def reset(sz: Int): Unit = {
@@ -267,6 +297,7 @@ object Hnsw {
     private def searchLayer(q: Array[Float], ep: Int, ef: Int,
                             layer: Int, s: Scratch): Int = {
       s.reset(n)
+      val useTile = tiled(q)
       val d0 = dist(q, vecs(ep))
       s.cPush(d0, ep); s.rPush(d0, ep); s.visit(ep)
       var stop = false
@@ -277,18 +308,48 @@ object Hnsw {
         } else {
           val nbrs = links(s.popI)(layer)
           var i = 0
-          while (i < nbrs.length) {
-            val e = nbrs(i)
-            if (!s.visited(e)) {
-              s.visit(e)
-              val d = dist(q, vecs(e))
+          if (useTile) {
+            // gather unvisited neighbors 4 at a time through the tiled
+            // kernel; admission runs sequentially on the same values in
+            // the same order, so traversal is unchanged
+            var tn = 0
+            def admit(d: Double, e: Int): Unit =
               if (s.rn < ef || d < s.rd(0)) {
                 s.cPush(d, e)
                 s.rPush(d, e)
                 if (s.rn > ef) s.rPopMax()
               }
+            while (i < nbrs.length) {
+              val e = nbrs(i)
+              if (!s.visited(e)) {
+                s.visit(e)
+                s.ti(tn) = e
+                tn += 1
+                if (tn == 4) {
+                  dist4(q, s.ti(0), s.ti(1), s.ti(2), s.ti(3), s.tout)
+                  admit(s.tout(0), s.ti(0)); admit(s.tout(1), s.ti(1))
+                  admit(s.tout(2), s.ti(2)); admit(s.tout(3), s.ti(3))
+                  tn = 0
+                }
+              }
+              i += 1
             }
-            i += 1
+            var j = 0
+            while (j < tn) { admit(dist(q, vecs(s.ti(j))), s.ti(j)); j += 1 }
+          } else {
+            while (i < nbrs.length) {
+              val e = nbrs(i)
+              if (!s.visited(e)) {
+                s.visit(e)
+                val d = dist(q, vecs(e))
+                if (s.rn < ef || d < s.rd(0)) {
+                  s.cPush(d, e)
+                  s.rPush(d, e)
+                  if (s.rn > ef) s.rPopMax()
+                }
+              }
+              i += 1
+            }
           }
         }
       }
@@ -334,6 +395,8 @@ object Hnsw {
       val idx = n
       val lvl = levelOf(id, seed, mL)
       vecs(idx) = vec; ids(idx) = id; levels(idx) = lvl
+      if (dimU < 0) dimU = vec.length
+      else if (vec.length != dimU) uniform = false
       links(idx) = Array.fill(lvl + 1)(Array.emptyIntArray)
       n += 1
       if (entry < 0) { entry = idx; return }

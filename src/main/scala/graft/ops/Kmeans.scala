@@ -153,57 +153,133 @@ object Kmeans {
             .collect().foreach { case (pid, rows) => arr(pid) = rows }
           arr
         }
+      // Hamerly bound state (mirror path only): per-pid (assign, u, l)
+      // arrays plus the per-iteration centroid move distances — see the
+      // skip test below for the soundness story.
+      val hamerly = mirror != null && hamerlyEnabled
+      var hamState: Array[(Array[Int], Array[Double], Array[Double])] = null
+      var hamDeltas: Array[Double] = null
+      var hamMaxDelta = 0.0
       var iter = 0
       var moved = Double.MaxValue
       while (iter < maxIter && moved > tol) {
         val tIter = System.nanoTime()
         val bc = spark.sparkContext.broadcast(cents)
+        val bcHam = if (hamerly && hamState != null)
+          spark.sparkContext.broadcast((hamDeltas, hamMaxDelta, hamState)) else null
         val (sums, counts): (Array[Double], Array[Long]) =
         if (mirror != null) {
           // MIRRORED combine: map tasks run the batched screened argmin
-          // (CentroidOps.assignBatch — see below) and ship ONLY the
-          // assignment vector; the driver rebuilds each partition's
-          // partial from its mirror and folds through the identical
-          // association tree as the distributed combine (gated bitwise
-          // by KmeansSpec).
+          // (CentroidOps.assignBatch family) and ship ONLY the assignment
+          // vector (plus the Hamerly bound arrays); the driver rebuilds
+          // each partition's partial from its mirror and folds through
+          // the identical association tree as the distributed combine
+          // (gated bitwise by KmeansSpec).
+          //
+          // HAMERLY SKIP (Hamerly 2010, re-expressed with directed
+          // rounding): each point carries an INFLATED upper bound u on
+          // its distance to its assigned centroid and a DEFLATED lower
+          // bound l on its distance to the nearest other. After the
+          // centroids move, u += δ(assigned) and l −= max δ keep both
+          // bounds valid (triangle inequality; δ itself is inflated and
+          // every update multiplies by BoundInflate/BoundDeflate, so
+          // double rounding can never tip a bound the unsafe way —
+          // inputs to each op are exact stored doubles, making each
+          // result correctly rounded, and the 1e-12 relative slack
+          // dwarfs the ≤2⁻⁵² per-op error plus the γ₃₈₄ ≈ 8.5e-14 kernel
+          // accumulation error). If u < l strictly, the assignment
+          // provably cannot have changed (every other centroid is
+          // strictly farther) — the point is SKIPPED with zero kernel
+          // work, preserving lowest-index tie-breaks exactly because a
+          // skip certifies a UNIQUE argmin. Points that fail the cheap
+          // test get one exact kernel eval to tighten u; only the
+          // remainder re-runs the full screen. Assignments — and hence
+          // the folded centroids — are BITWISE IDENTICAL to the
+          // full-rescan trainer (KmeansSpec gate), so no trainer tag
+          // bump; late Lloyd iterations (tiny moves) collapse to nearly
+          // zero screen work, which is the FAISS-gap closer after r11's
+          // layout fix made iterations kernel-bound.
+          val hamOn = hamerly
           val assignsRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
             val tTask = System.nanoTime()
             val cs = bc.value
-            val tBc = System.nanoTime()
             import graft.functions.expressions.CentroidOps
-            val bsize = CentroidOps.AssignBatchSize
-            val batch = new Array[Array[Float]](bsize)
-            val assigned = new Array[Int](bsize)
-            val out = new scala.collection.mutable.ArrayBuilder.ofInt
-            var bn = 0
-            def flush(): Unit = {
-              CentroidOps.assignBatch(batch, bn, cs, assigned)
-              var p = 0
-              while (p < bn) { out += assigned(p); p += 1 }
-              bn = 0
+            val rows = it.toArray
+            val nr = rows.length
+            val newA = new Array[Int](nr)
+            val newU = if (hamOn) new Array[Double](nr) else null
+            val newL = if (hamOn) new Array[Double](nr) else null
+            var nSkip = 0; var nTighten = 0; var nFull = 0
+            val prev = if (bcHam != null) bcHam.value else null
+            if (prev == null || prev._3(pid) == null) {
+              if (hamOn) CentroidOps.assignBatchBounded(rows, nr, cs, newA, newU, newL)
+              else CentroidOps.assignBatch(rows, nr, cs, newA)
+              nFull = nr
+            } else {
+              val (deltas, maxD, stArr) = prev
+              val (pa, pu, pl) = stArr(pid)
+              val survIdx = new Array[Int](nr)
+              var ns = 0
+              var i = 0
+              while (i < nr) {
+                val a = pa(i)
+                val u1 = (pu(i) + deltas(a)) * CentroidOps.BoundInflate
+                val l1 = (pl(i) - maxD) * CentroidOps.BoundDeflate
+                if (u1 < l1) {
+                  newA(i) = a; newU(i) = u1; newL(i) = l1
+                  nSkip += 1
+                } else {
+                  val ut = math.sqrt(
+                    graft.functions.expressions.VectorKernels.l2Sq(rows(i), cs(a))) *
+                    CentroidOps.BoundInflate
+                  if (ut < l1) {
+                    newA(i) = a; newU(i) = ut; newL(i) = l1
+                    nTighten += 1
+                  } else {
+                    survIdx(ns) = i; ns += 1
+                  }
+                }
+                i += 1
+              }
+              if (ns > 0) {
+                val sRows = new Array[Array[Float]](ns)
+                var j = 0
+                while (j < ns) { sRows(j) = rows(survIdx(j)); j += 1 }
+                val sA = new Array[Int](ns)
+                val sU = new Array[Double](ns)
+                val sL = new Array[Double](ns)
+                CentroidOps.assignBatchBounded(sRows, ns, cs, sA, sU, sL)
+                j = 0
+                while (j < ns) {
+                  val i0 = survIdx(j)
+                  newA(i0) = sA(j); newU(i0) = sU(j); newL(i0) = sL(j)
+                  j += 1
+                }
+              }
+              nFull = ns
             }
-            while (it.hasNext) {
-              batch(bn) = it.next()
-              bn += 1
-              if (bn == bsize) flush()
-            }
-            if (bn > 0) flush()
-            Iterator.single((pid, out.result(),
-              (tBc - tTask) / 1e9, (System.nanoTime() - tBc) / 1e9))
+            Iterator.single((pid, newA, newU, newL,
+              (nSkip.toLong << 42) | (nTighten.toLong << 21) | nFull.toLong,
+              (System.nanoTime() - tTask) / 1e9))
           }
           val assigns = new Array[Array[Int]](numParts)
-          var bcSecMax = 0.0; var bodySecMax = 0.0; var bodySecSum = 0.0
-          assignsRdd.collect().foreach { case (pid, a, bcs, bs) =>
+          val nextState =
+            if (hamOn) new Array[(Array[Int], Array[Double], Array[Double])](numParts)
+            else null
+          var bodySecMax = 0.0; var bodySecSum = 0.0
+          var tSkip = 0L; var tTighten = 0L; var tFull = 0L
+          assignsRdd.collect().foreach { case (pid, a, u, l, packed, bs) =>
             assigns(pid) = a
-            if (bcs > bcSecMax) bcSecMax = bcs
+            if (hamOn) nextState(pid) = (a, u, l)
+            tSkip += packed >>> 42
+            tTighten += (packed >>> 21) & 0x1fffffL
+            tFull += packed & 0x1fffffL
             if (bs > bodySecMax) bodySecMax = bs
             bodySecSum += bs
           }
-          if (verbose) {
-            println(
-              f"[kmeans]   task bc_max=$bcSecMax%5.2f body_max=$bodySecMax%5.2f body_sum=$bodySecSum%6.2f")
-            println("[kmeans]   rows/part: " + assigns.map(_.length).mkString(","))
-          }
+          hamState = nextState
+          if (verbose) println(
+            f"[kmeans]   skip=$tSkip tighten=$tTighten full=$tFull  body_max=$bodySecMax%5.2f body_sum=$bodySecSum%6.2f")
           val tFold = System.nanoTime()
           val r = foldMirrored(mirror, assigns, k, dim, numParts)
           if (verbose) println(
@@ -294,6 +370,7 @@ object Kmeans {
         (sums, counts)
         }
         bc.destroy()
+        if (bcHam != null) bcHam.destroy()
         val next = Array.tabulate(k) { c =>
           if (counts(c) == 0L) null // re-seeded below
           else {
@@ -302,11 +379,23 @@ object Kmeans {
           }
         }
         reseedEmpties(next, counts, seed + iter)
+        // centroid moves: `moved` drives the tol stop (exact, as before);
+        // the INFLATED copies feed the next iteration's Hamerly bound
+        // adjustments (inflation covers the kernel's γ₃₈₄ accumulation
+        // error and the sqrt rounding, keeping δ an upper bound)
+        if (hamerly && (hamDeltas == null || hamDeltas.length != k))
+          hamDeltas = new Array[Double](k)
         moved = 0.0
+        hamMaxDelta = 0.0
         var c = 0
         while (c < k) {
           val d = math.sqrt(VectorKernels.l2Sq(cents(c), next(c)))
           if (d > moved) moved = d
+          if (hamerly) {
+            val dInf = d * graft.functions.expressions.CentroidOps.BoundInflate
+            hamDeltas(c) = dInf
+            if (dInf > hamMaxDelta) hamMaxDelta = dInf
+          }
           c += 1
         }
         cents = next
@@ -340,6 +429,12 @@ object Kmeans {
   private def mirrorEnabled: Boolean =
     !"false".equals(System.getProperty("graft.kmeans.mirror"))
 
+  /** Hamerly-skip kill-switch (`-Dgraft.kmeans.hamerly=false`) — used by
+    * the KmeansSpec bitwise-equality gate vs the full-rescan trainer.
+    */
+  private def hamerlyEnabled: Boolean =
+    !"false".equals(System.getProperty("graft.kmeans.hamerly"))
+
   /** Driver-memory budget for the sample mirror (float payload bytes).
     * Default 2 GiB covers the FAISS cap nlist × 256 up to nlist ≈ 5,500 at
     * 384d; bigger-nlist regimes fall back to the two-level distributed
@@ -365,8 +460,6 @@ object Kmeans {
                            numParts: Int): (Array[Double], Array[Long]) = {
     val sums = new Array[Double](k * dim)
     val counts = new Array[Long](k)
-    val partial = new Array[Double](k * dim)
-    val pcounts = new Array[Long](k)
     def partialInto(pid: Int, s: Array[Double], c: Array[Long]): Unit = {
       java.util.Arrays.fill(s, 0.0)
       java.util.Arrays.fill(c, 0L)
@@ -391,6 +484,8 @@ object Kmeans {
       while (j < dc.length) { dc(j) += sc(j); j += 1 }
     }
     if (numParts <= combineGroupSize) {
+      val partial = new Array[Double](k * dim)
+      val pcounts = new Array[Long](k)
       var pid = 0
       while (pid < numParts) {
         partialInto(pid, partial, pcounts)
@@ -398,21 +493,37 @@ object Kmeans {
         pid += 1
       }
     } else {
-      val gacc = new Array[Double](k * dim)
-      val gcounts = new Array[Long](k)
-      var start = 0
-      while (start < numParts) {
-        val end = math.min(start + combineGroupSize, numParts)
-        partialInto(start, gacc, gcounts)
-        var pid = start + 1
-        while (pid < end) {
-          partialInto(pid, partial, pcounts)
-          addInto(gacc, partial, gcounts, pcounts)
-          pid += 1
-        }
-        addInto(sums, gacc, counts, gcounts)
-        start = end
+      // groups are arithmetically independent (each folds only its own
+      // consecutive pids), so they run on parallel driver threads; the
+      // final group-order fold below is sequential — the add sequence is
+      // IDENTICAL to the single-threaded version, just overlapped in time
+      val nGroups = (numParts + combineGroupSize - 1) / combineGroupSize
+      val gaccS = new Array[Array[Double]](nGroups)
+      val gaccC = new Array[Array[Long]](nGroups)
+      val threads = (0 until nGroups).map { g =>
+        new Thread(() => {
+          val start = g * combineGroupSize
+          val end = math.min(start + combineGroupSize, numParts)
+          val gs = new Array[Double](k * dim)
+          val gc = new Array[Long](k)
+          partialInto(start, gs, gc)
+          if (start + 1 < end) {
+            val ps = new Array[Double](k * dim)
+            val pc = new Array[Long](k)
+            var pid = start + 1
+            while (pid < end) {
+              partialInto(pid, ps, pc)
+              addInto(gs, ps, gc, pc)
+              pid += 1
+            }
+          }
+          gaccS(g) = gs; gaccC(g) = gc
+        })
       }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      var g = 0
+      while (g < nGroups) { addInto(sums, gaccS(g), counts, gaccC(g)); g += 1 }
     }
     (sums, counts)
   }

@@ -131,16 +131,53 @@ object Pq {
       .mapPartitions { it =>
         val agg = new TopKAggregator(k, larger)
         val bufs = Array.fill(nq)(agg.zero)
-        val row = new Array[Double](nq)
+        // QUERY-TILED scan (r11): the flat row×query loop streams every
+        // query's m×ksub LUT (49 KB at m=48 — Q=512 ⇒ 25 MB) through
+        // 48 random lookups per row, so at batch Q every lookup misses
+        // to L3 (~55 cycles/op measured via ann_pq_adc_blocked_q512's
+        // first cut). Tiling queries keeps a ≤1.6 MB LUT tile
+        // L2-resident across the whole 128-row block. Per-(row, query)
+        // lookup-sum order is unchanged — scores are bitwise identical
+        // (PqSpec rank gates) — only the cache residency moves.
+        val tile = 32
+        val r4 = new Array[Double](4)
         while (it.hasNext) {
           val (ids, blob) = it.next()
           val stride = blob.length / ids.length
-          var r = 0
-          while (r < ids.length) {
-            PqOps.adcAllSlice(blob, r * stride, stride, luts, row)
-            var qi = 0
-            while (qi < nq) { agg.consider(bufs(qi), ids(r), row(qi)); qi += 1 }
-            r += 1
+          var q0 = 0
+          while (q0 < nq) {
+            val q1 = math.min(q0 + tile, nq)
+            var r = 0
+            // 4-row interleave (PqOps.adcSlice4): the lookup chains are
+            // latency-bound; four independent rows overlap their loads.
+            // Per-query consider order stays row-ascending — identical
+            // buffers, bitwise-identical sums.
+            while (r + 4 <= ids.length) {
+              val off = r * stride
+              var qi = q0
+              while (qi < q1) {
+                PqOps.adcSlice4(blob, off, off + stride, off + 2 * stride,
+                  off + 3 * stride, stride, luts(qi), r4)
+                val buf = bufs(qi)
+                agg.consider(buf, ids(r), r4(0))
+                agg.consider(buf, ids(r + 1), r4(1))
+                agg.consider(buf, ids(r + 2), r4(2))
+                agg.consider(buf, ids(r + 3), r4(3))
+                qi += 1
+              }
+              r += 4
+            }
+            while (r < ids.length) { // ragged tail
+              val off = r * stride
+              var qi = q0
+              while (qi < q1) {
+                agg.consider(bufs(qi), ids(r),
+                  PqOps.adcSlice(blob, off, stride, luts(qi)))
+                qi += 1
+              }
+              r += 1
+            }
+            q0 = q1
           }
         }
         bufs.iterator.zipWithIndex.flatMap { case (b, qi) =>

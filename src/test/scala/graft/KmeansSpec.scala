@@ -117,6 +117,33 @@ class KmeansSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("Hamerly skip path == full-rescan trainer, bitwise (many iterations)") {
+    import spark.implicits._
+    // The skip test (u < l after directed-rounding adjustments) certifies
+    // a strictly-unique argmin, so assignments — and the folded centroids —
+    // must be BITWISE identical to the trainer that rescans every point
+    // every iteration. Planted mixture + exact duplicate points keep
+    // near-tie pressure on the bounds; maxIter high enough that late
+    // iterations are dominated by skips (the path under test).
+    val rng = new scala.util.Random(47)
+    val centers = Array.fill(24)(Array.fill(16)(rng.nextFloat() * 4 - 2))
+    val pts = (0 until 24000).map { i =>
+      val c = centers(i % 24)
+      if (i % 7 == 0) c.clone() // exact duplicates: tie pressure
+      else c.map(x => x + (rng.nextFloat() - 0.5f) * 0.3f)
+    }
+    val df = pts.toDF("vec").cache()
+    df.count()
+    val fast = Kmeans.fit(df, k = 256, seed = 11L, maxIter = 12)
+    System.setProperty("graft.kmeans.hamerly", "false")
+    val slow =
+      try Kmeans.fit(df, k = 256, seed = 11L, maxIter = 12)
+      finally System.clearProperty("graft.kmeans.hamerly")
+    assert(fast.zip(slow).forall { case (x, y) => x.sameElements(y) },
+      "Hamerly-skip trainer diverged from the full-rescan trainer")
+    df.unpersist()
+  }
+
   test("k-means++ seeding spreads over a uniform draw (planted far cluster)") {
     // 31 tight points + 1 far outlier cluster: uniform seeding misses the
     // outlier with high probability; D² seeding must pick it

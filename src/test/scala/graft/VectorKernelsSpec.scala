@@ -243,6 +243,30 @@ class VectorKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("dot4At gather tile is BIT-identical to per-pair dot") {
+    // the HNSW beam expansion's tile kernel (dot metric): deterministic
+    // graph builds ride on each gathered output being bitwise the
+    // per-pair kernel's value
+    import graft.functions.expressions.Simd
+    if (VectorKernels.simdEnabled) {
+      val r = new scala.util.Random(79)
+      (1 to 50).foreach { _ =>
+        val dim = 16 + r.nextInt(120)
+        val x = Array.fill(dim)((r.nextFloat() - 0.5f) * 100f)
+        val cs = Array.fill(9)(Array.fill(dim)((r.nextFloat() - 0.5f) * 100f))
+        val idx = Array.fill(4)(r.nextInt(9))
+        val out = new Array[Double](4)
+        Simd.dot4At(x, cs, idx(0), idx(1), idx(2), idx(3), dim, out)
+        idx.indices.foreach { j =>
+          val exp = VectorKernels.dot(x, cs(idx(j)))
+          assert(java.lang.Double.doubleToRawLongBits(out(j)) ==
+            java.lang.Double.doubleToRawLongBits(exp),
+            s"tile out($j)=${out(j)} per-pair=$exp differ in bits")
+        }
+      }
+    }
+  }
+
   test("screened top-nprobe equals the exhaustive selection, incl. exact ties") {
     // the argmin screen's set-bound extension: for every nprobe the
     // screened path must return the SAME ids in the SAME (distance,
