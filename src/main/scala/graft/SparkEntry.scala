@@ -396,6 +396,34 @@ object SparkEntry {
       Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),
 
+    // C3's batch-Q regime: 4-bit FASTSCAN PQ (André et al. VLDB'15 /
+    // FAISS IndexPQFastScan re-expressed on the JDK Vector API — vpermb
+    // in-register LUT, exact u16 sums, float-ADC re-rank of survivors).
+    // Cached DDL (books + group-transposed code table); same sidecar
+    // hash-oracle pattern as a9 (the register kernel isn't
+    // SQL-expressible, the recall of its predicted ids is). SIMD==scalar
+    // bitwise + pruning gates live in Pq4Spec.
+    "a12_pq4_fastscan" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val qs = recallQueries(s, dir)
+      val digest = Ivf.cacheDigest(s"$dir|pq4|v1")
+      val booksFile = s"target/pq4_cache/$digest.books.bin"
+      val books = Pq.loadBooks(booksFile).getOrElse {
+        val m4 = base.select(size(col("vec")).as("d")).head().getInt(0) / 4
+        val b = Pq.train(base, m = m4, ksub = 16, ntrain = 100000)
+        new java.io.File("target/pq4_cache").mkdirs()
+        Pq.saveBooks(booksFile, b)
+        b
+      }
+      val path = s"target/pq4_cache/$digest"
+      if (!new java.io.File(s"$path/_SUCCESS").isFile)
+        graft.io.QuantizedTables.writePq4Blocked(Pq.encode(base, books), path)
+      val pred = predSidecar("a12_pq4_fastscan",
+        Pq.searchFastScan(s.read.parquet(path), qs, books, k = 10,
+          l2 = false, cand = 64))
+      Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
+    }),
+
     // Predicate-constrained k-NN (additive — the reference has no metadata
     // columns): exact pre-filter anchor, full hash oracle. The widened-IVF
     // and HNSW-post-filter flavors + the auto chooser are recall/plan-gated
@@ -1571,7 +1599,8 @@ object SparkEntry {
              |FROM scored WHERE cos >= 0.95""".stripMargin
     }
     (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall",
-      "a8_lsh_recall", "a9_hnsw_recall", "a11_hnsw_routed").flatMap(single)
+      "a8_lsh_recall", "a9_hnsw_recall", "a11_hnsw_routed",
+      "a12_pq4_fastscan").flatMap(single)
       ++ a3 ++ d4).toMap
   }
 }

@@ -172,6 +172,123 @@ object PqOps {
     }
   }
 
+  // ---- 4-bit fastscan (PQ4): quantized-LUT register-shuffle ADC ----
+  // (André et al., VLDB'15 "Cache locality is not enough"; FAISS
+  // IndexPQFastScan. The SIMD kernel is Simd.pq4Group; everything here is
+  // its exact integer contract + the scalar twin it is gated against.)
+
+  /** Quantize a query's float ADC LUT (m4 × 16 entries, [[lut]] layout)
+    * to u8 tables for [[graft.functions.expressions.Simd.pq4Group]].
+    *
+    * FAISS's quantization scheme: shift each subquantizer by its own
+    * minimum (the per-s bias sums into one query-level `bias`), share ONE
+    * step `delta` across subquantizers = max per-s range / 255, so every
+    * entry fits u8 with zero saturation and the u16 group sum relates to
+    * the float ADC sum by `float ≈ bias + delta·u16` plus a bounded
+    * rounding term ≤ m4·delta/2. Ranking on the u16 sums is therefore an
+    * approximation ONLY through that bounded term — the selection stage
+    * re-ranks survivors with the float LUT, so the operator's output
+    * precision is the float ADC's (Pq4Spec gates recall of the pruning).
+    *
+    * `larger = true` (dot/cosine ranking) negates entries first so
+    * smaller-is-better holds for every metric downstream.
+    *
+    * Tables are replicated ×4 into 64-byte slots (entry j of subq s at
+    * `s*64 + j`, j < 16 repeated at +16/+32/+48) so a table register read
+    * of ANY preferred byte-species width starts with a full valid LUT.
+    *
+    * Returns (tables, bias, delta) — all deterministic in the inputs.
+    */
+  def quantizeLuts(lutF: Array[Float], m4: Int,
+                   larger: Boolean): (Array[Byte], Double, Double) = {
+    val ksub = lutF.length / m4
+    require(ksub == 16, s"pq4 requires ksub=16, got $ksub")
+    var bias = 0.0
+    var maxRange = 0.0
+    var s = 0
+    while (s < m4) {
+      var mn = Double.MaxValue
+      var mx = Double.MinValue
+      var j = 0
+      while (j < 16) {
+        val e = if (larger) -lutF(s * 16 + j).toDouble else lutF(s * 16 + j).toDouble
+        if (e < mn) mn = e
+        if (e > mx) mx = e
+        j += 1
+      }
+      bias += mn
+      if (mx - mn > maxRange) maxRange = mx - mn
+      s += 1
+    }
+    val delta = if (maxRange > 0.0) maxRange / 255.0 else 1.0
+    val tables = new Array[Byte](m4 * 64)
+    s = 0
+    while (s < m4) {
+      var mn = Double.MaxValue
+      var j = 0
+      while (j < 16) {
+        val e = if (larger) -lutF(s * 16 + j).toDouble else lutF(s * 16 + j).toDouble
+        if (e < mn) mn = e
+        j += 1
+      }
+      j = 0
+      while (j < 16) {
+        val e = if (larger) -lutF(s * 16 + j).toDouble else lutF(s * 16 + j).toDouble
+        val q = math.min(255L, math.round((e - mn) / delta)).toInt
+        val b = q.toByte
+        tables(s * 64 + j) = b
+        tables(s * 64 + j + 16) = b
+        tables(s * 64 + j + 32) = b
+        tables(s * 64 + j + 48) = b
+        j += 1
+      }
+      s += 1
+    }
+    (tables, bias, delta)
+  }
+
+  /** Scalar twin of [[graft.functions.expressions.Simd.pq4Group]]:
+    * identical u16 sums (integer arithmetic is exact, so equality is
+    * bitwise by construction — Pq4Spec still gates it against the SIMD
+    * path as the lane-mapping check).
+    */
+  def pq4GroupRef(blob: Array[Byte], off: Int, m4: Int, tables: Array[Byte],
+                  out: Array[Short]): Unit = {
+    val spMax = m4 / 2
+    var r = 0
+    while (r < 64) {
+      var acc = 0
+      var sp = 0
+      while (sp < spMax) {
+        val b = blob(off + sp * 64 + r) & 0xff
+        acc += tables(2 * sp * 64 + (b & 0x0f)) & 0xff
+        acc += tables((2 * sp + 1) * 64 + ((b >>> 4) & 0x0f)) & 0xff
+        sp += 1
+      }
+      out(r) = acc.toShort
+      r += 1
+    }
+  }
+
+  /** Exact float ADC sum of one row from its stashed nibble-packed codes
+    * (layout: byte sp = codes of subquantizers 2sp / 2sp+1) — the
+    * re-ranking scorer for fastscan survivors; same lookups as [[adc]]
+    * on the unpacked code array, so scores match the exact-ADC path
+    * bitwise.
+    */
+  def adcNibbles(codes: Array[Byte], off: Int, spMax: Int,
+                 lutF: Array[Float]): Double = {
+    var acc = 0.0
+    var sp = 0
+    while (sp < spMax) {
+      val b = codes(off + sp) & 0xff
+      acc += lutF(2 * sp * 16 + (b & 0x0f))
+      acc += lutF((2 * sp + 1) * 16 + ((b >>> 4) & 0x0f))
+      sp += 1
+    }
+    acc
+  }
+
   /** Residual vs a coarse centroid: vec - centroids[cid] (IVF-PQ encodes
     * residuals, `nvdb_ivfpq_build.cpp` via FAISS IndexIVFPQ).
     */

@@ -470,6 +470,88 @@ object Simd {
     while (i < n) { out(i) = b(off + i).toFloat; i += 1 }
   }
 
+  private val SS = jdk.incubator.vector.ShortVector.SPECIES_PREFERRED
+
+  /** Whether [[pq4Group]]'s register-shuffle path is usable: byte and
+    * short preferred species must share one shape (true on every
+    * preferred-species platform) and the byte vector must cover at least
+    * 16 lanes so a whole 16-entry LUT fits one table register.
+    */
+  def pq4Available: Boolean =
+    BS.length() >= 16 && BS.vectorBitSize() == SS.vectorBitSize() &&
+      64 % BS.length() == 0
+
+  /** 4-bit-PQ fastscan group kernel: u16 ADC lookup-sums for one query
+    * over one 64-row group of a nibble-transposed code block
+    * (`QuantizedTables.writePq4Blocked` layout — byte `sp*64 + r` holds
+    * row r's codes for subquantizers 2sp (low nibble) and 2sp+1 (high)).
+    *
+    * This is the in-register-shuffle ADC of André/Kermarrec/Le Scouarnec
+    * (VLDB'15 "PQ fast scan") and FAISS's `IndexPQFastScan`, re-expressed
+    * on the JDK Vector API: `selectFrom` on a 64-lane byte vector maps to
+    * AVX-512VBMI `vpermb` (16-lane table lookup for 64 rows in ONE
+    * instruction; on AVX2 it lowers to in-lane `vpshufb` pairs), so one
+    * (query, 64-row group) costs m4/2 loads + m4 shuffles + 2·m4
+    * widen-adds instead of 64·m4 dependent scalar LUT loads.
+    *
+    * `tables` holds the query's u8-quantized LUTs, entry j of
+    * subquantizer s at `s*64 + j` (replicated ×4 per [[PqOps]]
+    * quantization so any 16/32/64-byte register prefix is a valid
+    * table). Accumulation is EXACT u16 integer arithmetic — max sum
+    * m4·255 = 24 480 < 2¹⁵ at m4 ≤ 96, so lanes never overflow a signed
+    * short and the result is bit-identical to the scalar twin
+    * ([[graft.functions.expressions.PqOps.pq4GroupRef]]) in ANY lane
+    * configuration — unlike the float kernels there is no reassociation
+    * term to reason about (Pq4Spec gates the equality).
+    */
+  // Static deinterleave shuffles for [[pq4Group]]: the even-row and
+  // odd-row u16 accumulators zip back to row order with two two-vector
+  // rearranges per chunk (see the interleave math in pq4Group).
+  private lazy val PQ4_SHUF_LO = {
+    val l = SS.length()
+    jdk.incubator.vector.VectorShuffle.fromOp(SS,
+      j => if (j % 2 == 0) j / 2 else (j - 1) / 2 - l)
+  }
+  private lazy val PQ4_SHUF_HI = {
+    val l = SS.length()
+    jdk.incubator.vector.VectorShuffle.fromOp(SS,
+      j => if (j % 2 == 0) l / 2 + j / 2 else l / 2 + (j - 1) / 2 - l)
+  }
+
+  def pq4Group(blob: Array[Byte], off: Int, m4: Int, tables: Array[Byte],
+               out: Array[Short]): Unit = {
+    val step = BS.length()
+    val halfS = SS.length() // shorts per vector = step/2
+    val spMax = m4 / 2
+    var c = 0
+    while (c < 64) {
+      // u16 accumulation via the classic fastscan epi16 split: the 64 u8
+      // distances reinterpret as u16 lanes; and(0xff) keeps the EVEN rows
+      // (low bytes), LSHR 8 the ODD rows — no widening conversion in the
+      // hot loop, two static shuffles re-zip row order per chunk.
+      var accE = jdk.incubator.vector.ShortVector.zero(SS)
+      var accO = jdk.incubator.vector.ShortVector.zero(SS)
+      var sp = 0
+      while (sp < spMax) {
+        val v = ByteVector.fromArray(BS, blob, off + sp * 64 + c)
+        val lo = v.and(0x0f.toByte)
+        val hi = v.lanewise(VectorOperators.LSHR, 4).and(0x0f.toByte)
+        val t0 = ByteVector.fromArray(BS, tables, (2 * sp) * 64)
+        val t1 = ByteVector.fromArray(BS, tables, (2 * sp + 1) * 64)
+        val d0 = lo.selectFrom(t0).reinterpretAsShorts()
+        val d1 = hi.selectFrom(t1).reinterpretAsShorts()
+        accE = accE.add(d0.and(0x00ff.toShort)).add(d1.and(0x00ff.toShort))
+        accO = accO.add(d0.lanewise(VectorOperators.LSHR, 8))
+          .add(d1.lanewise(VectorOperators.LSHR, 8))
+        sp += 1
+      }
+      // accE lane i = row c+2i, accO lane i = row c+2i+1 → row order
+      accE.rearrange(PQ4_SHUF_LO, accO).intoArray(out, c)
+      accE.rearrange(PQ4_SHUF_HI, accO).intoArray(out, c + halfS)
+      c += step
+    }
+  }
+
   /** Sum of squares over the whole array (norm2 = sqrt of this). */
   def sumSq(a: Array[Float]): Double = {
     val n = a.length

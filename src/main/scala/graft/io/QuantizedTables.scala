@@ -201,4 +201,60 @@ object QuantizedTables {
       .toDF("ids", "codes")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Fastscan (PQ4) sink: (id, codes array<byte> of m4 4-bit values) →
+    * (ids array<long>, codes BINARY) with `block` id-sorted rows per
+    * stored row, codes GROUP-TRANSPOSED and nibble-packed — the FAISS
+    * `IndexPQFastScan` register layout re-expressed for 64-row groups:
+    * within each 64-row group, byte `sp*64 + r` packs row r's codes for
+    * subquantizers 2sp (low nibble) and 2sp+1 (high nibble), so ONE
+    * 64-byte register load feeds two `selectFrom` table lookups for all
+    * 64 rows (`Simd.pq4Group`). 48 B/vector at m4=96 — identical
+    * footprint to the m=48 8-bit code table. A ragged final group pads
+    * codes with 0; `ids.length` is the true row count and every scan
+    * bounds its consider loop by it, so pad lanes never surface.
+    * Same deterministic id-range layout as every other blocked sink
+    * (`block` must divide into 64-row groups).
+    */
+  def writePq4Blocked(rows: DataFrame, path: String, idCol: String = "id",
+                      codesCol: String = "codes", block: Int = 128): Unit = {
+    require(block % 64 == 0, s"pq4 block must be a multiple of 64, got $block")
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    import graft.functions.expressions.PackBytes
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val asBin =
+      if (rows.schema(codesCol).dataType == BinaryType) col(codesCol)
+      else Bridge.column(PackBytes(Bridge.expression(col(codesCol))))
+    idRangeLayout(rows.select(col(idCol).cast("long").as("id"),
+        asBin.as("b")), block)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(block).map { g =>
+          val ids = g.map(_._1).toArray
+          val m4 = g.head._2.length
+          require(m4 % 2 == 0, s"pq4 m4 must be even, got $m4")
+          val spMax = m4 / 2
+          val groups = (ids.length + 63) / 64
+          val blob = new Array[Byte](groups * spMax * 64)
+          var r = 0
+          while (r < ids.length) {
+            val codes = g(r)._2
+            val gBase = (r / 64) * spMax * 64
+            val lane = r % 64
+            var sp = 0
+            while (sp < spMax) {
+              blob(gBase + sp * 64 + lane) =
+                ((codes(2 * sp) & 0x0f) | ((codes(2 * sp + 1) & 0x0f) << 4)).toByte
+              sp += 1
+            }
+            r += 1
+          }
+          (ids, blob)
+        }
+      }
+      .toDF("ids", "codes")
+      .write.mode("overwrite").parquet(path)
+  }
 }

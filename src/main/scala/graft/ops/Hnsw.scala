@@ -483,6 +483,14 @@ object Hnsw {
     g
   }
 
+  /** Diagnostic-only single-shard build entry for
+    * [[graft.tools.HnswBuildProbe]] — same path as the executor build.
+    */
+  private[graft] def probeBuild(rows: Array[(Long, Array[Float])], m: Int,
+                                efC: Int, seed: Long,
+                                metric: Metric): ShardGraph =
+    buildShard(rows, m, efC, seed, metric)
+
   /** Executor-level graph cache: shards are immutable once built, so a
     * non-empty `cacheKey` lets every later query batch (the bench loop,
     * repeated Verify executions in one JVM) reuse the built graphs — the

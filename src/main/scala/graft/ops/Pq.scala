@@ -188,6 +188,135 @@ object Pq {
       "qid", "gid", "score", k, larger)
   }
 
+  /** 4-bit fastscan search over a [[graft.io.QuantizedTables.writePq4Blocked]]
+    * table — the batch-Q ADC regime rebuilt on the register-shuffle design
+    * of André et al. (VLDB'15) / FAISS `IndexPQFastScan`, which is the
+    * published answer to exactly the wall our 8-bit ADC hit at Q=512:
+    * scalar LUT lookups are dependent loads (48/row/query), while a
+    * 16-entry 4-bit LUT fits a SIMD register and `selectFrom` (AVX-512VBMI
+    * `vpermb`) scores 64 rows per instruction pair.
+    *
+    * Pipeline per partition: stream the transposed code blocks once; for
+    * each (query, 64-row group) compute EXACT u16 sums of the u8-quantized
+    * LUT ([[graft.functions.expressions.PqOps.quantizeLuts]] — bounded
+    * ≤ m4·delta/2 absolute error vs the float ADC sum); keep the `cand`
+    * best rows per (query, partition) by quantized score (id tie-break),
+    * stashing each survivor's 48-byte code slice; at partition end
+    * re-rank every survivor with the EXACT float LUT and emit — so the
+    * global top-k merge ranks on float-ADC scores and LUT quantization
+    * affects recall only through bounded-error pruning (Pq4Spec gates
+    * both the pruning recall and SIMD == scalar sum equality).
+    *
+    * Scale shape: queries broadcast (bounded), code table streams once,
+    * shuffle carries Q × cand candidates per partition — never the corpus.
+    */
+  def searchFastScan(blocked4: DataFrame, queries: DataFrame, books: Codebooks,
+                     k: Int, l2: Boolean = true, cand: Int = 0): DataFrame = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.expressions.{PqOps, Simd}
+    import graft.functions.expressions.VectorKernels
+    val m4 = books.length
+    require(books.forall(_.length == 16), "pq4 codebooks must have ksub=16")
+    require(m4 % 2 == 0, s"pq4 m4 must be even, got $m4")
+    val spMax = m4 / 2
+    val spark = blocked4.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("qid"), col("qvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val qids = q.map(_._1)
+    val lutsF = q.map { case (_, qv) =>
+      PqOps.lut(new GenericArrayData(qv), books, l2).toFloatArray()
+    }
+    val larger = !l2
+    val tables = lutsF.map(PqOps.quantizeLuts(_, m4, larger)._1)
+    val nq = qids.length
+    val c = if (cand > 0) cand else math.max(2 * k, 64)
+    val simd = VectorKernels.simdEnabled && Simd.pq4Available
+    val partials = blocked4.select(col("ids"), col("codes"))
+      .as[(Array[Long], Array[Byte])]
+      .mapPartitions { it =>
+        // per-query bounded candidate reservoirs (quantized score,
+        // id-tie-broken — the TopKAggregator.consider policy on ints)
+        val rIds = Array.ofDim[Long](nq, c)
+        val rQs = Array.ofDim[Int](nq, c)
+        val rStash = Array.ofDim[Byte](nq, c * spMax)
+        val rN = new Array[Int](nq)
+        val rWorst = new Array[Int](nq)
+        def worseThan(q1: Int, id1: Long, q2: Int, id2: Long): Boolean =
+          q1 > q2 || (q1 == q2 && id1 > id2)
+        def recomputeWorst(qi: Int): Unit = {
+          val qs = rQs(qi); val ids = rIds(qi)
+          var w = 0
+          var i = 1
+          while (i < rN(qi)) {
+            if (worseThan(qs(i), ids(i), qs(w), ids(w))) w = i
+            i += 1
+          }
+          rWorst(qi) = w
+        }
+        val out = new Array[Short](64)
+        while (it.hasNext) {
+          val (ids, blob) = it.next()
+          val vpr = ids.length
+          val groups = (vpr + 63) / 64
+          require(blob.length == groups * spMax * 64,
+            s"pq4 blob ${blob.length} != $groups groups × $spMax × 64")
+          var g = 0
+          while (g < groups) {
+            val gOff = g * spMax * 64
+            val len = math.min(64, vpr - g * 64)
+            var qi = 0
+            while (qi < nq) {
+              if (simd) Simd.pq4Group(blob, gOff, m4, tables(qi), out)
+              else PqOps.pq4GroupRef(blob, gOff, m4, tables(qi), out)
+              val qs = rQs(qi); val cid = rIds(qi)
+              var r = 0
+              while (r < len) {
+                val sc = out(r) & 0xffff
+                val id = ids(g * 64 + r)
+                if (rN(qi) < c) {
+                  val n = rN(qi)
+                  cid(n) = id; qs(n) = sc
+                  var sp = 0
+                  val sOff = n * spMax
+                  while (sp < spMax) {
+                    rStash(qi)(sOff + sp) = blob(gOff + sp * 64 + r); sp += 1
+                  }
+                  rN(qi) = n + 1
+                  if (rN(qi) == c) recomputeWorst(qi)
+                } else {
+                  val w = rWorst(qi)
+                  if (worseThan(qs(w), cid(w), sc, id)) {
+                    cid(w) = id; qs(w) = sc
+                    var sp = 0
+                    val sOff = w * spMax
+                    while (sp < spMax) {
+                      rStash(qi)(sOff + sp) = blob(gOff + sp * 64 + r); sp += 1
+                    }
+                    recomputeWorst(qi)
+                  }
+                }
+                r += 1
+              }
+              qi += 1
+            }
+            g += 1
+          }
+        }
+        // exact float-ADC re-rank of every survivor (same lookups as the
+        // 8-bit adc kernels — quantization never touches emitted scores)
+        (0 until nq).iterator.flatMap { qi =>
+          val lf = lutsF(qi)
+          (0 until rN(qi)).iterator.map { i =>
+            (qids(qi), rIds(qi)(i),
+              PqOps.adcNibbles(rStash(qi), i * spMax, spMax, lf))
+          }
+        }
+      }
+    TopK.perGroup(partials.toDF("qid", "gid", "score"),
+      "qid", "gid", "score", k, larger)
+  }
+
   /** ADC candidates → exact-L2 refine (J3), the reference's
     * PQ+Refine operating point (recall 0.974 @ R=50, `Performance.md:623`).
     * `batched = true` generates candidates via [[searchBatched]] (same

@@ -467,6 +467,48 @@ object BenchScale {
         Map("rows" -> Search.exactTopKFusedBlocked(t, queries512, k)
           .count().toDouble, "stored_mb" -> dirBytes(f32bPath) / 1e6)
       }
+      // 4-bit FASTSCAN (r11): the register-shuffle ADC (André VLDB'15 /
+      // FAISS IndexPQFastScan re-expressed on the Vector API — vpermb
+      // scores 64 rows/instruction pair from a 16-entry in-register LUT).
+      // Same 48 B/vector footprint as the m=48 byte codes; this is the
+      // published answer to the scalar-LUT latency wall the 8-bit ADC
+      // hits at batch Q. Pair reads against ann_pq_adc_blocked_q512 and
+      // ann_exact_blocked_q512.
+      val pq4BooksFile = s"target/scale_pq4_${annN}_$annDim.books.bin"
+      val books4 = Pq.loadBooks(pq4BooksFile).getOrElse {
+        val b = Pq.train(base, m = annDim / 4, ksub = 16, ntrain = 65536)
+        Pq.saveBooks(pq4BooksFile, b)
+        b
+      }
+      val pq4Path = s"target/scale_pq4_${annN}_$annDim"
+      if (!new java.io.File(s"$pq4Path/_SUCCESS").isFile)
+        graft.io.QuantizedTables.writePq4Blocked(
+          Pq.encode(base, books4), pq4Path)
+      val pq4Blocked = spark.read.parquet(pq4Path)
+      runAnn("ann_pq4_fastscan_q512") {
+        Map("rows" -> Pq.searchFastScan(pq4Blocked, queries512, books4,
+          pqRefineK, cand = 2 * pqRefineK).count().toDouble,
+          "k" -> pqRefineK.toDouble, "m4" -> (annDim / 4).toDouble,
+          "stored_mb" -> dirBytes(pq4Path) / 1e6)
+      }
+      runAnn("ann_pq4_fastscan") { // Q=16 twin: the fixed-cost floor point
+        Map("rows" -> Pq.searchFastScan(pq4Blocked, queries, books4,
+          pqRefineK, cand = 2 * pqRefineK).count().toDouble,
+          "k" -> pqRefineK.toDouble,
+          "stored_mb" -> dirBytes(pq4Path) / 1e6)
+      }
+      runAnn("ann_pq4_probe") { // fastscan candidates → exact-vector refine
+        val cands = Pq.searchFastScan(pq4Blocked, queries, books4,
+          pqRefineK, cand = 2 * pqRefineK)
+          .groupBy("qid").agg(collect_list(col("id")).as("cand_ids"))
+          .join(queries, Seq("qid"))
+          .select(col("qid"), col("qvec"), col("cand_ids"))
+        val pred = Search.refine(base.select(col("id"), col("vec")),
+          broadcast(cands), k)
+        val rec = Ivf.meanRecall(pred, gt, k).collect()(0).getDouble(0)
+        Map("recall" -> rec, "refine_k" -> pqRefineK.toDouble,
+          "stored_mb" -> dirBytes(pq4Path) / 1e6)
+      }
       queries512.unpersist()
 
       // refine join against plain vs bucketed base, measured in the

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.functions.expressions.{PqOps, Simd, VectorKernels}
+import graft.io.QuantizedTables
+import graft.ops.{Ivf, Metric, Pq, Search}
+
+/** 4-bit fastscan PQ (C3's batch-Q regime): the register-shuffle ADC of
+  * André et al. VLDB'15 / FAISS IndexPQFastScan, re-expressed on the JDK
+  * Vector API. Gates: the u16 group kernel is EXACT integer arithmetic
+  * (SIMD must equal the scalar twin bitwise in any lane config); the LUT
+  * quantization error is analytically bounded; pruning recall is gated
+  * and full-candidate runs must equal the exact float-ADC ranking.
+  */
+class Pq4Spec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  private def base = Tables.embeddings(spark, dir)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+  private def queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 16)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  // ksub=16 (4-bit codes); dim from the fixture decides m4 = dim/dsub
+  private lazy val dim =
+    base.select(size(col("vec")).as("d")).head().getInt(0)
+  private lazy val m4 = dim / 4
+  private lazy val books = Pq.train(base, m = m4, ksub = 16, ntrain = 500)
+
+  private def writeBlocked4(block: Int = 128): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("pq4_blocked").toString
+    QuantizedTables.writePq4Blocked(Pq.encode(base, books), s"$tmp/codes",
+      block = block)
+    s"$tmp/codes"
+  }
+
+  test("blocked-transposed layout round-trips the row codes exactly") {
+    val rowCodes = Pq.encode(base, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).toArray).toMap
+    val path = writeBlocked4(block = 128) // 500 rows: ragged tail group
+    val blocks = spark.read.parquet(path).collect()
+    var covered = 0
+    blocks.foreach { r =>
+      val ids = r.getSeq[Long](0).toArray
+      val blob = r.getAs[Array[Byte]](1)
+      val spMax = m4 / 2
+      val groups = (ids.length + 63) / 64
+      assert(blob.length == groups * spMax * 64)
+      ids.zipWithIndex.foreach { case (id, i) =>
+        val gBase = (i / 64) * spMax * 64
+        val lane = i % 64
+        val want = rowCodes(id)
+        (0 until spMax).foreach { sp =>
+          val b = blob(gBase + sp * 64 + lane) & 0xff
+          assert((b & 0x0f) == (want(2 * sp) & 0x0f),
+            s"lo nibble mismatch id=$id sp=$sp")
+          assert(((b >>> 4) & 0x0f) == (want(2 * sp + 1) & 0x0f),
+            s"hi nibble mismatch id=$id sp=$sp")
+        }
+        covered += 1
+      }
+    }
+    assert(covered == 500, "every row appears in exactly one block slot")
+  }
+
+  test("SIMD group kernel == scalar twin bitwise (exact u16 arithmetic)") {
+    assume(VectorKernels.simdEnabled && Simd.pq4Available)
+    val rnd = new scala.util.Random(7)
+    val spMax = 48 // m4 = 96, the production shape
+    (0 until 20).foreach { trial =>
+      val blob = Array.fill[Byte](spMax * 64)(rnd.nextInt(256).toByte)
+      val tables = Array.fill[Byte](96 * 64)(rnd.nextInt(256).toByte)
+      val a = new Array[Short](64)
+      val b = new Array[Short](64)
+      Simd.pq4Group(blob, 0, 96, tables, a)
+      PqOps.pq4GroupRef(blob, 0, 96, tables, b)
+      assert(a.sameElements(b), s"trial $trial: SIMD != scalar")
+    }
+  }
+
+  test("LUT quantization error is within the analytic bound") {
+    val rnd = new scala.util.Random(11)
+    val qv = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val lutF = PqOps.lut(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(qv),
+      books, l2 = true).toFloatArray()
+    val (tables, bias, delta) = PqOps.quantizeLuts(lutF, m4, larger = false)
+    (0 until 50).foreach { _ =>
+      val codes = Array.fill[Byte](m4)(rnd.nextInt(16).toByte)
+      var exact = 0.0
+      var qsum = 0L
+      (0 until m4).foreach { s =>
+        exact += lutF(s * 16 + codes(s))
+        qsum += tables(s * 64 + codes(s)) & 0xff
+      }
+      val approx = bias + delta * qsum
+      // per-entry rounding ≤ delta/2, m4 entries
+      assert(math.abs(exact - approx) <= m4 * delta / 2 + 1e-6,
+        s"quantization bound violated: exact=$exact approx=$approx delta=$delta")
+    }
+  }
+
+  test("full-candidate fastscan == exact float-ADC ranking (L2 and dot)") {
+    val path = writeBlocked4()
+    val blocked = spark.read.parquet(path)
+    val encoded = Pq.encode(base, books).cache()
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // cand = N: every row survives pruning, so the exact re-rank IS the
+    // full float ADC — ids and ranks must equal the 8-bit-path ADC search
+    // over the same codebooks
+    Seq(true, false).foreach { l2 =>
+      val fs = Pq.searchFastScan(blocked, queries, books, k = 10, l2 = l2,
+        cand = 500)
+      val exact = Pq.search(encoded, queries, books, k = 10, l2 = l2)
+      assert(asSet(fs) == asSet(exact), s"l2=$l2 full-candidate mismatch")
+    }
+    encoded.unpersist()
+  }
+
+  test("pruned fastscan holds recall and is deterministic; ragged blocks") {
+    val path = writeBlocked4(block = 192) // 192 = 3 groups; 500 ⇒ ragged
+    val blocked = spark.read.parquet(path)
+    val encoded = Pq.encode(base, books).cache()
+    val exact = Pq.search(encoded, queries, books, k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fs1 = Pq.searchFastScan(blocked, queries, books, k = 10, cand = 64)
+    val got = fs1.select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    // measured 1.0 on the fixture (bounded-error pruning at cand=64 ≫ k);
+    // gate leaves two hit-quanta of slack per the r10 advice convention
+    assert(recall >= 0.95, s"pruning recall too low: $recall")
+    val fs2 = Pq.searchFastScan(blocked, queries, books, k = 10, cand = 64)
+    assert(fs1.orderBy("qid", "rank").collect().toSeq
+      == fs2.orderBy("qid", "rank").collect().toSeq, "nondeterministic")
+    encoded.unpersist()
+  }
+}
