@@ -34,7 +34,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 240m JIT code cache fills mid-run, compilation stops, and whatever
   // query runs next goes interpreted (measured 10-18x inflation late in
   // the bench). Room + flushing keeps the JIT alive for the whole sweep.
-  "-XX:ReservedCodeCacheSize=512m",
+  // r11: 512m -> 1g headroom after one full BenchScale showed a mid-run
+  // inflation transient (lsh probes=8 2.8 s -> 13.4 s in-run, 2.8 s in a
+  // fresh JVM); a same-code re-run under 1g was clean end-to-end, though
+  // mid-run jcmd occupancy (~134 MB) never approached either limit, so
+  // the transient is recorded, not definitively attributed (COVERAGE.md
+  // bench ledger).
+  "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
   // MLlib's netlib picks its SIMD VectorBLAS implementation only when the
   // incubating Vector API module is present; without it every KMeans

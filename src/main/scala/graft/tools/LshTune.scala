@@ -19,18 +19,31 @@ object LshTune {
       SparkSession.builder().master("local[32]"), shufflePartitions = 32)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val base = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // Scale mode: point at an (id, vec) parquet (e.g. BenchScale's cached
+    // target/scale_vectors_* corpus) to re-measure the BENCH_SCALE
+    // lsh_frontier points in a FRESH JVM — isolates whole-run effects
+    // (JIT/code-cache pressure from preceding ops) from code regressions.
+    val scaleMode = dir.contains("scale_vectors")
+    val base =
+      if (scaleMode) spark.read.parquet(dir)
+      else Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries =
+      (if (scaleMode) base.filter(col("id") < 16)
+       else base.filter(col("id") < 20))
+        .select(col("id").as("qid"), col("vec").as("qvec")).cache()
+    queries.count()
     val gt = Search.groundTruth(base, queries, 10, Metric.Dot).cache()
     gt.count()
-    val grid = for {
-      planes <- Seq(4, 6, 8, 10)
-      tables <- Seq(2, 4, 8)
-      probes <- Seq(0, 2, 4, 8)
-    } yield (planes, tables, probes)
-    Eval.lshSweep(spark, base, queries, gt, k = 10, points = grid, runs = 1)
+    val grid =
+      if (scaleMode) Seq((12, 4, 0), (12, 4, 8), (12, 8, 8))
+      else for {
+        planes <- Seq(4, 6, 8, 10)
+        tables <- Seq(2, 4, 8)
+        probes <- Seq(0, 2, 4, 8)
+      } yield (planes, tables, probes)
+    Eval.lshSweep(spark, base, queries, gt, k = 10, points = grid,
+      runs = if (scaleMode) 2 else 1)
     spark.stop()
   }
 }
