@@ -103,9 +103,10 @@ object Hnsw {
       */
     private var dimU = -1
     private var uniform = true
-    private def tiled(q: Array[Float]): Boolean =
+    private def tiledGraph: Boolean =
       uniform && VectorKernels.simdEnabled && dimU >= 16 &&
         (metric == Metric.L2 || metric == Metric.Dot)
+    private def tiled(q: Array[Float]): Boolean = tiledGraph
 
     /** Four [[dist]] values against gathered rows — bitwise per-pair equal
       * to [[dist]] ([[Simd.l2Sq4At]]/[[Simd.dot4At]] lane contracts), so
@@ -285,7 +286,10 @@ object Hnsw {
       }
       def stage(cap: Int): Unit = if (sd.length < cap) {
         sd = new Array[Double](cap); si = new Array[Int](cap)
+        td = new Array[Double](cap)
       }
+      // re-select precomputed distances (tiled fill, then insertion-sort)
+      var td = new Array[Double](8)
     }
     private val scratchTL = new ThreadLocal[Scratch] {
       override def initialValue(): Scratch = new Scratch
@@ -363,19 +367,35 @@ object Hnsw {
       * back-fill from the pruned list so degree stays at `max`.
       */
     private def selectNeighbors(ds: Array[Double], is: Array[Int], len: Int,
-                                max: Int): Array[Int] = {
+                                max: Int, s: Scratch): Array[Int] = {
       if (len <= max) return java.util.Arrays.copyOf(is, len)
       val kept = new Array[Int](max)
       var nKept = 0
       val pruned = new Array[Int](len)
       var nPruned = 0
+      val useTile = tiledGraph
       var i = 0
       while (i < len && nKept < max) {
         val dq = ds(i); val c = is(i)
+        val cv = vecs(c)
         var ok = true
         var j = 0
+        if (useTile) {
+          // occlusion check against the kept set, 4 gathered rows per
+          // kernel call; lanes are bitwise-equal to dist and checked in
+          // the scalar loop's order, so the kept/pruned decision — and
+          // therefore the built graph — is unchanged (a group computes
+          // up to 3 distances past the first occluder; pure waste, never
+          // a different outcome)
+          while (ok && j + 4 <= nKept) {
+            dist4(cv, kept(j), kept(j + 1), kept(j + 2), kept(j + 3), s.tout)
+            if (s.tout(0) < dq || s.tout(1) < dq ||
+                s.tout(2) < dq || s.tout(3) < dq) ok = false
+            j += 4
+          }
+        }
         while (ok && j < nKept) {
-          if (dist(vecs(c), vecs(kept(j))) < dq) ok = false
+          if (dist(cv, vecs(kept(j))) < dq) ok = false
           j += 1
         }
         if (ok) { kept(nKept) = c; nKept += 1 }
@@ -410,7 +430,7 @@ object Hnsw {
         val cnt = searchLayer(vec, ep, efC, lc, s)
         val nextEp = s.ri(0) // closest at this layer: the next entry point
         val maxDeg = if (lc == 0) m0 else m
-        val nbrs = selectNeighbors(s.rd, s.ri, cnt, m)
+        val nbrs = selectNeighbors(s.rd, s.ri, cnt, m, s)
         links(idx)(lc) = nbrs
         var i = 0
         while (i < nbrs.length) {
@@ -423,15 +443,36 @@ object Hnsw {
           } else {
             // re-select under the neighbor's own view: stage (d, x) for
             // cur + idx, insertion-sorted ascending by (d, idx) — the
-            // same total order the old boxed `.sorted` produced
+            // same total order the old boxed `.sorted` produced. All len
+            // distances are needed regardless, so they fill first through
+            // the 4-wide gather tile (bitwise-equal lanes — the sort sees
+            // the same values), then the sort runs on the precomputed
+            // buffer.
             val len = cur.length + 1
             s.stage(len)
-            val sd = s.sd; val si = s.si
-            var mN = 0
+            val sd = s.sd; val si = s.si; val td = s.td
+            val nv = vecs(nb)
             var c = 0
+            if (tiledGraph) {
+              while (c + 4 <= len) {
+                val x1 = if (c + 1 < cur.length) cur(c + 1) else idx
+                val x2 = if (c + 2 < cur.length) cur(c + 2) else idx
+                val x3 = if (c + 3 < cur.length) cur(c + 3) else idx
+                dist4(nv, cur(c), x1, x2, x3, s.tout)
+                td(c) = s.tout(0); td(c + 1) = s.tout(1)
+                td(c + 2) = s.tout(2); td(c + 3) = s.tout(3)
+                c += 4
+              }
+            }
+            while (c < len) {
+              td(c) = dist(nv, vecs(if (c < cur.length) cur(c) else idx))
+              c += 1
+            }
+            var mN = 0
+            c = 0
             while (c <= cur.length) {
               val x = if (c < cur.length) cur(c) else idx
-              val d = dist(vecs(nb), vecs(x))
+              val d = td(c)
               var j = mN - 1
               while (j >= 0 && {
                 val cc = java.lang.Double.compare(sd(j), d)
@@ -444,7 +485,7 @@ object Hnsw {
               mN += 1
               c += 1
             }
-            links(nb)(lc) = selectNeighbors(sd, si, len, maxDeg)
+            links(nb)(lc) = selectNeighbors(sd, si, len, maxDeg, s)
           }
           i += 1
         }
