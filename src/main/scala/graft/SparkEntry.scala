@@ -424,6 +424,25 @@ object SparkEntry {
       Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),
 
+    // C3 at the 100 TB shape: IVF-pruned 4-bit fastscan (FAISS
+    // IndexIVFPQFastScan re-expressed — cluster-partitioned nibble table,
+    // per-(query, cell) RESIDUAL register LUTs with per-cell reservoirs,
+    // parquet partition pruning as the inverted-list skip), candidates
+    // refined with exact vectors (a3's refined-arm convention). Sidecar
+    // hash oracle like a12; full-probe ≡ row-wise residual-ADC equality,
+    // clustered-layout round-trip, and recall gates live in Pq4Spec.
+    "a13_pq4_ivf" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val qs = recallQueries(s, dir)
+      val m4 = base.select(size(col("vec")).as("d")).head().getInt(0) / 4
+      val idx = Pq.buildOrGetIvf4(s, base, s"$dir|pq4ivf", nlist = 16,
+        m4 = m4, ntrain = 100000)
+      val pred = predSidecar("a13_pq4_ivf",
+        Pq.searchFastScanIvfRefined(base, idx, qs, nprobe = 8, k = 10,
+          refineK = 50))
+      Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
+    }),
+
     // Predicate-constrained k-NN (additive — the reference has no metadata
     // columns): exact pre-filter anchor, full hash oracle. The widened-IVF
     // and HNSW-post-filter flavors + the auto chooser are recall/plan-gated
@@ -1600,7 +1619,7 @@ object SparkEntry {
     }
     (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall",
       "a8_lsh_recall", "a9_hnsw_recall", "a11_hnsw_routed",
-      "a12_pq4_fastscan").flatMap(single)
+      "a12_pq4_fastscan", "a13_pq4_ivf").flatMap(single)
       ++ a3 ++ d4).toMap
   }
 }

@@ -232,29 +232,78 @@ object QuantizedTables {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(block).map { g =>
-          val ids = g.map(_._1).toArray
-          val m4 = g.head._2.length
-          require(m4 % 2 == 0, s"pq4 m4 must be even, got $m4")
-          val spMax = m4 / 2
-          val groups = (ids.length + 63) / 64
-          val blob = new Array[Byte](groups * spMax * 64)
-          var r = 0
-          while (r < ids.length) {
-            val codes = g(r)._2
-            val gBase = (r / 64) * spMax * 64
-            val lane = r % 64
-            var sp = 0
-            while (sp < spMax) {
-              blob(gBase + sp * 64 + lane) =
-                ((codes(2 * sp) & 0x0f) | ((codes(2 * sp + 1) & 0x0f) << 4)).toByte
-              sp += 1
-            }
-            r += 1
-          }
-          (ids, blob)
+          (g.map(_._1).toArray, pq4Pack(g.length, g.map(_._2)))
         }
       }
       .toDF("ids", "codes")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Group-transpose + nibble-pack `nRows` code rows into the 64-lane
+    * fastscan blob (see [[writePq4Blocked]] for the layout contract). */
+  private def pq4Pack(nRows: Int, codes: Seq[Array[Byte]]): Array[Byte] = {
+    val m4 = codes.head.length
+    require(m4 % 2 == 0, s"pq4 m4 must be even, got $m4")
+    val spMax = m4 / 2
+    val groups = (nRows + 63) / 64
+    val blob = new Array[Byte](groups * spMax * 64)
+    var r = 0
+    while (r < nRows) {
+      val cs = codes(r)
+      val gBase = (r / 64) * spMax * 64
+      val lane = r % 64
+      var sp = 0
+      while (sp < spMax) {
+        blob(gBase + sp * 64 + lane) =
+          ((cs(2 * sp) & 0x0f) | ((cs(2 * sp + 1) & 0x0f) << 4)).toByte
+        sp += 1
+      }
+      r += 1
+    }
+    blob
+  }
+
+  /** [[writePq4Blocked]] partitioned by IVF coarse cell — the fastscan
+    * layout for the IVF-pruned probe ([[graft.ops.Pq.searchFastScanIvf]],
+    * FAISS `IndexIVFPQFastScan`'s storage shape). Rows pack densely PER
+    * CELL in id order (rank-within-cell blocks, not global id ranges:
+    * cell membership is sparse in id space, and the register kernel needs
+    * dense 64-lane groups), written `partitionBy(cluster_id)` so a probe
+    * prunes unprobed cells at the parquet-partition level. The layout is
+    * a pure function of (ids, cell assignment, block): window rank within
+    * cell, blocks of `block` rows, rows id-sorted inside each block —
+    * deterministic like every other blocked sink.
+    */
+  def writePq4BlockedClustered(rows: DataFrame, path: String,
+                               idCol: String = "id",
+                               codesCol: String = "codes",
+                               clusterCol: String = "cluster_id",
+                               block: Int = 128): Unit = {
+    require(block % 64 == 0, s"pq4 block must be a multiple of 64, got $block")
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.expressions.PackBytes
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val asBin =
+      if (rows.schema(codesCol).dataType == BinaryType) col(codesCol)
+      else Bridge.column(PackBytes(Bridge.expression(col(codesCol))))
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("id"))
+    rows.select(col(clusterCol).cast("int").as("cluster_id"),
+        col(idCol).cast("long").as("id"), asBin.as("b"))
+      .withColumn("rk", row_number().over(w))
+      // integral `div` (same boundary-exactness argument as idRangeLayout)
+      .withColumn("blk", expr(s"(rk - 1) div $block"))
+      .groupBy(col("cluster_id"), col("blk"))
+      .agg(sort_array(collect_list(struct(col("id").as("_1"), col("b").as("_2"))))
+        .as("rows"))
+      .select(col("cluster_id"), col("rows"))
+      .as[(Int, Seq[(Long, Array[Byte])])]
+      .map { case (cid, g) =>
+        (cid, g.map(_._1).toArray, pq4Pack(g.length, g.map(_._2)))
+      }
+      .toDF("cluster_id", "ids", "codes")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
   }
 }

@@ -317,6 +317,176 @@ object Pq {
       "qid", "gid", "score", k, larger)
   }
 
+  /** IVF-pruned 4-bit fastscan probe — FAISS `IndexIVFPQFastScan`'s shape
+    * composed from [[searchFastScan]]'s kernel and [[ivfpqSearch]]'s
+    * residual coarse stage. Per query: the `nprobe` nearest coarse cells;
+    * per (query, cell) a RESIDUAL float LUT (q − centroid) and its
+    * u8-quantized register tables. The scan streams ONLY probed cells of
+    * the cluster-partitioned blocked table
+    * ([[graft.io.QuantizedTables.writePq4BlockedClustered]] — parquet
+    * partition pruning does the inverted-list skip). Candidate reservoirs
+    * are kept PER (query, cell) in quantized space: quantized scores are
+    * NOT comparable across cells (each (query, cell) LUT carries its own
+    * bias/delta), so reservoirs never mix cells, and every survivor is
+    * re-ranked with its own cell's EXACT float LUT before the global
+    * top-k merge — emitted scores are exact residual-ADC sums, identical
+    * to [[ivfpqSearch]]'s (Pq4Spec gates full-probe/full-candidate
+    * equality).
+    *
+    * Scale shape: LUT tables are query-batch × nprobe bounded and ship in
+    * the task closure like [[searchFastScan]]'s; shuffle carries
+    * ≤ Q × nprobe × cand candidates — never the corpus.
+    */
+  def searchFastScanIvf(idx: Index, spark: SparkSession, queries: DataFrame,
+                        nprobe: Int, k: Int, cand: Int = 0): DataFrame = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.expressions.{CentroidOps, PqOps, Simd}
+    import graft.functions.expressions.VectorKernels
+    import spark.implicits._
+    val books = idx.books
+    val m4 = books.length
+    require(books.forall(_.length == 16), "pq4 codebooks must have ksub=16")
+    require(m4 % 2 == 0, s"pq4 m4 must be even, got $m4")
+    val spMax = m4 / 2
+    val coarse = idx.coarse
+    val q = queries.select(col("qid"), col("qvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val qids = q.map(_._1)
+    val nq = q.length
+    val np = math.min(nprobe, coarse.length)
+    val c = if (cand > 0) cand else math.max(2 * k, 64)
+    // per (query, probe slot): probed cell, residual float LUT, u8 tables
+    val probes = q.map(x => CentroidOps.topNprobeF(x._2, coarse, np))
+    val lutsF = Array.ofDim[Array[Float]](nq, np)
+    val tables = Array.ofDim[Array[Byte]](nq, np)
+    var qi0 = 0
+    while (qi0 < nq) {
+      val qv = q(qi0)._2
+      var p = 0
+      while (p < np) {
+        val cen = coarse(probes(qi0)(p))
+        val res = new Array[Float](qv.length)
+        var d = 0
+        while (d < qv.length) { res(d) = qv(d) - cen(d); d += 1 }
+        val lf = PqOps.lut(new GenericArrayData(res), books, l2 = true)
+          .toFloatArray()
+        lutsF(qi0)(p) = lf
+        tables(qi0)(p) = PqOps.quantizeLuts(lf, m4, larger = false)._1
+        p += 1
+      }
+      qi0 += 1
+    }
+    // cell -> packed (qi * np + p) slots that probe it
+    val byCell: Map[Int, Array[Int]] = {
+      val mb = scala.collection.mutable.HashMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+      var qi = 0
+      while (qi < nq) {
+        var p = 0
+        while (p < np) {
+          mb.getOrElseUpdate(probes(qi)(p),
+            scala.collection.mutable.ArrayBuffer.empty[Int]) += (qi * np + p)
+          p += 1
+        }
+        qi += 1
+      }
+      mb.map { case (cid, b) => cid -> b.toArray }.toMap
+    }
+    val probedCells = byCell.keys.toArray.sorted
+    val simd = VectorKernels.simdEnabled && Simd.pq4Available
+    val partials = spark.read.parquet(idx.path)
+      .filter(col("cluster_id").isInCollection(probedCells.toSeq))
+      .select(col("cluster_id"), col("ids"), col("codes"))
+      .as[(Int, Array[Long], Array[Byte])]
+      .mapPartitions { it =>
+        // per-(query, cell) bounded reservoirs, lazily created for the
+        // cells this partition actually holds; final content is the top-c
+        // by (quantized score, id) — a total order, so arrival order
+        // (and file-split planning) never changes the kept set
+        final class Res {
+          val ids = new Array[Long](c); val qs = new Array[Int](c)
+          val stash = new Array[Byte](c * spMax)
+          var n = 0; var worst = 0
+          def recomputeWorst(): Unit = {
+            var w = 0
+            var i = 1
+            while (i < n) {
+              if (qs(i) > qs(w) || (qs(i) == qs(w) && ids(i) > ids(w))) w = i
+              i += 1
+            }
+            worst = w
+          }
+        }
+        val res = new java.util.HashMap[Int, Res]()
+        val out = new Array[Short](64)
+        while (it.hasNext) {
+          val (cell, ids, blob) = it.next()
+          val slots = byCell.getOrElse(cell, Array.emptyIntArray)
+          val vpr = ids.length
+          val groups = (vpr + 63) / 64
+          require(blob.length == groups * spMax * 64,
+            s"pq4 blob ${blob.length} != $groups groups × $spMax × 64")
+          var si = 0
+          while (si < slots.length) {
+            val slot = slots(si)
+            val tab = tables(slot / np)(slot % np)
+            var r0 = res.get(slot)
+            if (r0 == null) { r0 = new Res; res.put(slot, r0) }
+            val qs = r0.qs; val cid = r0.ids
+            var g = 0
+            while (g < groups) {
+              val gOff = g * spMax * 64
+              val len = math.min(64, vpr - g * 64)
+              if (simd) Simd.pq4Group(blob, gOff, m4, tab, out)
+              else PqOps.pq4GroupRef(blob, gOff, m4, tab, out)
+              var r = 0
+              while (r < len) {
+                val sc = out(r) & 0xffff
+                val id = ids(g * 64 + r)
+                if (r0.n < c) {
+                  val n = r0.n
+                  cid(n) = id; qs(n) = sc
+                  var sp = 0
+                  val sOff = n * spMax
+                  while (sp < spMax) {
+                    r0.stash(sOff + sp) = blob(gOff + sp * 64 + r); sp += 1
+                  }
+                  r0.n = n + 1
+                  if (r0.n == c) r0.recomputeWorst()
+                } else {
+                  val w = r0.worst
+                  if (qs(w) > sc || (qs(w) == sc && cid(w) > id)) {
+                    cid(w) = id; qs(w) = sc
+                    var sp = 0
+                    val sOff = w * spMax
+                    while (sp < spMax) {
+                      r0.stash(sOff + sp) = blob(gOff + sp * 64 + r); sp += 1
+                    }
+                    r0.recomputeWorst()
+                  }
+                }
+                r += 1
+              }
+              g += 1
+            }
+            si += 1
+          }
+        }
+        // exact float-ADC re-rank with each survivor's OWN cell LUT
+        import scala.jdk.CollectionConverters._
+        res.entrySet().iterator().asScala.flatMap { e =>
+          val slot = e.getKey; val r0 = e.getValue
+          val lf = lutsF(slot / np)(slot % np)
+          (0 until r0.n).iterator.map { i =>
+            (qids(slot / np), r0.ids(i),
+              PqOps.adcNibbles(r0.stash, i * spMax, spMax, lf))
+          }
+        }
+      }
+    TopK.perGroup(partials.toDF("qid", "gid", "score"),
+      "qid", "gid", "score", k, larger = false)
+  }
+
   /** ADC candidates → exact-L2 refine (J3), the reference's
     * PQ+Refine operating point (recall 0.974 @ R=50, `Performance.md:623`).
     * `batched = true` generates candidates via [[searchBatched]] (same
@@ -433,18 +603,75 @@ object Pq {
     })
   }
 
+  /** [[searchFastScanIvf]] candidates → exact-L2 vector refine — the
+    * IVF-fastscan operating point (J3 on candidates from probed cells
+    * only; the IVF analog of the flat `searchFastScan` + refine pair).
+    */
+  def searchFastScanIvfRefined(base: DataFrame, idx: Index,
+                               queries: DataFrame, nprobe: Int, k: Int,
+                               refineK: Int, idCol: String = "id",
+                               vecCol: String = "vec"): DataFrame = {
+    val spark = base.sparkSession
+    refineAdc(base, queries, k, refineK,
+      kk => searchFastScanIvf(idx, spark, queries, nprobe, kk), idCol, vecCol)
+  }
+
+  /** Build (or fetch) the IVF-fastscan index: coarse KMeans → residual
+    * 4-bit codebooks (ksub=16) → encode → cluster-partitioned blocked
+    * nibble table ([[graft.io.QuantizedTables.writePq4BlockedClustered]]).
+    * Same artifact discipline as [[buildOrGet]]; serves
+    * [[searchFastScanIvf]].
+    */
+  def buildOrGetIvf4(spark: SparkSession, base: => DataFrame, cacheKey: String,
+                     nlist: Int, m4: Int, ntrain: Int, seed: Long = 42L,
+                     idCol: String = "id", vecCol: String = "vec"): Index = {
+    val key = s"$cacheKey|ivf4|$nlist|$m4|16|$ntrain|$seed|t5"
+    indexCache.computeIfAbsent(key, _ => {
+      val path = s"target/pq4_cache/${Ivf.cacheDigest(key)}"
+      (Ivf.loadMatrix(s"$path.coarse.bin"), loadBooks(s"$path.books.bin")) match {
+        case (Some(coarse), Some(books)) if new java.io.File(s"$path/_SUCCESS").isFile =>
+          Index(coarse, books, path)
+        case _ =>
+          val coarse = Ivf.train(base, nlist, ntrain, seed, vecCol, idCol)
+          val assigned = Ivf.assign(base, coarse, vecCol)
+            .withColumn("residual",
+              centroidResidual(col(vecCol), col("cluster_id"), coarse))
+          val books = train(
+            assigned.select(col(idCol), col("residual").as(vecCol)),
+            m4, 16, ntrain, seed, vecCol, idCol)
+          graft.io.QuantizedTables.writePq4BlockedClustered(
+            assigned.select(col(idCol), col("cluster_id"),
+              pqEncode(col("residual"), books).as("codes")),
+            path, idCol = idCol)
+          Ivf.saveMatrix(s"$path.coarse.bin", coarse)
+          saveBooks(s"$path.books.bin", books)
+          Index(coarse, books, path)
+      }
+    })
+  }
+
   /** IVF-PQ probe: per query, nprobe nearest coarse cells; per (query,
     * cell) an ADC LUT over the RESIDUAL query (q − centroid); score only
     * rows in probed cells (partition-pruned join), top-k ascending L2.
     */
   def ivfpqSearch(idx: Index, spark: SparkSession, queries: DataFrame,
-                  nprobe: Int, k: Int, idCol: String = "id"): DataFrame = {
+                  nprobe: Int, k: Int, idCol: String = "id"): DataFrame =
+    ivfpqSearchOn(idx.encoded(spark), idx.coarse, idx.books, queries,
+      nprobe, k, idCol)
+
+  /** [[ivfpqSearch]] over an explicit row-wise (cluster_id, id, codes)
+    * table — the oracle flavor Pq4Spec runs against an IVF-fastscan index
+    * (whose stored table is the BLOCKED layout, not row-wise).
+    */
+  def ivfpqSearchOn(encoded: DataFrame, coarse: Array[Array[Float]],
+                    books: Codebooks, queries: DataFrame,
+                    nprobe: Int, k: Int, idCol: String = "id"): DataFrame = {
     val probed = queries.select(col("qid"), col("qvec"),
-      explode(Ivf.nearestCentroids(col("qvec"), idx.coarse, nprobe)).as("cluster_id"))
+      explode(Ivf.nearestCentroids(col("qvec"), coarse, nprobe)).as("cluster_id"))
       .select(col("qid"), col("cluster_id"),
-        pqLut(centroidResidual(col("qvec"), col("cluster_id"), idx.coarse),
-          idx.books, l2 = true).as("lut"))
-    val scored = idx.encoded(spark)
+        pqLut(centroidResidual(col("qvec"), col("cluster_id"), coarse),
+          books, l2 = true).as("lut"))
+    val scored = encoded
       .join(broadcast(probed), Seq("cluster_id"))
       .select(col("qid"), col(idCol).as("gid"),
         pqAdc(col("codes"), col("lut")).as("score"))

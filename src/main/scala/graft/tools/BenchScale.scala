@@ -509,6 +509,34 @@ object BenchScale {
         Map("recall" -> rec, "refine_k" -> pqRefineK.toDouble,
           "stored_mb" -> dirBytes(pq4Path) / 1e6)
       }
+
+      // IVF-pruned fastscan (FAISS IndexIVFPQFastScan's shape): the
+      // cluster-partitioned nibble table serves the probe from the probed
+      // cells only — the 100 TB serving flavor of the 4-bit path. Build is
+      // DDL like ann_ivf_build (cached across JVMs, recorded once).
+      val ivf4Key = s"$annKey|ivf4|$nlist|${annDim / 4}|16|200000|42|t5"
+      val ivf4Cached = new java.io.File(
+        s"target/pq4_cache/${Ivf.cacheDigest(ivf4Key)}/_SUCCESS").isFile
+      val tIvf4 = System.nanoTime()
+      val ivf4 = Pq.buildOrGetIvf4(spark, base, annKey, nlist = nlist,
+        m4 = annDim / 4, ntrain = 200000)
+      annResults("ann_pq4_ivf_build") = Map(
+        "sec" -> (System.nanoTime() - tIvf4) / 1e9,
+        "nlist" -> nlist.toDouble,
+        "cached" -> (if (ivf4Cached) 1.0 else 0.0))
+      println(f"[scale] ann_pq4_ivf_build     ${annResults("ann_pq4_ivf_build")("sec")}%8.2f s")
+      runAnn("ann_pq4_ivf_probe") { // probed-cell fastscan → exact refine
+        val pred = Pq.searchFastScanIvfRefined(base, ivf4, queries,
+          nprobe = 8, k, refineK = pqRefineK)
+        val rec = Ivf.meanRecall(pred, gt, k).collect()(0).getDouble(0)
+        Map("recall" -> rec, "nprobe" -> 8.0,
+          "stored_mb" -> dirBytes(ivf4.path) / 1e6)
+      }
+      runAnn("ann_pq4_ivf_q512") { // candidate stage only, batch regime
+        Map("rows" -> Pq.searchFastScanIvf(ivf4, spark, queries512,
+          nprobe = 8, k = pqRefineK).count().toDouble,
+          "nprobe" -> 8.0, "stored_mb" -> dirBytes(ivf4.path) / 1e6)
+      }
       queries512.unpersist()
 
       // refine join against plain vs bucketed base, measured in the
