@@ -394,11 +394,16 @@ object Pq {
     }
     val probedCells = byCell.keys.toArray.sorted
     val simd = VectorKernels.simdEnabled && Simd.pq4Available
-    val partials = spark.read.parquet(idx.path)
+    // LUT state rides a broadcast, not the task closure: at Q=512 ×
+    // nprobe=8 the tables + float LUTs are ~50 MB, which a closure would
+    // re-deserialize PER TASK while a broadcast unpacks once per executor
+    val bc = spark.sparkContext.broadcast((tables, lutsF, byCell))
+    val partials = blockedRelation(spark, idx.path)
       .filter(col("cluster_id").isInCollection(probedCells.toSeq))
       .select(col("cluster_id"), col("ids"), col("codes"))
       .as[(Int, Array[Long], Array[Byte])]
       .mapPartitions { it =>
+        val (tables, lutsF, byCell) = bc.value
         // per-(query, cell) bounded reservoirs, lazily created for the
         // cells this partition actually holds; final content is the top-c
         // by (quantized score, id) — a total order, so arrival order
@@ -537,6 +542,20 @@ object Pq {
 
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Index]()
+
+  /** One resolved relation per (session, index path): a fresh
+    * `spark.read.parquet` re-builds the partitioned file index — at
+    * nlist=1024 that is a per-CALL driver discovery pass over 1024
+    * partition dirs, measured ~1.5 s of pure planning against a 0.14 s
+    * pruned scan. The artifact is cached DDL (immutable once `_SUCCESS`
+    * exists), so the relation is safely reusable for the session's life.
+    */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def blockedRelation(spark: SparkSession, path: String): DataFrame =
+    relationCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$path",
+      _ => spark.read.parquet(path))
 
   private[graft] def saveBooks(file: String, books: Codebooks): Unit = {
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(

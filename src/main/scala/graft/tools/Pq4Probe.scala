@@ -47,5 +47,46 @@ object Pq4Probe {
       println(f"ref  round $round: $dt%.1f ms for 1M rows (one query)")
     }
     println(s"sink=$sink")
+
+    // `ivf` arg: stage timing of the IVF-pruned fastscan against the
+    // cached 1M BenchScale corpus + index (driver LUT prep vs the Spark
+    // candidate job vs the refined operating point).
+    if (args.contains("ivf")) {
+      import org.apache.spark.sql.functions._
+      val spark = graft.core.GraftSession.local(32)
+      spark.sparkContext.setLogLevel("WARN")
+      val base = spark.read.parquet("target/scale_vectors_1000000_384_lr8")
+      val queries = base.filter(col("id") < 16)
+        .select(col("id").as("qid"), col("vec").as("qvec")).cache()
+      queries.count()
+      val idx = graft.ops.Pq.buildOrGetIvf4(spark, base,
+        "annscale_1000000_lr8", nlist = 1024, m4 = 96, ntrain = 200000)
+      val someCells = (0 until 1024 by 8).map(Int.box)
+      (0 until 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = spark.read.parquet(idx.path)
+          .filter(col("cluster_id").isInCollection(someCells)).count()
+        println(f"raw pruned read run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      }
+      val reused = spark.read.parquet(idx.path)
+      (0 until 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = reused.filter(col("cluster_id").isInCollection(someCells)).count()
+        println(f"reused-handle read run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      }
+      (0 until 4).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = graft.ops.Pq.searchFastScanIvf(idx, spark, queries, 8, 50)
+          .count()
+        println(f"cand stage run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      }
+      (0 until 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = graft.ops.Pq.searchFastScanIvfRefined(base, idx, queries,
+          nprobe = 8, k = 10, refineK = 50).count()
+        println(f"refined run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      }
+      spark.stop()
+    }
   }
 }
