@@ -537,6 +537,16 @@ object BenchScale {
           nprobe = 8, k = pqRefineK).count().toDouble,
           "nprobe" -> 8.0, "stored_mb" -> dirBytes(ivf4.path) / 1e6)
       }
+      // recall/cost frontier of the refined IVF-fastscan probe: the same
+      // nprobe-scaling story as ivf_frontier, on 1/30th the stored bytes
+      Seq(4, 16, 32).foreach { np =>
+        runAnn(s"ann_pq4_ivf_probe_np$np") {
+          val pred = Pq.searchFastScanIvfRefined(base, ivf4, queries,
+            nprobe = np, k, refineK = pqRefineK)
+          Map("recall" -> Ivf.meanRecall(pred, gt, k).collect()(0).getDouble(0),
+            "nprobe" -> np.toDouble)
+        }
+      }
       queries512.unpersist()
 
       // refine join against plain vs bucketed base, measured in the
