@@ -25,6 +25,19 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
+  /** Stable unique id for session-keyed caches. `sessionUUID` is unique
+    * for the JVM's life, so a stopped-then-GC'd session can never collide
+    * a new session onto cache entries bound to the dead one — which
+    * `System.identityHashCode` keying could (hash reuse after GC). The
+    * fallback only triggers for non-classic sessions (e.g. Connect),
+    * which this library's local/cluster paths never construct.
+    */
+  def uuid(spark: SparkSession): String = spark match {
+    case c: org.apache.spark.sql.classic.SparkSession =>
+      org.apache.spark.sql.graftbridge.Bridge.sessionUUID(c)
+    case other => s"idhash-${System.identityHashCode(other)}"
+  }
+
   def local(threads: Int = 32): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$threads]").appName("graft"))
       .getOrCreate()

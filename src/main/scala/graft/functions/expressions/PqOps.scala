@@ -203,6 +203,16 @@ object PqOps {
                    larger: Boolean): (Array[Byte], Double, Double) = {
     val ksub = lutF.length / m4
     require(ksub == 16, s"pq4 requires ksub=16, got $ksub")
+    // The group kernels accumulate m4 u8 entries into 16-bit lanes read
+    // back as UNSIGNED (mod-2^16 wrapping adds + `& 0xffff`), so the sum
+    // is exact iff m4·255 ≤ 65535. Past m4=256 the sums would wrap
+    // SILENTLY — pruning would keep the wrong survivors and recall would
+    // collapse with no error — so the bound is a hard contract here, the
+    // one chokepoint every fastscan path builds its tables through.
+    // (1536-d vectors at dsub=4 give m4=384: split such corpora into two
+    // pq4 indexes or use the 8-bit ADC path, which has no such bound.)
+    require(m4 <= 256,
+      s"pq4 supports m4 <= 256 (u16 lane-sum bound m4*255 <= 65535), got $m4")
     var bias = 0.0
     var maxRange = 0.0
     var s = 0

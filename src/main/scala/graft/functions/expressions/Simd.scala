@@ -497,9 +497,12 @@ object Simd {
     * `tables` holds the query's u8-quantized LUTs, entry j of
     * subquantizer s at `s*64 + j` (replicated ×4 per [[PqOps]]
     * quantization so any 16/32/64-byte register prefix is a valid
-    * table). Accumulation is EXACT u16 integer arithmetic — max sum
-    * m4·255 = 24 480 < 2¹⁵ at m4 ≤ 96, so lanes never overflow a signed
-    * short and the result is bit-identical to the scalar twin
+    * table). Accumulation is EXACT u16 integer arithmetic: short-lane
+    * adds wrap mod 2¹⁶ and callers read lanes back unsigned (`& 0xffff`),
+    * so sums are exact iff m4·255 ≤ 65535 — i.e. m4 ≤ 256, enforced at
+    * [[graft.functions.expressions.PqOps.quantizeLuts]] (the chokepoint
+    * every table ships through). Within that bound the result is
+    * bit-identical to the scalar twin
     * ([[graft.functions.expressions.PqOps.pq4GroupRef]]) in ANY lane
     * configuration — unlike the float kernels there is no reassociation
     * term to reason about (Pq4Spec gates the equality).

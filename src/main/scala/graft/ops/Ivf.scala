@@ -223,9 +223,11 @@ object Ivf {
   def cachedGroundTruth(cacheKey: String, base: => DataFrame,
                         queries: => DataFrame, k: Int,
                         metric: Metric = Metric.Dot): DataFrame =
-    // cached DataFrames are session-bound: key on the session identity too
+    // cached DataFrames are session-bound: key on sessionUUID (unique for
+    // the JVM's life — identityHashCode could collide a new session onto
+    // a DataFrame bound to a stopped, GC'd one)
     gtCache.computeIfAbsent(
-      s"${System.identityHashCode(base.sparkSession)}|$cacheKey|$k|$metric", _ => {
+      s"${graft.core.GraftSession.uuid(base.sparkSession)}|$cacheKey|$k|$metric", _ => {
       val gt = Search.groundTruth(base, queries, k, metric).cache()
       gt.count() // materialize once
       gt

@@ -218,6 +218,8 @@ object Pq {
     val m4 = books.length
     require(books.forall(_.length == 16), "pq4 codebooks must have ksub=16")
     require(m4 % 2 == 0, s"pq4 m4 must be even, got $m4")
+    require(m4 <= 256, // u16 lane-sum bound; see PqOps.quantizeLuts
+      s"pq4 supports m4 <= 256 (u16 lane-sum bound), got $m4")
     val spMax = m4 / 2
     val spark = blocked4.sparkSession
     import spark.implicits._
@@ -347,6 +349,8 @@ object Pq {
     val m4 = books.length
     require(books.forall(_.length == 16), "pq4 codebooks must have ksub=16")
     require(m4 % 2 == 0, s"pq4 m4 must be even, got $m4")
+    require(m4 <= 256, // u16 lane-sum bound; see PqOps.quantizeLuts
+      s"pq4 supports m4 <= 256 (u16 lane-sum bound), got $m4")
     val spMax = m4 / 2
     val coarse = idx.coarse
     val q = queries.select(col("qid"), col("qvec")).collect()
@@ -396,8 +400,13 @@ object Pq {
     val simd = VectorKernels.simdEnabled && Simd.pq4Available
     // LUT state rides a broadcast, not the task closure: at Q=512 ×
     // nprobe=8 the tables + float LUTs are ~50 MB, which a closure would
-    // re-deserialize PER TASK while a broadcast unpacks once per executor
+    // re-deserialize PER TASK while a broadcast unpacks once per executor.
+    // Registered with [[releaseBroadcasts]]: a sweep that calls this many
+    // times per JVM (the nprobe/refineK frontiers) would otherwise
+    // accumulate ~50 MB of executor-pinned blocks per call — the known
+    // full-GC-stall hazard the bench settle discipline exists for.
     val bc = spark.sparkContext.broadcast((tables, lutsF, byCell))
+    pendingBroadcasts.add(bc)
     val partials = blockedRelation(spark, idx.path)
       .filter(col("cluster_id").isInCollection(probedCells.toSeq))
       .select(col("cluster_id"), col("ids"), col("codes"))
@@ -543,18 +552,47 @@ object Pq {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
+  /** Broadcasts created by search calls whose DataFrames have been
+    * returned to the caller (their lifetime is the caller's action, which
+    * this layer cannot observe). [[releaseBroadcasts]] unpersists them
+    * all — non-blocking, executor blocks only, so an already-materialized
+    * result is unaffected and a re-executed plan re-fetches from the
+    * driver. Call it between bench/sweep iterations; long-lived serving
+    * sessions should call it on their own cadence.
+    */
+  private val pendingBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.broadcast.Broadcast[_]]()
+
+  /** Unpersist every tracked search broadcast (executor copies only);
+    * returns how many were released.
+    */
+  def releaseBroadcasts(): Int = {
+    var n = 0
+    var b = pendingBroadcasts.poll()
+    while (b != null) {
+      b.unpersist(blocking = false)
+      n += 1
+      b = pendingBroadcasts.poll()
+    }
+    n
+  }
+
   /** One resolved relation per (session, index path): a fresh
     * `spark.read.parquet` re-builds the partitioned file index — at
     * nlist=1024 that is a per-CALL driver discovery pass over 1024
     * partition dirs, measured ~1.5 s of pure planning against a 0.14 s
     * pruned scan. The artifact is cached DDL (immutable once `_SUCCESS`
     * exists), so the relation is safely reusable for the session's life.
+    * Keyed on `sessionUUID` — unique per session for the JVM's life, so a
+    * stopped-then-GC'd session can never collide a new session onto a
+    * DataFrame bound to the dead one (identityHashCode could).
     */
   private val relationCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def blockedRelation(spark: SparkSession, path: String): DataFrame =
     relationCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$path",
+      s"${graft.core.GraftSession.uuid(spark)}|$path",
       _ => spark.read.parquet(path))
 
   private[graft] def saveBooks(file: String, books: Codebooks): Unit = {

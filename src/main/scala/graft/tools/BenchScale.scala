@@ -77,7 +77,12 @@ object BenchScale {
       // performs its async deletions inside the sleep, the second GC
       // reclaims what it released — otherwise earlier ops' cleanup lands
       // inside this op's timed runs (measured: d12 21.2 s mid-sweep vs
-      // 6.6 s isolated on identical code and shuffle bytes)
+      // 6.6 s isolated on identical code and shuffle bytes).
+      // releaseBroadcasts: the fastscan-IVF search calls register their
+      // ~50 MB LUT broadcasts for exactly this hook — a frontier sweep
+      // makes dozens of calls per JVM and the executor-pinned blocks are
+      // otherwise invisible to GC.
+      Pq.releaseBroadcasts()
       System.gc()
       Thread.sleep(400)
       System.gc()

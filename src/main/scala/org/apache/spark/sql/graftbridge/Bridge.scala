@@ -14,4 +14,9 @@ object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+  /** `sessionUUID` is private[sql]; session-keyed caches need it (unique
+    * for the JVM's life, unlike identityHashCode which GC can reuse).
+    */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }

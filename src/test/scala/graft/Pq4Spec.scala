@@ -83,6 +83,23 @@ class Pq4Spec extends AnyFunSuite {
     }
   }
 
+  test("m4 > 256 is rejected (u16 lane-sum bound), 256 is accepted") {
+    // m4·255 must fit u16: past 256 the group sums would wrap SILENTLY
+    // (wrong survivors, collapsed recall) — the contract is a loud error
+    // at the LUT chokepoint and both search entry points.
+    val lut384 = new Array[Float](384 * 16)
+    intercept[IllegalArgumentException] {
+      PqOps.quantizeLuts(lut384, 384, larger = false)
+    }
+    val lut256 = new Array[Float](256 * 16)
+    val (t, _, _) = PqOps.quantizeLuts(lut256, 256, larger = false)
+    assert(t.length == 256 * 64)
+    val books384 = Array.fill(384)(Array.fill(16)(new Array[Float](4)))
+    intercept[IllegalArgumentException] {
+      Pq.searchFastScan(spark.emptyDataFrame, queries, books384, k = 10)
+    }
+  }
+
   test("LUT quantization error is within the analytic bound") {
     val rnd = new scala.util.Random(11)
     val qv = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
