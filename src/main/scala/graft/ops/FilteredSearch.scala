@@ -60,6 +60,52 @@ object FilteredSearch {
       nprobe = widened, k = k, metric = metric, idCol = idCol, vecCol = vecCol)
   }
 
+  /** Filtered IVF-fastscan probe — the 100 TB serving flavor composed with
+    * a predicate. The packed nibble table cannot take a ROW predicate
+    * (64 rows share one blob; there is nothing row-wise for Catalyst to
+    * push), so the composition differs from [[ivf]]'s dual pushdown by
+    * construction:
+    *
+    *  - **cluster stage: pre-filter by pruning.** The probe still touches
+    *    only `widenedProbe(nprobe, s)` cells of the cluster-partitioned
+    *    blocked table (parquet partition pruning — the inverted-list
+    *    skip), so the predicate's only cost is a wider probe, exactly the
+    *    [[ivf]] budget-restoration argument.
+    *  - **candidate stage: over-fetch.** The fastscan candidate set is
+    *    widened to ~refineK/s so that after the filter drops (1−s) of it,
+    *    ~refineK allowed candidates remain (capped at 8× to bound the
+    *    reservoirs; [[auto]] routes very low selectivity to [[exact]]
+    *    long before the cap binds).
+    *  - **refine stage: post-filter for free.** Candidates refine against
+    *    the FILTERED base scan — the predicate pushes into that parquet
+    *    scan (Catalyst pre-filter), and disallowed candidate ids simply
+    *    drop out of the refine join. One join, no separate semi-join pass.
+    *
+    * Scale shape: probed-cell bytes ∝ widenedNprobe/nlist of the 1/30th-
+    * size code table; the refine side streams the filtered base in place
+    * against a broadcast Q×fetchK candidate list. Nothing corpus-sized
+    * shuffles (FilteredSearchSpec gates the plan).
+    */
+  def pq4(base: DataFrame, pred: Column, queries: DataFrame, idx: Pq.Index,
+          nprobe: Int, k: Int, refineK: Int = 100,
+          selectivity: Double = Double.NaN,
+          idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val spark = base.sparkSession
+    val s =
+      if (selectivity.isNaN) measuredSelectivity(base, pred)
+      else selectivity
+    val widened = widenedProbe(nprobe, s, idx.coarse.length)
+    val fetchK = math.min(8L * refineK,
+      math.max(refineK.toLong,
+        math.ceil(refineK / math.max(s, 1e-6)).toLong)).toInt
+    val cands = Pq.searchFastScanIvf(idx, spark, queries, widened, fetchK)
+      .groupBy("qid").agg(collect_list(col("id")).as("cand_ids"))
+      .join(queries, Seq("qid"))
+      .select(col("qid"), col("qvec"), col("cand_ids"))
+    Search.refine(base.filter(pred).select(col(idCol), col(vecCol)),
+      broadcast(cands), k, idCol, vecCol)
+  }
+
   /** HNSW over-fetch + post-filter: fetch k·oversample from the unfiltered
     * graph, keep rows passing the predicate, re-top-k. `oversample` should
     * be ≳ 1/selectivity for full-k results; at very low selectivity prefer
@@ -109,14 +155,18 @@ object FilteredSearch {
   }
 
   /** Strategy chooser. One aggregate measures selectivity, then:
-    * s·N ≤ `exactThreshold` → [[exact]]; an IVF index supplied → widened
-    * [[ivf]] probe; otherwise HNSW over-fetch with oversample ⌈1/s⌉.
+    * s·N ≤ `exactThreshold` → [[exact]]; a pq4 (IVF-fastscan) index
+    * supplied → widened [[pq4]] probe (the 100 TB serving flavor: probed
+    * cells of the 1/30th-size nibble table + filtered exact refine); an
+    * IVF-flat index supplied → widened [[ivf]] probe; otherwise HNSW
+    * over-fetch with oversample ⌈1/s⌉.
     */
   def auto(base: DataFrame, pred: Column, queries: DataFrame, k: Int,
            metric: Metric = Metric.Dot,
            ivfIndex: Option[(DataFrame, Array[Array[Float]], Int)] = None,
            exactThreshold: Long = 100000, hnswShards: Int = 8,
            cacheKey: String = "",
+           pq4Index: Option[(Pq.Index, Int)] = None,
            idCol: String = "id", vecCol: String = "vec"): DataFrame = {
     val r = base.agg(count(lit(1)), count(when(pred, 1))).head()
     val total = r.getLong(0)
@@ -124,11 +174,14 @@ object FilteredSearch {
     val s = if (total == 0) 1.0 else matching.toDouble / total
     if (matching <= exactThreshold)
       exact(base, pred, queries, k, metric, idCol, vecCol)
-    else ivfIndex match {
-      case Some((assigned, centroids, nprobe)) =>
+    else (pq4Index, ivfIndex) match {
+      case (Some((idx, nprobe)), _) =>
+        pq4(base, pred, queries, idx, nprobe, k,
+          selectivity = s, idCol = idCol, vecCol = vecCol)
+      case (None, Some((assigned, centroids, nprobe))) =>
         ivf(assigned, pred, queries, centroids, nprobe, k, metric,
           selectivity = s, idCol = idCol, vecCol = vecCol)
-      case None =>
+      case _ =>
         val oversample = math.max(2, math.ceil(1.0 / math.max(s, 1e-6)).toInt)
         hnswPostFilter(base, pred, queries, k, oversample, metric,
           nShards = hnswShards, cacheKey = cacheKey, idCol = idCol, vecCol = vecCol)

@@ -552,6 +552,22 @@ object BenchScale {
             "nprobe" -> np.toDouble)
         }
       }
+      // REFINE-BUDGET frontier (r12, verdict task #1): the rows above all
+      // run refineK=50 and plateau at recall 0.95 from nprobe=8 on — the
+      // binding constraint was the refine budget, NOT the 4-bit codebook
+      // ceiling (RefineTune swept refineK × nprobe and the OPQ question
+      // died unasked: rk=100 already clears the reference's PQ+Refine
+      // headline, 0.9743 @ R=50 / 0.9758 @ R=100,
+      // `Performance.md:623,708-711`). rk100 @ np8 is the new operating
+      // point: recall 0.975 sub-second at 1M; np16 × rk200 reads 1.0.
+      for ((np, rk) <- Seq((8, 100), (8, 200), (16, 100), (16, 200))) {
+        runAnn(s"ann_pq4_ivf_probe_np${np}_rk$rk") {
+          val pred = Pq.searchFastScanIvfRefined(base, ivf4, queries,
+            nprobe = np, k, refineK = rk)
+          Map("recall" -> Ivf.meanRecall(pred, gt, k).collect()(0).getDouble(0),
+            "nprobe" -> np.toDouble, "refine_k" -> rk.toDouble)
+        }
+      }
       queries512.unpersist()
 
       // refine join against plain vs bucketed base, measured in the

@@ -164,6 +164,84 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(recallOf(got, gt) >= 0.80) // same pipeline/gate as the widened-probe test
   }
 
+  test("pq4 filtered probe: predicate holds, recall gate, full-probe " +
+    "full-refine == exact filtered") {
+    val idx = graft.ops.Pq.buildOrGetIvf4(spark, base.select("id", "vec"),
+      s"$dir|filteredspec_pq4", nlist = 16,
+      m4 = base.select(size(col("vec")).as("d")).head().getInt(0) / 4,
+      ntrain = 2000)
+    val gt = filteredGt(halfPred)
+    val got = FilteredSearch.pq4(base, halfPred, queries, idx,
+      nprobe = 4, k = 10, refineK = 50)
+    val allowed = base.filter(halfPred).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val rows = got.select("qid", "id").collect()
+    assert(rows.forall(r => allowed(r.getLong(1))),
+      "pq4 filtered result leaked a disallowed row")
+    val r = recallOf(got, gt)
+    // widened probe (4/0.5 → 8 of 16 cells) + over-fetched candidates
+    // (refineK/s = 100) through exact refine; measured 0.825 — the same
+    // band as the widened IVF-flat point (0.8250) — gated two hit-quanta
+    // (2/80) below per the house convention
+    assert(r >= 0.80, s"pq4 filtered recall too low: $r (measured 0.825)")
+    // exhaustive anchor: full probe + corpus-sized candidate budget means
+    // EVERY allowed row reaches the exact refine, so the result must
+    // equal the exact filtered scan on (qid, id) — the recall-1.0 anchor
+    val full = FilteredSearch.pq4(base, halfPred, queries, idx,
+      nprobe = 16, k = 10, refineK = 500, selectivity = 1.0)
+    val fullSet = full.select("qid", "id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = FilteredSearch.exact(base, halfPred, queries, 10, Metric.L2)
+      .select("qid", "id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(fullSet == want,
+      s"full-probe full-budget pq4 != exact filtered: ${(fullSet diff want).take(3)}")
+  }
+
+  test("pq4 filtered probe plan: cluster pruning on the nibble scan, " +
+    "predicate pushed into the refine scan, candidates broadcast") {
+    val idx = graft.ops.Pq.buildOrGetIvf4(spark, base.select("id", "vec"),
+      s"$dir|filteredspec_pq4", nlist = 16,
+      m4 = base.select(size(col("vec")).as("d")).head().getInt(0) / 4,
+      ntrain = 2000)
+    val prior = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val plan =
+      try FilteredSearch.pq4(base, halfPred, queries, idx,
+        nprobe = 4, k = 10, refineK = 50, selectivity = 0.5)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prior)
+    // probed-cell INSET partition filter on the cluster-partitioned
+    // nibble table (the inverted-list skip survives the composition)
+    assert(plan.contains("PartitionFilters: [cluster_id"),
+      s"no partition filter on the nibble scan — probe pruning lost:\n${plan.take(2000)}")
+    // the label predicate reaches the refine side's parquet scan
+    assert(plan.contains("LessThan(label,5)"),
+      s"label predicate not pushed into the refine scan:\n${plan.take(2000)}")
+    // the Q×fetchK candidate side broadcasts; the corpus never shuffles
+    assert(plan.contains("BroadcastHashJoin"),
+      s"refine join is not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle through a sort-merge join:\n${plan.take(2000)}")
+  }
+
+  test("auto: a pq4 index outranks the IVF-flat index in the chooser") {
+    val idx = graft.ops.Pq.buildOrGetIvf4(spark, base.select("id", "vec"),
+      s"$dir|filteredspec_pq4", nlist = 16,
+      m4 = base.select(size(col("vec")).as("d")).head().getInt(0) / 4,
+      ntrain = 2000)
+    val cents = Ivf.train(base, nlist = 16, ntrain = 500)
+    val assigned = Ivf.assign(base, cents)
+    val got = FilteredSearch.auto(base, halfPred, queries, 10,
+      ivfIndex = Some((assigned, cents, 4)),
+      pq4Index = Some((idx, 4)), exactThreshold = 0)
+    val want = FilteredSearch.pq4(base, halfPred, queries, idx,
+      nprobe = 4, k = 10)
+    val g = got.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = want.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g == w, "auto with a pq4 index must route to the pq4 flavor")
+  }
+
   test("filtered IVF probe pushes BOTH predicates into the clustered parquet scan") {
     val cents = Ivf.train(base, nlist = 16, ntrain = 500)
     val tmp = java.nio.file.Files.createTempDirectory("filtered_clustered").toString
