@@ -57,7 +57,8 @@ object Ivf {
     */
   def train(base: DataFrame, nlist: Int, ntrain: Int = 200000, seed: Long = 42L,
             vecCol: String = "vec", idCol: String = "id",
-            maxIter: Int = 25, maxPointsPerCentroid: Int = 256): Array[Array[Float]] = {
+            maxIter: Int = 25, maxPointsPerCentroid: Int = 256,
+            stableFrac: Double = 0.0): Array[Array[Float]] = {
     val cap = nlist.toLong * maxPointsPerCentroid
     val feat = trainSample(base, math.min(ntrain.toLong, cap).toInt, idCol)
     // the id-prefix contract (dense positional ids) violated — e.g. sparse
@@ -76,7 +77,8 @@ object Ivf {
     // the distributed Lloyd path runs a SINGLE seeded-init run, FAISS's
     // own nredo=1 default at scale, and the flag is ignored — the fixture
     // rationale is not assumed to transfer.
-    Kmeans.fit(feat, nlist, seed, maxIter, vecCol = vecCol, selectByRecall = true)
+    Kmeans.fit(feat, nlist, seed, maxIter, vecCol = vecCol,
+      selectByRecall = true, stableFrac = stableFrac)
   }
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =

@@ -73,9 +73,23 @@ object Kmeans {
     * combine, which is fixed given a fixed input layout and config. Same
     * contract as the seeded HNSW build.
     */
+  /** `stableFrac` > 0 turns on ASSIGNMENT-STABILITY early stop (mirrored
+    * path only): when fewer than `stableFrac` of the sample changed
+    * assignment between consecutive iterations, the loop ends after that
+    * iteration's update. FAISS's 25 iterations are a default, not a
+    * convergence fact — at the 1M/nlist=4096 point the assignment
+    * churn collapses to <0.2 % well before iteration 25 while each
+    * remaining iteration still costs a full screened-GEMM assign pass.
+    * The produced centroids are EXACTLY the full trainer's at the stop
+    * iteration (stopping is the only difference — KmeansSpec gates the
+    * bitwise equality), so this trades tail iterations for wall time
+    * explicitly rather than approximating anything. Off (0.0) by default:
+    * oracle-pinned index builds keep the FAISS-parity iteration count.
+    */
   def fit(sample: DataFrame, k: Int, seed: Long, maxIter: Int = 25,
           tol: Double = 1e-4, vecCol: String = "vec",
-          maxParts: Int = 64, selectByRecall: Boolean = false): Array[Array[Float]] = {
+          maxParts: Int = 64, selectByRecall: Boolean = false,
+          stableFrac: Double = 0.0): Array[Array[Float]] = {
     val spark = sample.sparkSession
     import spark.implicits._
     // Deterministic CONTENT-HASH layout of the sample, replacing the r10
@@ -127,11 +141,13 @@ object Kmeans {
       // whose quality swings ±0.05 probe recall with the init draw on a
       // 500-row fixture; best-of-4 restarts removes that luck for the
       // price of milliseconds at this size.
-      if (k < 256 && n <= 16384)
+      if (k < 256 && n <= 16384) {
         // content-hash sort: the collected order (and with it the ++ draw)
         // must not depend on the partition layout either
+        lastRunIters.set(-1)
         return localFit(rdd.collect().sortBy(contentHash64),
           k, dim, seed, maxIter, tol, nredo = localNredo, selectByRecall)
+      }
 
       var cents: Array[Array[Float]] =
         if (k >= 256) hashDraw(k)
@@ -162,7 +178,11 @@ object Kmeans {
       var hamMaxDelta = 0.0
       var iter = 0
       var moved = Double.MaxValue
-      while (iter < maxIter && moved > tol) {
+      // assignment-stability early stop state (mirrored path only): the
+      // previous iteration's full assignment vectors, driver-held
+      var prevAssigns: Array[Array[Int]] = null
+      var stableStop = false
+      while (iter < maxIter && moved > tol && !stableStop) {
         val tIter = System.nanoTime()
         val bc = spark.sparkContext.broadcast(cents)
         val bcHam = if (hamerly && hamState != null)
@@ -278,6 +298,31 @@ object Kmeans {
             bodySecSum += bs
           }
           hamState = nextState
+          if (stableFrac > 0) {
+            if (prevAssigns != null) {
+              var changed = 0L
+              var tot = 0L
+              var pid = 0
+              while (pid < numParts) {
+                val cur = assigns(pid); val prev = prevAssigns(pid)
+                if (cur != null && prev != null) {
+                  var i = 0
+                  while (i < cur.length) {
+                    if (cur(i) != prev(i)) changed += 1
+                    i += 1
+                  }
+                  tot += cur.length
+                }
+                pid += 1
+              }
+              // the update below still runs (that IS this iteration);
+              // the loop condition ends the walk after it
+              if (tot > 0 && changed <= stableFrac * tot) stableStop = true
+              if (verbose) println(
+                f"[kmeans]   changed=$changed/$tot (stableStop=$stableStop)")
+            }
+            prevAssigns = assigns
+          }
           if (verbose) println(
             f"[kmeans]   skip=$tSkip tighten=$tTighten full=$tFull  body_max=$bodySecMax%5.2f body_sum=$bodySecSum%6.2f")
           val tFold = System.nanoTime()
@@ -403,9 +448,16 @@ object Kmeans {
         if (verbose) println(
           f"[kmeans] iter $iter%2d  ${(System.nanoTime() - tIter) / 1e9}%6.2f s  max_move=$moved%.6f")
       }
+      lastRunIters.set(iter)
       cents
     } finally rdd.unpersist(blocking = false)
   }
+
+  /** Iterations the last DISTRIBUTED fit on this JVM ran (−1 after a
+    * driver-local fit) — diagnostic for the early-stop spec gate and the
+    * bench ledger; not synchronized across concurrent fits.
+    */
+  private[graft] val lastRunIters = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   private val verbose = java.lang.Boolean.getBoolean("graft.kmeans.log")
 

@@ -144,6 +144,32 @@ class KmeansSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("assignment-stability early stop == full trainer at the stop " +
+    "iteration, bitwise; off by default") {
+    import spark.implicits._
+    // n > 16384 + k = 256 forces the distributed Lloyd (the mirrored
+    // path, where the stability counter lives). stableFrac=0.5 fires as
+    // soon as under half the sample changes assignment — early, so the
+    // gate exercises a genuine mid-run stop.
+    val df = synth(20000, 24, seed = 9)
+    val stopped = Kmeans.fit(df, k = 256, seed = 5L, maxIter = 12,
+      stableFrac = 0.5)
+    val iters = Kmeans.lastRunIters.get()
+    assert(iters > 0 && iters < 12, s"early stop never fired (iters=$iters)")
+    // stopping must be the ONLY difference: the full trainer capped at
+    // the same iteration count produces bitwise-identical centroids
+    val capped = Kmeans.fit(df, k = 256, seed = 5L, maxIter = iters)
+    assert(stopped.length == capped.length)
+    assert(stopped.zip(capped).forall { case (x, y) => x.sameElements(y) },
+      "early-stopped centroids diverge from the iteration-capped trainer")
+    // and stableFrac=0 (the default) keeps running past the stability
+    // point (it can still stop on the movement tol, which is unchanged)
+    val full = Kmeans.fit(df, k = 256, seed = 5L, maxIter = 12)
+    assert(Kmeans.lastRunIters.get() >= iters,
+      "default run stopped before the stability point")
+    assert(full.length == 256)
+  }
+
   test("k-means++ seeding spreads over a uniform draw (planted far cluster)") {
     // 31 tight points + 1 far outlier cluster: uniform seeding misses the
     // outlier with high probability; D² seeding must pick it
