@@ -900,6 +900,52 @@ object BenchScale {
           "n_shards" -> nlist.toDouble, "rows" -> got.toDouble)
         println(f"[scale] ann_hnsw_local_routed  avg=${lat.sum / nServe}%8.1f us  p50=${pct(0.5)}%8.1f  p95=${pct(0.95)}%8.1f  p99=${pct(0.99)}%8.1f us")
       }
+      // SINGLE-GRAPH posture point (r12, verdict task #5): the routed
+      // in-process p50 9.9 ms (1M over 32 shard-graphs) and hnswlib's
+      // 0.208 ms (`Performance.md:454`, 500K, ONE graph) differ in both
+      // corpus and topology. One unsharded 500K graph served via
+      // searchLocal(nShards=1) isolates the JVM-vs-C++ kernel margin
+      // from the shard fan-out; efSearch swept at the reference's points.
+      if (only.forall(_.contains("ann_hnsw_single_graph"))) {
+        val sgN = 500000L
+        val sgKey = s"$annKey|hnsw|single$sgN"
+        val base500 = base.filter(col("id") < sgN)
+        val tSg = System.nanoTime()
+        Hnsw.search(base500, queries, k, Metric.Dot, m = hM,
+          efConstruction = hEfc, efSearch = 64, nShards = 1,
+          cacheKey = sgKey).count()
+        val sgBuild = (System.nanoTime() - tSg) / 1e9
+        val nServe = 256
+        val serveQs = base.filter(col("id") >= 100000L && col("id") < 100000L + nServe)
+          .orderBy("id").select(col("vec")).collect()
+          .map(_.getSeq[Float](0).toArray)
+        def pctOf(lat: Array[Double])(p: Double): Double = {
+          val idx = p * (lat.length - 1)
+          val lo = idx.toInt
+          val frac = idx - lo
+          if (lo + 1 < lat.length) lat(lo) * (1 - frac) + lat(lo + 1) * frac
+          else lat(lo)
+        }
+        for (ef <- Seq(16, 64, 256)) {
+          serveQs.take(32).foreach { qv => // warm: JIT + graph touch
+            Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM, hEfc, ef)
+          }
+          val lat = serveQs.map { qv =>
+            val t0 = System.nanoTime()
+            Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM, hEfc, ef)
+            (System.nanoTime() - t0) / 1e3
+          }
+          java.util.Arrays.sort(lat)
+          val pct = pctOf(lat) _
+          annResults(s"ann_hnsw_single_graph_ef$ef") = Map(
+            "p50_us" -> pct(0.50), "p95_us" -> pct(0.95),
+            "p99_us" -> pct(0.99), "avg_us" -> lat.sum / nServe,
+            "ef_search" -> ef.toDouble, "n_vec" -> sgN.toDouble,
+            "build_sec" -> sgBuild)
+          println(f"[scale] ann_hnsw_single_graph_ef$ef%-4d p50=${pct(0.5)}%8.1f us  p99=${pct(0.99)}%8.1f us  (build ${sgBuild}%6.1f s)")
+        }
+        Hnsw.invalidate(sgKey)
+      }
       listSizes.unpersist()
 
       // ---- 3M-class scale point (r11, verdict task #7): the reference's
@@ -942,6 +988,51 @@ object BenchScale {
           Map("rows" -> Ivf.search(clustered3, q3, idx3.centroids,
             nprobe = 8, k = k).count().toDouble, "n_vec" -> n3.toDouble)
         }
+        // r12 (verdict task #6): the two 100 TB SERVING flavors at 3M, so
+        // both have a measured 1M→3M slope. GT via one exact scan.
+        val gt3 = Search.groundTruth(base3, q3, k, Metric.Dot).cache()
+        gt3.count()
+        // (a) IVF-fastscan probe at the r12 operating point (np8/rk100):
+        // probe cost must track nprobe/nlist (scanned cells ∝ 1/nlist of
+        // a 3× corpus → ~3× bytes per cell, same cell count)
+        val ivf43Key = s"$key3|ivf4|$nlist|${annDim / 4}|16|200000|42|t5"
+        val ivf43Cached = new java.io.File(
+          s"target/pq4_cache/${Ivf.cacheDigest(ivf43Key)}/_SUCCESS").isFile
+        val tIvf43 = System.nanoTime()
+        val ivf43 = Pq.buildOrGetIvf4(spark, base3, key3, nlist = nlist,
+          m4 = annDim / 4, ntrain = 200000)
+        annResults("ann3m_pq4_ivf_build") = Map(
+          "sec" -> (System.nanoTime() - tIvf43) / 1e9,
+          "nlist" -> nlist.toDouble, "n_vec" -> n3.toDouble,
+          "cached" -> (if (ivf43Cached) 1.0 else 0.0))
+        println(f"[scale] ann3m_pq4_ivf_build   ${annResults("ann3m_pq4_ivf_build")("sec")}%8.2f s")
+        runAnn("ann3m_pq4_ivf_probe") {
+          val pred = Pq.searchFastScanIvfRefined(base3, ivf43, q3,
+            nprobe = 8, k, refineK = 100)
+          Map("recall" -> Ivf.meanRecall(pred, gt3, k).collect()(0).getDouble(0),
+            "nprobe" -> 8.0, "refine_k" -> 100.0, "n_vec" -> n3.toDouble,
+            "stored_mb" -> dirBytes(ivf43.path) / 1e6)
+        }
+        // (b) routed HNSW serve at 3M: 1024 cluster-shard graphs, probed
+        // 32/nlist per query — per-query cost tracks routeProbe × shard
+        // size (3× the 1M point's shard rows), not the shard count
+        val routed3Key = s"$key3|hnsw|routed"
+        val tR3 = System.nanoTime()
+        Hnsw.searchRouted(base3, q3, idx3.centroids, routeProbe = 32, k,
+          Metric.Dot, hM, hEfc, efSearch = 64, cacheKey = routed3Key).count()
+        annResults("ann3m_hnsw_routed_build") = Map(
+          "sec" -> (System.nanoTime() - tR3) / 1e9,
+          "n_vec" -> n3.toDouble, "shards" -> nlist.toDouble)
+        println(f"[scale] ann3m_hnsw_routed_build ${annResults("ann3m_hnsw_routed_build")("sec")}%8.2f s")
+        runAnn("ann3m_hnsw_routed") {
+          val pred = Hnsw.searchWarm(q3, routed3Key, nShards = nlist, k,
+            Metric.Dot, hM, hEfc, efSearch = 64,
+            centroids = idx3.centroids, routeProbe = 32)
+          Map("recall" -> Ivf.meanRecall(pred, gt3, k).collect()(0).getDouble(0),
+            "route_probe" -> 32.0, "n_vec" -> n3.toDouble)
+        }
+        Hnsw.invalidate(routed3Key)
+        gt3.unpersist()
         q3.unpersist()
       }
     }

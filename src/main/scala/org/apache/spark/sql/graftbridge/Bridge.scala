@@ -19,4 +19,12 @@ object Bridge {
     */
   def sessionUUID(spark: SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
+  /** Table-function registry access for runtime TVF registration (the
+    * `graft_ann_search` surface) — `sessionState` is private[sql].
+    */
+  def tableFunctionRegistry(spark: SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
 }

@@ -20,6 +20,44 @@ class SqlSurfaceSpec extends AnyFunSuite {
     s
   }
 
+  test("graft_ann_search TVF == the Scala IVF-fastscan path, exactly") {
+    import graft.functions.AnnSql
+    import graft.ops.Pq
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val m4 = base.select(size(col("vec")).as("d")).head().getInt(0) / 4
+    val idx = Pq.buildOrGetIvf4(spark, base, s"$dir|sqlsurface", nlist = 8,
+      m4 = m4, ntrain = 500)
+    AnnSql.registerIndex(spark, "emb_idx", idx, base)
+    base.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .createOrReplaceTempView("ann_queries")
+    val sql = spark.sql(
+      "SELECT * FROM graft_ann_search('emb_idx', 'ann_queries', 10, 4, 50)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val scala0 = Pq.searchFastScanIvfRefined(base, idx,
+      base.filter(col("id") < 8)
+        .select(col("id").as("qid"), col("vec").as("qvec")),
+      nprobe = 4, k = 10, refineK = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(sql == scala0, "SQL TVF diverged from the Scala path")
+    // the SQL result composes like any table expression
+    val n = spark.sql(
+      """SELECT count(*) AS c FROM graft_ann_search('emb_idx', 'ann_queries', 10)
+        |WHERE rank <= 3""".stripMargin).head().getLong(0)
+    assert(n == 8 * 3, s"TVF composition broke: $n")
+    // unknown index fails with the registered names in the message
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_ann_search('nope', 'ann_queries', 10)")
+        .collect()
+    }
+    assert(err.getMessage.contains("emb_idx") ||
+      Option(err.getCause).exists(_.getMessage.contains("emb_idx")),
+      s"error should name the registered indexes: ${err.getMessage}")
+  }
+
   test("SQL top-k with graft_dot matches the DataFrame path") {
     val sql = spark.sql(
       """SELECT b.vec_id AS id,
