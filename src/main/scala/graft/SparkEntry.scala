@@ -611,6 +611,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           coalesce(round(avg(col("cos")), 4), lit(0.0)).as("mean_cos"))
     }),
+    // SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup bucketed
+    // by k-means cluster — within-cluster cosine >= tau pairs form dup
+    // groups (connected components), min-id keeper per group. Reuses the
+    // a2-anchored coarse quantizer (same buildOrGet key). FULL pipeline
+    // hash oracle downstream of k-means: the (id, cluster) assignments
+    // persist to a sidecar and DuckDB re-derives the within-cluster
+    // pairs, recomputes cosines (v9-pinned formulation), re-runs the
+    // components as a recursive CTE, and re-applies the keeper rule.
+    // The paper's far-from-centroid keep rule is spec-gated in
+    // CurationSpec (centroid arrays aren't in the sidecar vocabulary).
+    "d13_semantic_dedup" -> ((s, dir) => {
+      val idx = Ivf.buildOrGet(s, embBase(s, dir), dir, nlist = 16, ntrain = 2000)
+      predSidecar("d13_semantic_dedup",
+        Ivf.assign(Tables.embeddings(s, dir), idx.centroids, "embedding"),
+        "vec_id", "cluster_id")
+      Dedup.semanticDedup(Tables.embeddings(s, dir), idx.centroids, tau = 0.95)
+        .orderBy(col("vec_id"))
+    }),
     // Keeper selection over exact-dup groups via the REAL operator
     // (Dedup.exact → explode group members → keep flag) — the per-document
     // canonical-copy decision a dedup pipeline ships downstream, hash-gated
@@ -1621,9 +1639,44 @@ object SparkEntry {
              |  coalesce(round(avg(cos), 4), 0.0) AS mean_cos
              |FROM scored WHERE cos >= 0.95""".stripMargin
     }
+    // d13: the sidecar carries (id, cluster_id) assignments; DuckDB
+    // re-derives EVERYTHING downstream of the k-means itself — the
+    // within-cluster candidate pairs (a self-join the Spark side never
+    // materializes beyond its own cluster-bucketed join), the cosines
+    // (the v9-pinned dot/(sqrt·sqrt) formulation), the duplicate
+    // components (transitive closure as a recursive CTE — groups are
+    // tiny, closure is cheap), and the min-id keeper rule. This is a
+    // stronger oracle than d4's: the candidate set itself is reproduced,
+    // so a MISSING pair would hash-fail, not just a spurious one.
+    val d13 = sidecarPairs("d13_semantic_dedup").filter(_.nonEmpty).map { assigns =>
+      "d13_semantic_dedup" ->
+        s"""WITH RECURSIVE assign(id, cluster_id) AS (VALUES ${assigns.mkString(",")}),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |pairs AS (
+           |  SELECT a.id AS a, b.id AS b
+           |  FROM assign a JOIN assign b
+           |    ON a.cluster_id = b.cluster_id AND a.id < b.id
+           |  JOIN e ea ON a.id = ea.vec_id JOIN e eb ON b.id = eb.vec_id
+           |  WHERE list_dot_product(ea.v, eb.v) /
+           |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.95),
+           |edges AS (SELECT a AS x, b AS y FROM pairs
+           |          UNION SELECT b AS x, a AS y FROM pairs),
+           |reach(node, r) AS (
+           |  SELECT x, y FROM edges
+           |  UNION
+           |  SELECT reach.node, edges.y FROM reach JOIN edges ON reach.r = edges.x),
+           |comp AS (
+           |  SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node)
+           |SELECT CAST(a.id AS BIGINT) AS vec_id,
+           |  CAST(a.cluster_id AS INT) AS cluster_id,
+           |  CAST(coalesce(c.component, a.id) AS BIGINT) AS component,
+           |  (a.id = coalesce(c.component, a.id)) AS keep
+           |FROM assign a LEFT JOIN comp c ON a.id = c.node
+           |ORDER BY vec_id""".stripMargin
+    }
     (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall",
       "a8_lsh_recall", "a9_hnsw_recall", "a11_hnsw_routed",
       "a12_pq4_fastscan", "a13_pq4_ivf").flatMap(single)
-      ++ a3 ++ d4).toMap
+      ++ a3 ++ d4 ++ d13).toMap
   }
 }

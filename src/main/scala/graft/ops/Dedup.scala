@@ -407,6 +407,94 @@ object Dedup {
     embeddingCandidates(emb, idCol, vecCol, nPlanes, nTables, seed)
       .filter(col("cos") >= threshold)
 
+  /** SemDeDup candidate stage (Abbas et al., arXiv:2303.09540 —
+    * semantic deduplication at web scale): embeddings are bucketed by
+    * their k-means cluster and ONLY within-cluster pairs are compared —
+    * the paper's own blocker against all-pairs (it runs k=50 000 clusters
+    * at 600M images). Returns (cluster_id, a, b, cos) for every
+    * within-cluster pair, a < b.
+    *
+    * Scale shape: pairwise work is Σ|cluster|², controlled by nlist (the
+    * knob the paper turns); the only shuffle is the self-join on
+    * cluster_id; assignment is the screened batched argmin
+    * ([[Ivf.assign]]). Complementary to [[embeddingCandidates]]'s
+    * sign-LSH blocking: k-means buckets respect the corpus's own density
+    * structure (the reason the paper prefers them), LSH buckets are
+    * data-independent.
+    */
+  def semanticCandidates(emb: DataFrame, centroids: Array[Array[Float]],
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val assigned = Ivf.assign(emb.select(col(idCol), col(vecCol)), centroids, vecCol)
+    val l = assigned.select(col("cluster_id"), col(idCol).as("a"),
+      col(vecCol).as("vec_a"))
+    val r = assigned.select(col("cluster_id"), col(idCol).as("b"),
+      col(vecCol).as("vec_b"))
+    l.join(r, Seq("cluster_id")).filter(col("a") < col("b"))
+      .select(col("cluster_id"), col("a"), col("b"),
+        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cos"))
+  }
+
+  /** SemDeDup decision pass: within-cluster pairs with cosine ≥ `tau`
+    * form duplicate edges; duplicate groups resolve by
+    * [[connectedComponents]]; each group keeps ONE representative.
+    *
+    * `keepRule`:
+    *  - `"min_id"` (default): smallest id per component — deterministic
+    *    and fully SQL-reproducible, so the d13 oracle verifies the ENTIRE
+    *    pipeline downstream of the (seeded, separately-anchored) k-means:
+    *    DuckDB re-derives within-cluster pairs from the sidecar
+    *    assignments, recomputes cosines, re-runs components as a
+    *    recursive CTE, and re-applies the rule.
+    *  - `"far_from_centroid"`: the paper's keep rule — keep the member
+    *    with the LOWEST similarity to its cluster centroid (the least
+    *    prototypical example), ties on smaller id. Spec-gated
+    *    (CurationSpec) rather than oracle-gated: centroid arrays are not
+    *    in the sidecar vocabulary.
+    *
+    * Returns one row per embedding: (id, cluster_id, component, keep).
+    * Unpaired rows form singleton components and keep themselves; the
+    * keeper window runs over PAIRED rows only (components are tiny), so
+    * nothing corpus-sized sorts.
+    */
+  def semanticDedup(emb: DataFrame, centroids: Array[Array[Float]],
+                    tau: Double, keepRule: String = "min_id",
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepRule == "min_id" || keepRule == "far_from_centroid",
+      s"unknown keepRule '$keepRule'")
+    val pairs = semanticCandidates(emb, centroids, idCol, vecCol)
+      .filter(col("cos") >= tau).select("a", "b")
+    val comp = connectedComponents(pairs)
+      .withColumnRenamed("node", idCol)
+    val assigned = Ivf.assign(emb.select(col(idCol), col(vecCol)), centroids, vecCol)
+    val withComp = assigned.join(comp, Seq(idCol), "left")
+    if (keepRule == "min_id") {
+      withComp
+        .withColumn("component", coalesce(col("component"), col(idCol)))
+        .select(col(idCol), col("cluster_id"), col("component"),
+          (col(idCol) === col("component")).as("keep"))
+    } else {
+      // paper rule: per component keep the member farthest from its
+      // cluster centroid (all members share a cluster: edges exist only
+      // within clusters, and components are unions of within-cluster
+      // edges, so the centroid is well-defined per member regardless)
+      val paired = withComp.filter(col("component").isNotNull)
+        .withColumn("cdist", VectorFunctions.norm2(
+          graft.ops.Pq.centroidResidual(col(vecCol), col("cluster_id"), centroids)))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("cdist").desc, col(idCol).asc)
+      val pairedKeep = paired
+        .withColumn("keep", row_number().over(w) === 1)
+        .select(col(idCol), col("cluster_id"), col("component"), col("keep"))
+      val singletons = withComp.filter(col("component").isNull)
+        .select(col(idCol), col("cluster_id"),
+          col(idCol).as("component"), lit(true).as("keep"))
+      pairedKeep.unionByName(singletons)
+    }
+  }
+
   /** The candidate+cosine stage of [[embeddingNearDups]], pre-threshold:
     * (a, b, cos) for every bucket-colliding pair. Exposed separately so
     * the candidate set can persist to the d4 sidecar — the Gaussian

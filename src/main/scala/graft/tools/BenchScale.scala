@@ -833,8 +833,38 @@ object BenchScale {
           Map("recall" -> recallVs(p), "selectivity" -> sel,
             "oversample" -> oversample.toDouble)
         }
+        // r12: the pq4 flavor beside them — widened-probe cluster pruning
+        // + candidate over-fetch + predicate pushed into the exact refine
+        // (the auto chooser's preferred arm when the nibble index exists)
+        runAnn(s"ann_filtered_pq4_$sTag") {
+          val p = graft.ops.FilteredSearch.pq4(base, pred, queries, ivf4,
+            nprobe = 8, k = k, refineK = 100, selectivity = sel)
+          Map("recall" -> recallVs(p), "selectivity" -> sel,
+            "widened_nprobe" -> graft.ops.FilteredSearch
+              .widenedProbe(8, sel, nlist).toDouble)
+        }
         fGt.unpersist()
       }
+      // SemDeDup at 200k×384d over the 1024-cluster quantizer (r12): the
+      // paper's cluster bucketing keeps pairwise work at Σ|c|² — recorded
+      // as all_pairs_ratio beside the wall time (the knob is nlist, which
+      // the paper turns to 50k at 600M). Semantics are d13-oracle- and
+      // CurationSpec-gated at fixture scale; THIS row is the cost shape.
+      runAnn("ann_semantic_dedup") {
+        val sub = base.filter(col("id") < 200000)
+          .select(col("id").as("vec_id"), col("vec").as("embedding"))
+        val out = Dedup.semanticDedup(sub, idx.centroids, tau = 0.99)
+        val dropped = out.filter(!col("keep")).count().toDouble
+        val nCand = Ivf.assign(sub, idx.centroids, "embedding")
+          .groupBy("cluster_id").count()
+          .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
+          .head().getLong(0)
+        Map("n" -> 200000.0, "n_dropped" -> dropped,
+          "pairs_checked" -> nCand.toDouble,
+          "all_pairs_ratio" -> nCand / (200000.0 * 199999 / 2),
+          "nlist" -> nlist.toDouble)
+      }
+
       // routed shards: the IVF centroids double as the shard router —
       // probing 32/nlist shards must hold recall while cutting evals
       val routedKey = s"$hnswKey|routed"

@@ -189,4 +189,96 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(prod - 1.0) < 1e-9, s"share*upsample*nSrc = $prod")
     }
   }
+
+  // ---- SemDeDup (Abbas et al. 2303.09540): cluster-bucketed semantic
+  // dedup. The min_id flavor is end-to-end oracle-gated (d13); these gates
+  // cover the planted-dup semantics, the bucketing invariant, and the
+  // paper's far-from-centroid keep rule (whose centroid distances have no
+  // sidecar vocabulary).
+
+  private def semFixture = {
+    val s = spark
+    import s.implicits._
+    // two tight planted groups + isolated points, well-separated so any
+    // reasonable 2-means split buckets each group into one cluster
+    val mk = (base: Array[Float], eps: Float) =>
+      base.zipWithIndex.map { case (x, i) => if (i == 0) x + eps else x }
+    val g1 = Array.fill(8)(0.0f).updated(0, 1.0f)
+    val g2 = Array.fill(8)(0.0f).updated(1, 1.0f)
+    Seq(
+      (0L, g1), (1L, mk(g1, 1e-3f)), (2L, mk(g1, 2e-3f)), // dup group {0,1,2}
+      (10L, g2), (11L, mk(g2, 1e-3f)),                    // dup group {10,11}
+      (20L, Array.fill(8)(0.0f).updated(2, 1.0f)),        // isolated
+      (21L, Array.fill(8)(0.0f).updated(3, 1.0f)))        // isolated
+      .toDF("vec_id", "embedding")
+  }
+
+  test("semanticDedup: planted groups resolve, min-id keeper, one keep per component") {
+    val emb = semFixture
+    val cents = graft.ops.Ivf.train(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      nlist = 4, ntrain = 100)
+    val out = Dedup.semanticDedup(emb, cents, tau = 0.99).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size == 7)
+    // planted groups collapse to one component each, min-id kept
+    assert(out(0L) == ((0L, true)) && out(1L) == ((0L, false))
+      && out(2L) == ((0L, false)), s"group1 wrong: $out")
+    assert(out(10L) == ((10L, true)) && out(11L) == ((10L, false)))
+    // isolated points are singleton keepers
+    assert(out(20L) == ((20L, true)) && out(21L) == ((21L, true)))
+    // exactly one keeper per component
+    val byComp = out.groupBy(_._2._1)
+    assert(byComp.forall(_._2.count(_._2._2) == 1))
+  }
+
+  test("semanticDedup far_from_centroid: paper keep rule — least prototypical kept") {
+    val emb = semFixture
+    val cents = graft.ops.Ivf.train(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      nlist = 4, ntrain = 100)
+    val out = Dedup.semanticDedup(emb, cents, tau = 0.99,
+      keepRule = "far_from_centroid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 7)
+    // one keeper per component, and the keeper has the component's max
+    // centroid distance (ties by id) — verified against a driver-side
+    // recomputation from the same centroids
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val assignOf = out.map(t => t._1 -> t._2).toMap
+    def cdist(id: Long): Double = {
+      val v = vecs(id); val c = cents(assignOf(id))
+      math.sqrt(v.zip(c).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+    }
+    out.groupBy(_._3).foreach { case (compId, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"component $compId keeps ${keepers.length}")
+      if (members.length > 1) {
+        val want = members.map(m => (m._1, cdist(m._1)))
+          .sortBy { case (id, d) => (-d, id) }.head._1
+        assert(keepers.head._1 == want,
+          s"component $compId kept ${keepers.head._1}, farthest is $want")
+      }
+    }
+    // both flavors drop the same rows COUNT (same components)
+    val minIdDrops = Dedup.semanticDedup(emb, cents, tau = 0.99)
+      .filter(!col("keep")).count()
+    assert(out.count(!_._4).toLong == minIdDrops)
+  }
+
+  test("semanticCandidates: only within-cluster pairs, never cross-cluster") {
+    val emb = semFixture
+    val cents = graft.ops.Ivf.train(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      nlist = 4, ntrain = 100)
+    val assign = graft.ops.Ivf.assign(emb, cents, "embedding").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val cand = Dedup.semanticCandidates(emb, cents).collect()
+    assert(cand.nonEmpty)
+    cand.foreach { r =>
+      val (a, b) = (r.getLong(1), r.getLong(2))
+      assert(a < b, "candidate pairs must be ordered")
+      assert(assign(a) == assign(b), s"cross-cluster pair ($a, $b) leaked")
+    }
+  }
 }
