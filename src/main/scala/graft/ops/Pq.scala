@@ -707,6 +707,178 @@ object Pq {
     })
   }
 
+  /** JVM-local image of an IVF-fastscan index for in-process serving:
+    * per-cell (ids, nibble blob) plus an id-sorted full-precision vector
+    * store for the exact refine. At 1M×384d this is ~48 MB of codes +
+    * ~1.5 GB of f32 rows — an executor's corpus shard, the same
+    * residency [[Hnsw.searchLocal]]'s graph cache assumes.
+    */
+  private final class LocalIvf4(
+      val cellIds: java.util.HashMap[Integer, Array[Long]],
+      val cellBlobs: java.util.HashMap[Integer, Array[Byte]],
+      val vecIds: Array[Long], val vecs: Array[Array[Float]])
+
+  private val localCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LocalIvf4]()
+
+  /** Load (once per JVM) the serving image for `idx` under `cacheKey`:
+    * the cluster-partitioned nibble table and the full-precision base
+    * rows (id-sorted for binary-search refine lookups). Call before
+    * [[searchLocalIvf4]] — a serving deployment pays this at executor
+    * start, exactly like the HNSW graph warm-up.
+    */
+  def warmLocalIvf4(spark: SparkSession, idx: Index, cacheKey: String,
+                    base: DataFrame, idCol: String = "id",
+                    vecCol: String = "vec"): Unit = {
+    localCache.computeIfAbsent(cacheKey, _ => {
+      val cellIds = new java.util.HashMap[Integer, Array[Long]]()
+      val cellBlobs = new java.util.HashMap[Integer, Array[Byte]]()
+      blockedRelation(spark, idx.path)
+        .select(col("cluster_id"), col("ids"), col("codes"))
+        .collect().foreach { r =>
+          val cell = r.getInt(0)
+          cellIds.put(cell, r.getSeq[Long](1).toArray)
+          cellBlobs.put(cell, r.getAs[Array[Byte]](2))
+        }
+      val rows = base.select(col(idCol).cast("long"), col(vecCol))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      new LocalIvf4(cellIds, cellBlobs, rows.map(_._1), rows.map(_._2))
+    })
+    ()
+  }
+
+  /** Drop a warmed serving image (index-generation retirement). */
+  def invalidateLocal(cacheKey: String): Unit = { localCache.remove(cacheKey); () }
+
+  /** In-process IVF-fastscan + exact-refine serve for a JVM holding the
+    * warmed image — the per-query latency tier of [[searchFastScanIvf]],
+    * the PQ analogue of [[Hnsw.searchLocal]]. No Spark job: the coarse
+    * route, the per-cell residual register LUTs, the nibble-group scan
+    * with per-cell quantized reservoirs, the float-ADC re-rank, and the
+    * exact-L2 refine all run on the calling thread. Candidate selection
+    * replicates [[searchFastScanIvf]]'s exactly (same reservoir bound and
+    * (quantized score, id) policy, same float re-rank, same global
+    * (score, id) top-refineK), and the refine replays [[Search.refine]]'s
+    * l2Sq ranking — results are IDENTICAL to
+    * [[searchFastScanIvfRefined]] for the same arguments (PqServeSpec
+    * gates it). Returns ≤ k (id, l2sq) pairs, best-first.
+    */
+  def searchLocalIvf4(qvec: Array[Float], idx: Index, cacheKey: String,
+                      nprobe: Int, k: Int, refineK: Int = 100): Array[(Long, Double)] = {
+    import graft.functions.expressions.{CentroidOps, PqOps, Simd, VectorKernels}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val img = localCache.get(cacheKey)
+    require(img != null,
+      s"no warmed ivf4 serving image under '$cacheKey' — call warmLocalIvf4 first")
+    require(refineK >= k, // the Spark twin skips the refine at refineK <= k
+      s"searchLocalIvf4 always refines: need refineK ($refineK) >= k ($k)")
+    val books = idx.books
+    val m4 = books.length
+    val spMax = m4 / 2
+    val coarse = idx.coarse
+    val np = math.min(nprobe, coarse.length)
+    val kSearch = math.max(refineK, k)
+    val c = math.max(2 * kSearch, 64)
+    val simd = VectorKernels.simdEnabled && Simd.pq4Available
+    // global candidate pool (score asc, id tie): collected per cell after
+    // the float re-rank, exactly the rows the Spark path's top-k merge sees
+    val candIds = new Array[Long](np * c)
+    val candScores = new Array[Double](np * c)
+    var nCand = 0
+    val probes = CentroidOps.topNprobeF(qvec, coarse, np)
+    val out = new Array[Short](64)
+    var p = 0
+    while (p < np) {
+      val cell = probes(p)
+      val ids = img.cellIds.get(Integer.valueOf(cell))
+      if (ids != null) {
+        val blob = img.cellBlobs.get(Integer.valueOf(cell))
+        val cen = coarse(cell)
+        val res = new Array[Float](qvec.length)
+        var d0 = 0
+        while (d0 < qvec.length) { res(d0) = qvec(d0) - cen(d0); d0 += 1 }
+        val lutF = PqOps.lut(new GenericArrayData(res), books, l2 = true)
+          .toFloatArray()
+        val tab = PqOps.quantizeLuts(lutF, m4, larger = false)._1
+        // per-cell reservoir — same policy as searchFastScanIvf's Res
+        val rIds = new Array[Long](c)
+        val rQs = new Array[Int](c)
+        val rStash = new Array[Byte](c * spMax)
+        var rN = 0
+        var rWorst = 0
+        def recomputeWorst(): Unit = {
+          var w = 0
+          var i = 1
+          while (i < rN) {
+            if (rQs(i) > rQs(w) || (rQs(i) == rQs(w) && rIds(i) > rIds(w))) w = i
+            i += 1
+          }
+          rWorst = w
+        }
+        val vpr = ids.length
+        val groups = (vpr + 63) / 64
+        var g = 0
+        while (g < groups) {
+          val gOff = g * spMax * 64
+          val len = math.min(64, vpr - g * 64)
+          if (simd) Simd.pq4Group(blob, gOff, m4, tab, out)
+          else PqOps.pq4GroupRef(blob, gOff, m4, tab, out)
+          var r = 0
+          while (r < len) {
+            val sc = out(r) & 0xffff
+            val id = ids(g * 64 + r)
+            if (rN < c) {
+              rIds(rN) = id; rQs(rN) = sc
+              var sp = 0
+              val sOff = rN * spMax
+              while (sp < spMax) { rStash(sOff + sp) = blob(gOff + sp * 64 + r); sp += 1 }
+              rN += 1
+              if (rN == c) recomputeWorst()
+            } else {
+              val w = rWorst
+              if (rQs(w) > sc || (rQs(w) == sc && rIds(w) > id)) {
+                rIds(w) = id; rQs(w) = sc
+                var sp = 0
+                val sOff = w * spMax
+                while (sp < spMax) { rStash(sOff + sp) = blob(gOff + sp * 64 + r); sp += 1 }
+                recomputeWorst()
+              }
+            }
+            r += 1
+          }
+          g += 1
+        }
+        // float-ADC re-rank with this cell's exact LUT into the pool
+        var i = 0
+        while (i < rN) {
+          candIds(nCand) = rIds(i)
+          candScores(nCand) = PqOps.adcNibbles(rStash, i * spMax, spMax, lutF)
+          nCand += 1
+          i += 1
+        }
+      }
+      p += 1
+    }
+    // global top-kSearch by (ADC score asc, id asc) — TopK.perGroup's order
+    val order = Array.range(0, nCand).sortBy(i => (candScores(i), candIds(i)))
+    val take = math.min(kSearch, nCand)
+    // exact-L2 refine over the full-precision store, top-k by (l2, id)
+    val refIds = new Array[Long](take)
+    val refD = new Array[Double](take)
+    var j = 0
+    while (j < take) {
+      val id = candIds(order(j))
+      val vi = java.util.Arrays.binarySearch(img.vecIds, id)
+      require(vi >= 0, s"candidate id $id missing from the vector store")
+      refIds(j) = id
+      refD(j) = VectorKernels.l2Sq(qvec, img.vecs(vi))
+      j += 1
+    }
+    Array.range(0, take).sortBy(i => (refD(i), refIds(i))).take(k)
+      .map(i => (refIds(i), refD(i)))
+  }
+
   /** IVF-PQ probe: per query, nprobe nearest coarse cells; per (query,
     * cell) an ADC LUT over the RESIDUAL query (q − centroid); score only
     * rows in probed cells (partition-pruned join), top-k ascending L2.

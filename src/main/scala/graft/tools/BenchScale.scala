@@ -845,6 +845,43 @@ object BenchScale {
         }
         fGt.unpersist()
       }
+      // In-process IVF-fastscan serve (r12): the PQ analogue of the
+      // routed-HNSW serving tier — per-query latency of the rk100
+      // operating point with no Spark job (PqServeSpec-gated identical to
+      // searchFastScanIvfRefined). Reads against ann_hnsw_local_routed:
+      // two in-process serving flavors of the same corpus, one
+      // graph-traversal-bound, one nibble-scan + refine-bound.
+      if (only.forall(_.contains("ann_pq4_local_serve"))) {
+        Pq.warmLocalIvf4(spark, ivf4, "bench_local_ivf4", base)
+        val nServe = 256
+        val serveQs = base.filter(col("id") >= 100000L && col("id") < 100000L + nServe)
+          .orderBy("id").select(col("vec")).collect()
+          .map(_.getSeq[Float](0).toArray)
+        serveQs.take(32).foreach { qv =>
+          Pq.searchLocalIvf4(qv, ivf4, "bench_local_ivf4", nprobe = 8, k = 10,
+            refineK = 100)
+        }
+        val lat = serveQs.map { qv =>
+          val t0 = System.nanoTime()
+          Pq.searchLocalIvf4(qv, ivf4, "bench_local_ivf4", nprobe = 8, k = 10,
+            refineK = 100)
+          (System.nanoTime() - t0) / 1e3
+        }
+        java.util.Arrays.sort(lat)
+        def pctL(p: Double): Double = {
+          val idx = p * (nServe - 1)
+          val lo = idx.toInt
+          val frac = idx - lo
+          if (lo + 1 < nServe) lat(lo) * (1 - frac) + lat(lo + 1) * frac else lat(lo)
+        }
+        annResults("ann_pq4_local_serve") = Map(
+          "p50_us" -> pctL(0.50), "p95_us" -> pctL(0.95), "p99_us" -> pctL(0.99),
+          "avg_us" -> lat.sum / nServe, "nprobe" -> 8.0, "refine_k" -> 100.0,
+          "n_queries" -> nServe.toDouble)
+        println(f"[scale] ann_pq4_local_serve   p50=${pctL(0.5)}%8.1f us  p95=${pctL(0.95)}%8.1f  p99=${pctL(0.99)}%8.1f us")
+        Pq.invalidateLocal("bench_local_ivf4")
+      }
+
       // SemDeDup at 200k×384d over the 1024-cluster quantizer (r12): the
       // paper's cluster bucketing keeps pairwise work at Σ|c|² — recorded
       // as all_pairs_ratio beside the wall time (the knob is nlist, which

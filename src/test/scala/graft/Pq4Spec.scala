@@ -228,6 +228,32 @@ class Pq4Spec extends AnyFunSuite {
   // hit-quanta (2/160) below per the house convention
   private val REFINED_GATE_RK100 = 0.98
 
+  test("in-process serve (searchLocalIvf4) == the Spark refined path, exactly") {
+    Pq.warmLocalIvf4(spark, ivf4, "pq4spec_local", base)
+    val qRows = base.filter(col("id") < 16)
+      .select(col("id"), col("vec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    for ((np, rk) <- Seq((2, 20), (4, 50), (8, 100))) {
+      val sparkSide = Pq.searchFastScanIvfRefined(base, ivf4, queries,
+        nprobe = np, k = 10, refineK = rk)
+        .select("qid", "id", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      qRows.foreach { case (qid, qvec) =>
+        val local = Pq.searchLocalIvf4(qvec, ivf4, "pq4spec_local",
+          nprobe = np, k = 10, refineK = rk)
+        local.zipWithIndex.foreach { case ((id, d), i) =>
+          val want = sparkSide((qid, i + 1))
+          assert(id == want._1 && d == want._2,
+            s"np=$np rk=$rk qid=$qid rank=${i + 1}: local=($id,$d) spark=$want")
+        }
+        assert(local.length == sparkSide.count(_._1._1 == qid),
+          s"np=$np rk=$rk qid=$qid row count mismatch")
+      }
+    }
+    Pq.invalidateLocal("pq4spec_local")
+  }
+
   test("IVF fastscan: recall monotone-ish in nprobe, deterministic") {
     val gt = Search.groundTruth(base, queries, 10, Metric.L2)
       .select(col("qid"), explode(col("gt_ids")).as("id")).collect()
