@@ -740,9 +740,17 @@ object Pq {
           cellIds.put(cell, r.getSeq[Long](1).toArray)
           cellBlobs.put(cell, r.getAs[Array[Byte]](2))
         }
-      val rows = base.select(col(idCol).cast("long"), col(vecCol))
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
+      // the full-precision store streams partition-by-partition
+      // (toLocalIterator): a corpus-sized collect() serializes every task
+      // result into ONE job and trips spark.driver.maxResultSize at 1M×384d
+      // (measured: 1028 MiB vs the 1 GiB default) — the image is the same,
+      // the fetch is one job per partition
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+      base.select(col(idCol).cast("long"), col(vecCol))
+        .toLocalIterator().forEachRemaining { r =>
+          buf += ((r.getLong(0), r.getSeq[Float](1).toArray))
+        }
+      val rows = buf.sortBy(_._1).toArray
       new LocalIvf4(cellIds, cellBlobs, rows.map(_._1), rows.map(_._2))
     })
     ()
