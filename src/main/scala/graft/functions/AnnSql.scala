@@ -76,9 +76,8 @@ object AnnSql {
 
   private def build(spark: SparkSession, es: Seq[Expression]): LogicalPlan = {
     require(es.length >= 3 && es.length <= 5,
-      "graft_ann_search(index_name, queries_view, k[, nprobe, refine_k])")
+      "graft_ann_search(index_name, queries_view | query_array, k[, nprobe, refine_k])")
     val name = strArg(es.head, "index_name")
-    val queriesView = strArg(es(1), "queries_view")
     val k = intArg(es(2), "k")
     val nprobe = if (es.length >= 4) intArg(es(3), "nprobe") else 8
     val refineK = if (es.length >= 5) intArg(es(4), "refine_k") else 100
@@ -95,7 +94,27 @@ object AnnSql {
           "AnnSql.registerIndex(spark, name, idx, base) first")
     }
     val (idx, base) = entry
-    val qs = spark.table(queriesView)
+    // arg 2 is either a view NAME (string) or an INLINE query vector
+    // (array literal — the single-query ad-hoc form:
+    // `FROM graft_ann_search('idx', ARRAY(0.1, ...), 10)`, qid = 0)
+    val qs = es(1).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType =>
+        val floats = org.apache.spark.sql.catalyst.expressions.Cast(
+          es(1), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toFloatArray()
+        spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(0L, floats.toSeq)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("qid",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("qvec",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType), nullable = false))))
+      case _ =>
+        spark.table(strArg(es(1), "queries_view"))
+    }
     Pq.searchFastScanIvfRefined(base, idx, qs, nprobe, k, refineK)
       .queryExecution.logical
   }

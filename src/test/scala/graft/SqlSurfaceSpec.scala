@@ -48,6 +48,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
       """SELECT count(*) AS c FROM graft_ann_search('emb_idx', 'ann_queries', 10)
         |WHERE rank <= 3""".stripMargin).head().getLong(0)
     assert(n == 8 * 3, s"TVF composition broke: $n")
+    // inline-vector form: one ad-hoc query straight in the SQL text,
+    // equal to the view form restricted to that query
+    val q3vec = base.filter(col("id") === 3).select(col("vec"))
+      .head().getSeq[Float](0)
+    val inline = spark.sql(
+      s"SELECT * FROM graft_ann_search('emb_idx', ARRAY(${q3vec.mkString(",")}), 10, 4, 50)")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaView = scala0.filter(_._1 == 3L).map(t => (t._2, t._3, t._4))
+    assert(inline == viaView, "inline-vector TVF form diverged from the view form")
     // unknown index fails with the registered names in the message
     val err = intercept[Exception] {
       spark.sql("SELECT * FROM graft_ann_search('nope', 'ann_queries', 10)")
