@@ -75,6 +75,36 @@ object SparkEntry {
     pred
   }
 
+  /** [[predSidecar]] with a third DOUBLE column (e.g. d14's per-member
+    * centroid distance). Doubles print via `Double.toString` — the
+    * shortest round-trip decimal — so DuckDB re-reads bit-equal values
+    * and re-applies ordering rules (argmax ties included) on exactly the
+    * scalars the Spark keeper window ranked.
+    */
+  private def predSidecar3(name: String, pred: DataFrame,
+                           aCol: String, bCol: String,
+                           dCol: String): DataFrame = {
+    if (sys.props.get("graft.predSidecar").contains("1")) {
+      val d = new java.io.File("target/pred_sidecar")
+      d.mkdirs()
+      val rows = pred.select(col(aCol).cast("long"), col(bCol).cast("long"),
+        col(dCol).cast("double"))
+        .limit(sidecarMaxRows + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      if (rows.length > sidecarMaxRows) {
+        System.err.println(s"[sidecar] $name: > $sidecarMaxRows rows — " +
+          "skipping VALUES oracle (rows-only fallback)")
+        new java.io.File(d, s"$name.csv").delete()
+      } else {
+        val w = new java.io.PrintWriter(new java.io.File(d, s"$name.csv"))
+        try rows.foreach { case (q, i, x) => w.println(s"$q,$i,$x") }
+        finally w.close()
+      }
+    }
+    pred
+  }
+
   /** J1+K1+A1 via J2: exact flat-scan top-k (dot), batched-scan plan —
     * the base streams once and scores all queries per row
     * (`apps/nvdb_bench.cpp:47-159`); bit-identical to the broadcast-NLJ
@@ -614,19 +644,40 @@ object SparkEntry {
     // SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup bucketed
     // by k-means cluster — within-cluster cosine >= tau pairs form dup
     // groups (connected components), min-id keeper per group. Reuses the
-    // a2-anchored coarse quantizer (same buildOrGet key). FULL pipeline
-    // hash oracle downstream of k-means: the (id, cluster) assignments
-    // persist to a sidecar and DuckDB re-derives the within-cluster
-    // pairs, recomputes cosines (v9-pinned formulation), re-runs the
-    // components as a recursive CTE, and re-applies the keeper rule.
-    // The paper's far-from-centroid keep rule is spec-gated in
-    // CurationSpec (centroid arrays aren't in the sidecar vocabulary).
+    // a2-anchored coarse quantizer (same buildOrGet key), and reads the
+    // assignment from the index's CLUSTERED table — cluster_id is a
+    // stored partition column, so the whole dedup plan carries ZERO
+    // assignment-kernel passes (PlanSpec gates the absence; r12 ran the
+    // screened argmin twice per call). FULL pipeline hash oracle
+    // downstream of k-means: the (id, cluster) assignments persist to a
+    // sidecar and DuckDB re-derives the within-cluster pairs, recomputes
+    // cosines (v9-pinned formulation), re-runs the components as a
+    // recursive CTE, and re-applies the keeper rule.
     "d13_semantic_dedup" -> ((s, dir) => {
       val idx = Ivf.buildOrGet(s, embBase(s, dir), dir, nlist = 16, ntrain = 2000)
-      predSidecar("d13_semantic_dedup",
-        Ivf.assign(Tables.embeddings(s, dir), idx.centroids, "embedding"),
-        "vec_id", "cluster_id")
-      Dedup.semanticDedup(Tables.embeddings(s, dir), idx.centroids, tau = 0.95)
+      val assigned = idx.clustered(s).select(col("id").as("vec_id"),
+        col("vec").as("embedding"), col("cluster_id"))
+      predSidecar("d13_semantic_dedup", assigned, "vec_id", "cluster_id")
+      Dedup.semanticDedupAssigned(assigned, tau = 0.95)
+        .orderBy(col("vec_id"))
+    }),
+    // SemDeDup under the PAPER's keep rule (far-from-centroid: keep the
+    // least prototypical member, §3 of 2303.09540) — same clustered-table
+    // source and candidate/component derivation as d13, but the keeper is
+    // argmax over each member's distance to its own cluster centroid.
+    // That distance is a per-member SCALAR, so it rides the sidecar
+    // (vec_id, cluster_id, cdist) and DuckDB re-applies the argmax rule
+    // (ties on smaller id) exactly like d13's min-id — the far rule is
+    // oracle-gated end to end, not just spec-gated.
+    "d14_semantic_keepers" -> ((s, dir) => {
+      val idx = Ivf.buildOrGet(s, embBase(s, dir), dir, nlist = 16, ntrain = 2000)
+      val assigned = Dedup.withCentroidDist(
+        idx.clustered(s).select(col("id").as("vec_id"),
+          col("vec").as("embedding"), col("cluster_id")),
+        idx.centroids)
+      predSidecar3("d14_semantic_keepers", assigned, "vec_id", "cluster_id", "cdist")
+      Dedup.semanticDedupAssigned(assigned, tau = 0.95,
+        keepRule = "far_from_centroid")
         .orderBy(col("vec_id"))
     }),
     // Keeper selection over exact-dup groups via the REAL operator
@@ -1582,6 +1633,19 @@ object SparkEntry {
     }
   }
 
+  /** 3-column flavor of [[sidecarPairs]] (see [[predSidecar3]]). */
+  private def sidecarTriples(name: String): Option[Vector[String]] = {
+    val f = new java.io.File(s"target/pred_sidecar/$name.csv")
+    if (!f.exists) None
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try Some(src.getLines().filter(_.nonEmpty).map { l =>
+        val Array(q, i, x) = l.split(","); s"($q,$i,$x)"
+      }.toVector)
+      finally src.close()
+    }
+  }
+
   private def sidecarValues(name: String): Option[String] =
     sidecarPairs(name).filter(_.nonEmpty).map(_.mkString(","))
 
@@ -1674,9 +1738,48 @@ object SparkEntry {
            |FROM assign a LEFT JOIN comp c ON a.id = c.node
            |ORDER BY vec_id""".stripMargin
     }
+    // d14: d13's pipeline under the paper's far-from-centroid keeper. The
+    // sidecar's third column is each member's centroid distance (the
+    // exact double the Spark window ranked), so DuckDB re-derives pairs,
+    // cosines, and components as in d13 and then re-applies
+    // argmax(cdist)-ties-min(id) per component itself.
+    val d14 = sidecarTriples("d14_semantic_keepers").filter(_.nonEmpty).map { assigns =>
+      "d14_semantic_keepers" ->
+        s"""WITH RECURSIVE assign(id, cluster_id, cdist) AS (VALUES ${assigns.mkString(",")}),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |pairs AS (
+           |  SELECT a.id AS a, b.id AS b
+           |  FROM assign a JOIN assign b
+           |    ON a.cluster_id = b.cluster_id AND a.id < b.id
+           |  JOIN e ea ON a.id = ea.vec_id JOIN e eb ON b.id = eb.vec_id
+           |  WHERE list_dot_product(ea.v, eb.v) /
+           |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.95),
+           |edges AS (SELECT a AS x, b AS y FROM pairs
+           |          UNION SELECT b AS x, a AS y FROM pairs),
+           |reach(node, r) AS (
+           |  SELECT x, y FROM edges
+           |  UNION
+           |  SELECT reach.node, edges.y FROM reach JOIN edges ON reach.r = edges.x),
+           |comp AS (
+           |  SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node),
+           |member AS (
+           |  SELECT a.id, a.cluster_id, a.cdist,
+           |    coalesce(c.component, a.id) AS component
+           |  FROM assign a LEFT JOIN comp c ON a.id = c.node),
+           |ranked AS (
+           |  SELECT id, cluster_id, component,
+           |    row_number() OVER (PARTITION BY component
+           |                       ORDER BY cdist DESC, id ASC) AS rn
+           |  FROM member)
+           |SELECT CAST(id AS BIGINT) AS vec_id,
+           |  CAST(cluster_id AS INT) AS cluster_id,
+           |  CAST(component AS BIGINT) AS component,
+           |  (rn = 1) AS keep
+           |FROM ranked ORDER BY vec_id""".stripMargin
+    }
     (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall",
       "a8_lsh_recall", "a9_hnsw_recall", "a11_hnsw_routed",
       "a12_pq4_fastscan", "a13_pq4_ivf").flatMap(single)
-      ++ a3 ++ d4 ++ d13).toMap
+      ++ a3 ++ d4 ++ d13 ++ d14).toMap
   }
 }

@@ -424,8 +424,20 @@ object Dedup {
     */
   def semanticCandidates(emb: DataFrame, centroids: Array[Array[Float]],
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
-    val assigned = Ivf.assign(emb.select(col(idCol), col(vecCol)), centroids, vecCol)
+                         vecCol: String = "embedding"): DataFrame =
+    semanticCandidatesAssigned(
+      Ivf.assign(emb.select(col(idCol), col(vecCol)), centroids, vecCol),
+      idCol, vecCol)
+
+  /** [[semanticCandidates]] over a PRE-ASSIGNED corpus — (idCol, vecCol,
+    * cluster_id) rows, e.g. an IVF index's clustered table
+    * ([[Ivf.Index.clustered]]), where the assignment is a stored column
+    * and the candidate stage pays ZERO argmin kernel passes. The only
+    * shuffle is the self-join on cluster_id.
+    */
+  def semanticCandidatesAssigned(assigned: DataFrame,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame = {
     val l = assigned.select(col("cluster_id"), col(idCol).as("a"),
       col(vecCol).as("vec_a"))
     val r = assigned.select(col("cluster_id"), col(idCol).as("b"),
@@ -434,6 +446,17 @@ object Dedup {
       .select(col("cluster_id"), col("a"), col("b"),
         VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cos"))
   }
+
+  /** Enrich an assigned corpus with each row's distance to its own
+    * cluster centroid — the scalar the far-from-centroid keep rule ranks
+    * on (and the d14 sidecar column DuckDB re-applies the rule over).
+    * Narrow per-row work against ONE centroid (not an argmin).
+    */
+  def withCentroidDist(assigned: DataFrame, centroids: Array[Array[Float]],
+                       vecCol: String = "embedding",
+                       outCol: String = "cdist"): DataFrame =
+    assigned.withColumn(outCol, VectorFunctions.norm2(
+      graft.ops.Pq.centroidResidual(col(vecCol), col("cluster_id"), centroids)))
 
   /** SemDeDup decision pass: within-cluster pairs with cosine ≥ `tau`
     * form duplicate edges; duplicate groups resolve by
@@ -448,28 +471,69 @@ object Dedup {
     *    recursive CTE, and re-applies the rule.
     *  - `"far_from_centroid"`: the paper's keep rule — keep the member
     *    with the LOWEST similarity to its cluster centroid (the least
-    *    prototypical example), ties on smaller id. Spec-gated
-    *    (CurationSpec) rather than oracle-gated: centroid arrays are not
-    *    in the sidecar vocabulary.
+    *    prototypical example), ties on smaller id. Oracle-gated end to
+    *    end (d14): the per-member centroid DISTANCE is a sidecar scalar,
+    *    so DuckDB re-applies `argmax(cdist)` per component exactly like
+    *    the min-id rule.
     *
     * Returns one row per embedding: (id, cluster_id, component, keep).
     * Unpaired rows form singleton components and keep themselves; the
     * keeper window runs over PAIRED rows only (components are tiny), so
     * nothing corpus-sized sorts.
+    *
+    * The assignment kernel runs EXACTLY ONCE: the assigned (and, for the
+    * far rule, cdist-enriched) frame is locally checkpointed, so the
+    * candidate self-join, the component iteration, and the keeper join
+    * all read the one materialized image instead of re-running the
+    * screened argmin per consumer (at the paper's nlist=50k the argmin
+    * IS the corpus-scan cost; one MEMORY_AND_DISK image of
+    * (id, vec, cluster_id) is the cheaper trade at every nlist). Callers
+    * that already hold an assigned corpus — an IVF index's clustered
+    * table — should use [[semanticDedupAssigned]] and pay ZERO kernel
+    * passes.
     */
   def semanticDedup(emb: DataFrame, centroids: Array[Array[Float]],
                     tau: Double, keepRule: String = "min_id",
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
+    require(keepRule == "min_id" || keepRule == "far_from_centroid",
+      s"unknown keepRule '$keepRule'")
+    val assigned0 =
+      Ivf.assign(emb.select(col(idCol), col(vecCol)), centroids, vecCol)
+    val enriched =
+      if (keepRule == "far_from_centroid")
+        withCentroidDist(assigned0, centroids, vecCol)
+      else assigned0
+    semanticDedupAssigned(enriched.localCheckpoint(), tau, keepRule,
+      idCol, vecCol)
+  }
+
+  /** [[semanticDedup]] over a PRE-ASSIGNED corpus — (idCol, vecCol,
+    * cluster_id) rows (plus `cdist` for the far-from-centroid rule; see
+    * [[withCentroidDist]]). The production entry at scale: an IVF index's
+    * clustered table ([[Ivf.Index.clustered]]) carries cluster_id as a
+    * stored partition column, so the whole dedup runs with no assignment
+    * kernel in the plan at all (PlanSpec gates the absence).
+    */
+  def semanticDedupAssigned(assigned: DataFrame, tau: Double,
+                            keepRule: String = "min_id",
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keepRule == "min_id" || keepRule == "far_from_centroid",
       s"unknown keepRule '$keepRule'")
-    val pairs = semanticCandidates(emb, centroids, idCol, vecCol)
+    require(keepRule != "far_from_centroid" || assigned.columns.contains("cdist"),
+      "far_from_centroid needs a 'cdist' column — enrich the assigned " +
+        "frame with Dedup.withCentroidDist first")
+    val pairs = semanticCandidatesAssigned(assigned, idCol, vecCol)
       .filter(col("cos") >= tau).select("a", "b")
     val comp = connectedComponents(pairs)
       .withColumnRenamed("node", idCol)
-    val assigned = Ivf.assign(emb.select(col(idCol), col(vecCol)), centroids, vecCol)
-    val withComp = assigned.join(comp, Seq(idCol), "left")
+    val narrow =
+      if (keepRule == "far_from_centroid")
+        assigned.select(col(idCol), col("cluster_id"), col("cdist"))
+      else assigned.select(col(idCol), col("cluster_id"))
+    val withComp = narrow.join(comp, Seq(idCol), "left")
     if (keepRule == "min_id") {
       withComp
         .withColumn("component", coalesce(col("component"), col(idCol)))
@@ -481,8 +545,6 @@ object Dedup {
       // within clusters, and components are unions of within-cluster
       // edges, so the centroid is well-defined per member regardless)
       val paired = withComp.filter(col("component").isNotNull)
-        .withColumn("cdist", VectorFunctions.norm2(
-          graft.ops.Pq.centroidResidual(col(vecCol), col("cluster_id"), centroids)))
       val w = Window.partitionBy(col("component"))
         .orderBy(col("cdist").desc, col(idCol).asc)
       val pairedKeep = paired

@@ -266,6 +266,41 @@ class CurationSpec extends AnyFunSuite {
     assert(out.count(!_._4).toLong == minIdDrops)
   }
 
+  test("semanticDedup: one assignment pass — returned plan is kernel-free " +
+       "and the assigned-input flavor matches exactly") {
+    val emb = semFixture
+    val cents = graft.ops.Ivf.train(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      nlist = 4, ntrain = 100)
+    val out = Dedup.semanticDedup(emb, cents, tau = 0.99)
+    // the convenience wrapper checkpoints the assignment, so the returned
+    // plan reads the materialized image — the argmin kernel must not
+    // appear (it ran exactly once, inside the checkpoint job)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("nearest_centroid"),
+      s"semanticDedup re-plans the assignment kernel:\n$plan")
+    val assigned = graft.ops.Ivf.assign(emb, cents, "embedding")
+    val viaAssigned = Dedup.semanticDedupAssigned(assigned, tau = 0.99)
+    assert(viaAssigned.orderBy("vec_id").collect().toSeq ==
+      out.orderBy("vec_id").collect().toSeq,
+      "semanticDedupAssigned diverges from semanticDedup")
+    // far rule: withCentroidDist enrichment + assigned entry == wrapper
+    val farAssigned = Dedup.semanticDedupAssigned(
+      Dedup.withCentroidDist(assigned, cents), tau = 0.99,
+      keepRule = "far_from_centroid")
+    val farWrapper = Dedup.semanticDedup(emb, cents, tau = 0.99,
+      keepRule = "far_from_centroid")
+    assert(farAssigned.orderBy("vec_id").collect().toSeq ==
+      farWrapper.orderBy("vec_id").collect().toSeq,
+      "far-rule assigned flavor diverges from the wrapper")
+    // far rule without the cdist column fails loudly, not silently
+    val err = intercept[IllegalArgumentException] {
+      Dedup.semanticDedupAssigned(assigned, tau = 0.99,
+        keepRule = "far_from_centroid")
+    }
+    assert(err.getMessage.contains("cdist"))
+  }
+
   test("semanticCandidates: only within-cluster pairs, never cross-cluster") {
     val emb = semFixture
     val cents = graft.ops.Ivf.train(

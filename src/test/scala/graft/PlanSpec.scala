@@ -56,6 +56,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cross join leaked in:\n$plan")
   }
 
+  test("d13/d14: semantic dedup sources the stored clustered table — no " +
+       "assignment kernel anywhere in the plan") {
+    // r12 ran the screened argmin twice per semanticDedup call; the r13
+    // shape reads cluster_id as a disk partition column, so the kernel
+    // must not appear at all (and d14's keeper plan must also carry the
+    // cdist window, not a recomputed centroid pass per consumer)
+    for (q <- Seq("d13_semantic_dedup", "d14_semantic_keepers")) {
+      val plan = planOf(q)
+      assert(!plan.contains("nearest_centroid"),
+        s"$q re-plans the assignment kernel:\n$plan")
+    }
+  }
+
   test("d6: corpus clean reads documents (and hashes text) exactly once") {
     // the r4 verdict flagged the former two-scan shape (enriched + keepers
     // each re-hashing the full text column); the window-min rewrite must
