@@ -25,6 +25,47 @@ import graft.ops.LatencyStats
   * bytes/query) live in BENCH_LOCAL.json.
   */
 object Bench {
+
+  @volatile private var calSink = 0.0
+
+  /** One dependent-chain FMA block in a METHOD (C2-compiled after a few
+    * calls — never OSR, see the HalfDecodeProbe methodology note).
+    */
+  private def calChunk(seed: Double): Double = {
+    var x = seed
+    var i = 0
+    while (i < 100000) { x = x * 1.0000000001 + 1e-12; i += 1 }
+    x
+  }
+
+  /** Fixed all-core CPU work, timed — the box-speed calibration channel.
+    * Two same-code sweeps 15 min apart read 26.9 vs 30.0 s totals
+    * (r13, idle box, zero steal): the inflation is a uniform
+    * multiplicative box factor (consistent with host-side thermal /
+    * frequency state), not a code property. Timing identical work at
+    * sweep start and end puts that factor IN the artifact, so
+    * cross-round query ratios can be read against the calibration ratio
+    * before anything is called a regression.
+    */
+  private def calibrate(threads: Int): Double = {
+    val warm = new Thread(() => { calSink += calChunk(1.0) })
+    warm.start(); warm.join()
+    var w = 0
+    while (w < 30) { calSink += calChunk(w.toDouble); w += 1 } // JIT warm
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var x = 1.0 + t
+        var c = 0
+        while (c < 600) { x = calChunk(x); c += 1 }
+        calSink += x
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -58,6 +99,7 @@ object Bench {
     // dev aid: SPARK_GRAFT_BENCH_ONLY=v6_dot_l2_recall,d2_minhash
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val cal0 = calibrate(cpus.toInt)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, q) =>
@@ -118,14 +160,16 @@ object Bench {
         s""","min":${j(s.min)},"max":${j(s.max)},"sd":${j(sd)},"n":${s.length}"""
       s""""$name":{"avg":${j(st.avg)},"p50":${j(st.p50)},"p95":${j(st.p95)},"p99":${j(st.p99)},"qps":${j(st.qps)}$spread$bw}"""
     }.mkString("{", ",", "}")
+    val cal1 = calibrate(cpus.toInt)
     val total = medians.map(_._2).filter(_ >= 0).sum
-    // Compact machine line: total + per-query medians ONLY. Must stay well
-    // under the driver's ~2000-byte tail window (with sbt's trailing
-    // "[success]" line inside the same window).
+    // Compact machine line: total + per-query medians (+ the two-point
+    // box calibration). Must stay well under the driver's ~2000-byte tail
+    // window (with sbt's trailing "[success]" line inside the same window).
+    val calJ = s""""calib":[${j4(cal0)},${j4(cal1)}]"""
     val machineLine =
-      s"""{"metric":"total","value":${j4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j4(total)},"unit":"sec",$calJ,"queries":$qs,"sf":"$sfDir"}"""
     val fullLine =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"stats":$stats,"n_vectors":$nVec,"dim":$dim,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec",$calJ,"queries":$qs,"stats":$stats,"n_vectors":$nVec,"dim":$dim,"sf":"$sfDir"}"""
     // subset runs are a dev aid — never let them clobber the full artifact
     if (only.isEmpty)
       try java.nio.file.Files.writeString(

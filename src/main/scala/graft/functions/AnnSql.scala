@@ -5,117 +5,213 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.ops.Pq
+import graft.ops.{Hnsw, Metric, Pq}
 
 /** The SQL half of the ANN surface (SURVEY §1.5's Dataset-vs-ad-hoc-SQL
-  * mapping): a table-valued function over REGISTERED IVF-fastscan
-  * indexes, so an analyst can run
+  * mapping): table-valued functions over REGISTERED indexes, so an
+  * analyst can run
   *
   * {{{
   *   SELECT * FROM graft_ann_search('docs', 'my_queries', 10, 8, 100)
+  *   SELECT * FROM graft_ann_search_hnsw('docs', 'my_queries', 10, 64)
   * }}}
   *
-  * where `'docs'` names an index registered via [[registerIndex]] and
-  * `'my_queries'` is any view with (qid long, qvec array<float>) —
-  * returning (qid, id, score, rank) exactly as the Scala path does
-  * (SqlSurfaceSpec pins the equality).
+  * where `'docs'` names an index registered via [[registerIndex]] /
+  * [[registerHnsw]] and `'my_queries'` is any view with (qid long,
+  * qvec array<float>) — returning (qid, id, score, rank) exactly as the
+  * Scala path does (SqlSurfaceSpec pins both equalities). The second
+  * TVF resolves to the ROUTED sharded-HNSW plan ([[Hnsw.searchRouted]],
+  * the a11-pinned 100 TB serving flavor); the first to the IVF-fastscan
+  * + exact-refine plan.
   *
   * Shape notes:
   *  - The TVF builder resolves at ANALYSIS time: it reads the literal
-  *    arguments, looks up the index, and returns the logical plan of
-  *    [[Pq.searchFastScanIvfRefined]] — the SAME pruned probe the Scala
-  *    API plans, partition pruning and broadcast hints included. Nothing
-  *    is re-implemented for SQL; the TVF is a naming layer.
-  *  - The query view's rows are collected by the probe's query-batch
-  *    contract (bounded, like every broadcast query side), which happens
-  *    when the OUTER query executes its plan — same laziness as the
-  *    Scala call.
+  *    arguments, looks up the index, and returns the logical plan the
+  *    equivalent Scala call constructs — the SAME pruned probe /
+  *    routed-shard plan, partition pruning and broadcast hints included.
+  *    Nothing is re-implemented for SQL; the TVF is a naming layer.
+  *  - Plan CONSTRUCTION is eager about the query batch, in SQL exactly
+  *    as in Scala: both entry points collect the (bounded, broadcast-
+  *    side) query view and compute probes/LUTs/routes while BUILDING the
+  *    plan — i.e. when the outer SQL statement is analyzed, not when it
+  *    executes. The corpus-sized work stays in the returned plan.
   *  - Index registration is session-scoped (keyed on sessionUUID), like
-  *    the temp views it composes with.
-  *
-  * Args: (index_name string, queries_view string, k int[, nprobe int
-  * = 8, refine_k int = 100]).
+  *    the temp views it composes with. Entries pin their base DataFrame
+  *    (and through it the session), so long-lived multi-session JVMs
+  *    should retire them explicitly: [[unregister]] drops one,
+  *    [[clearSession]] drops the session's whole namespace, and every
+  *    registration/lookup opportunistically purges entries whose
+  *    SparkContext has stopped (SqlSurfaceSpec gates the lifecycle).
   */
 object AnnSql {
 
+  private final case class HnswEntry(base: DataFrame,
+                                     centroids: Array[Array[Float]],
+                                     routeProbe: Int, m: Int,
+                                     efConstruction: Int, metric: Metric,
+                                     seed: Long, cacheKey: String)
+
   private val indexes =
     new java.util.concurrent.ConcurrentHashMap[String, (Pq.Index, DataFrame)]()
+  private val hnswIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, HnswEntry]()
+
+  /** Drop entries whose owning SparkContext has stopped — the slow-leak
+    * guard for JVMs that cycle many sessions (each entry pins a
+    * DataFrame, and a DataFrame pins its session).
+    */
+  private def purgeStopped(): Unit = {
+    indexes.entrySet().removeIf(e =>
+      e.getValue._2.sparkSession.sparkContext.isStopped)
+    hnswIndexes.entrySet().removeIf(e =>
+      e.getValue.base.sparkSession.sparkContext.isStopped)
+  }
+
+  private def key(spark: SparkSession, name: String): String =
+    s"${graft.core.GraftSession.uuid(spark)}|$name"
 
   /** Register `idx` (with its full-precision base table for the refine
-    * stage) under `name` for SQL use, and ensure the TVF is registered
+    * stage) under `name` for SQL use, and ensure the TVFs are registered
     * in this session.
     */
   def registerIndex(spark: SparkSession, name: String, idx: Pq.Index,
                     base: DataFrame): Unit = {
-    indexes.put(s"${graft.core.GraftSession.uuid(spark)}|$name", (idx, base))
+    purgeStopped()
+    indexes.put(key(spark, name), (idx, base))
     register(spark)
   }
 
-  /** Register the `graft_ann_search` table function in this session. */
-  def register(spark: SparkSession): Unit =
+  /** Register a routed sharded-HNSW index under `name`: `base` is the
+    * corpus, `centroids` the shard router (the IVF coarse quantizer),
+    * and the remaining knobs mirror [[Hnsw.searchRouted]]'s. The graphs
+    * themselves build (or are served from the executor cache) under
+    * `cacheKey` exactly as the Scala call would.
+    */
+  def registerHnsw(spark: SparkSession, name: String, base: DataFrame,
+                   centroids: Array[Array[Float]], routeProbe: Int = 32,
+                   m: Int = 16, efConstruction: Int = 100,
+                   metric: Metric = Metric.Dot, seed: Long = 42L,
+                   cacheKey: String = ""): Unit = {
+    purgeStopped()
+    hnswIndexes.put(key(spark, name),
+      HnswEntry(base, centroids, routeProbe, m, efConstruction, metric,
+        seed, cacheKey))
+    register(spark)
+  }
+
+  /** Retire one registered index (either family). Returns whether an
+    * entry was dropped.
+    */
+  def unregister(spark: SparkSession, name: String): Boolean = {
+    val k = key(spark, name)
+    val a = indexes.remove(k) != null
+    val b = hnswIndexes.remove(k) != null
+    a || b
+  }
+
+  /** Retire every index this session registered. */
+  def clearSession(spark: SparkSession): Unit = {
+    val prefix = s"${graft.core.GraftSession.uuid(spark)}|"
+    indexes.keySet().removeIf(_.startsWith(prefix))
+    hnswIndexes.keySet().removeIf(_.startsWith(prefix))
+  }
+
+  /** Register the `graft_ann_search` / `graft_ann_search_hnsw` table
+    * functions in this session.
+    */
+  def register(spark: SparkSession): Unit = {
     Bridge.tableFunctionRegistry(spark).createOrReplaceTempFunction(
       "graft_ann_search", es => build(spark, es), "built-in")
+    Bridge.tableFunctionRegistry(spark).createOrReplaceTempFunction(
+      "graft_ann_search_hnsw", es => buildHnsw(spark, es), "built-in")
+  }
 
-  private def lit(e: Expression, what: String): Any = {
-    require(e.foldable, s"graft_ann_search: $what must be a literal, got $e")
+  private def lit(e: Expression, fn: String, what: String): Any = {
+    require(e.foldable, s"$fn: $what must be a literal, got $e")
     e.eval()
   }
-  private def strArg(e: Expression, what: String): String =
-    lit(e, what) match {
+  private def strArg(e: Expression, fn: String, what: String): String =
+    lit(e, fn, what) match {
       case s: org.apache.spark.unsafe.types.UTF8String => s.toString
       case other => throw new IllegalArgumentException(
-        s"graft_ann_search: $what must be a string literal, got $other")
+        s"$fn: $what must be a string literal, got $other")
     }
-  private def intArg(e: Expression, what: String): Int =
-    lit(e, what) match {
+  private def intArg(e: Expression, fn: String, what: String): Int =
+    lit(e, fn, what) match {
       case i: Int => i
       case l: Long => l.toInt
       case other => throw new IllegalArgumentException(
-        s"graft_ann_search: $what must be an integer literal, got $other")
+        s"$fn: $what must be an integer literal, got $other")
     }
+
+  /** Arg 1 of either TVF: a view NAME (string) or an INLINE query vector
+    * (array literal — the single-query ad-hoc form, qid = 0).
+    */
+  private def queriesArg(spark: SparkSession, e: Expression,
+                         fn: String): DataFrame = e.dataType match {
+    case _: org.apache.spark.sql.types.ArrayType =>
+      val floats = org.apache.spark.sql.catalyst.expressions.Cast(
+        e, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toFloatArray()
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(0L, floats.toSeq)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("qvec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType), nullable = false))))
+    case _ =>
+      spark.table(strArg(e, fn, "queries_view"))
+  }
+
+  private def knownNames[V](
+      m: java.util.concurrent.ConcurrentHashMap[String, V],
+      spark: SparkSession): String = {
+    import scala.jdk.CollectionConverters._
+    m.keySet().asScala
+      .filter(_.startsWith(s"${graft.core.GraftSession.uuid(spark)}|"))
+      .map(_.split('|').last).mkString(", ")
+  }
 
   private def build(spark: SparkSession, es: Seq[Expression]): LogicalPlan = {
     require(es.length >= 3 && es.length <= 5,
       "graft_ann_search(index_name, queries_view | query_array, k[, nprobe, refine_k])")
-    val name = strArg(es.head, "index_name")
-    val k = intArg(es(2), "k")
-    val nprobe = if (es.length >= 4) intArg(es(3), "nprobe") else 8
-    val refineK = if (es.length >= 5) intArg(es(4), "refine_k") else 100
-    val key = s"${graft.core.GraftSession.uuid(spark)}|$name"
-    val entry = indexes.get(key)
+    val name = strArg(es.head, "graft_ann_search", "index_name")
+    val k = intArg(es(2), "graft_ann_search", "k")
+    val nprobe = if (es.length >= 4) intArg(es(3), "graft_ann_search", "nprobe") else 8
+    val refineK = if (es.length >= 5) intArg(es(4), "graft_ann_search", "refine_k") else 100
+    val entry = indexes.get(key(spark, name))
     if (entry == null) {
-      import scala.jdk.CollectionConverters._
-      val known = indexes.keySet().asScala
-        .filter(_.startsWith(s"${graft.core.GraftSession.uuid(spark)}|"))
-        .map(_.split('|').last)
       throw new IllegalArgumentException(
         s"graft_ann_search: no index '$name' registered in this session " +
-          s"(registered: ${known.mkString(", ")}) — call " +
+          s"(registered: ${knownNames(indexes, spark)}) — call " +
           "AnnSql.registerIndex(spark, name, idx, base) first")
     }
     val (idx, base) = entry
-    // arg 2 is either a view NAME (string) or an INLINE query vector
-    // (array literal — the single-query ad-hoc form:
-    // `FROM graft_ann_search('idx', ARRAY(0.1, ...), 10)`, qid = 0)
-    val qs = es(1).dataType match {
-      case _: org.apache.spark.sql.types.ArrayType =>
-        val floats = org.apache.spark.sql.catalyst.expressions.Cast(
-          es(1), org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)).eval()
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toFloatArray()
-        spark.createDataFrame(
-          java.util.List.of(org.apache.spark.sql.Row(0L, floats.toSeq)),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("qid",
-              org.apache.spark.sql.types.LongType, nullable = false),
-            org.apache.spark.sql.types.StructField("qvec",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.FloatType), nullable = false))))
-      case _ =>
-        spark.table(strArg(es(1), "queries_view"))
-    }
+    val qs = queriesArg(spark, es(1), "graft_ann_search")
     Pq.searchFastScanIvfRefined(base, idx, qs, nprobe, k, refineK)
+      .queryExecution.logical
+  }
+
+  private def buildHnsw(spark: SparkSession, es: Seq[Expression]): LogicalPlan = {
+    require(es.length >= 3 && es.length <= 4,
+      "graft_ann_search_hnsw(index_name, queries_view | query_array, k[, ef_search])")
+    val name = strArg(es.head, "graft_ann_search_hnsw", "index_name")
+    val k = intArg(es(2), "graft_ann_search_hnsw", "k")
+    val efSearch = if (es.length >= 4) intArg(es(3), "graft_ann_search_hnsw", "ef_search") else 64
+    val e = hnswIndexes.get(key(spark, name))
+    if (e == null) {
+      throw new IllegalArgumentException(
+        s"graft_ann_search_hnsw: no hnsw index '$name' registered in this " +
+          s"session (registered: ${knownNames(hnswIndexes, spark)}) — call " +
+          "AnnSql.registerHnsw(spark, name, base, centroids, ...) first")
+    }
+    val qs = queriesArg(spark, es(1), "graft_ann_search_hnsw")
+    Hnsw.searchRouted(e.base, qs, e.centroids, e.routeProbe, k, e.metric,
+      e.m, e.efConstruction, efSearch, e.seed, e.cacheKey)
       .queryExecution.logical
   }
 }

@@ -431,6 +431,141 @@ object Simd {
     out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
   }
 
+  /** dot(a, b) with FLOAT-lane accumulation — the opt-in SERVING twin of
+    * [[dot]] (see [[dot4F]]'s rationale: float FMA runs 2× the lane width,
+    * no F2D widening). Two independent accumulator chains cover FMA
+    * latency. NOT bitwise-comparable to [[dot]] (~n·ε_f32 relative drift);
+    * serve-only, never an oracle path.
+    */
+  def dotF(a: Array[Float], b: Array[Float], n: Int): Double = {
+    var acc0 = FloatVector.zero(FS)
+    var acc1 = FloatVector.zero(FS)
+    val step = FS.length()
+    val upper2 = FS.loopBound(n - step)
+    var i = 0
+    while (i < upper2) {
+      acc0 = FloatVector.fromArray(FS, a, i)
+        .fma(FloatVector.fromArray(FS, b, i), acc0)
+      acc1 = FloatVector.fromArray(FS, a, i + step)
+        .fma(FloatVector.fromArray(FS, b, i + step), acc1)
+      i += 2 * step
+    }
+    val upper = FS.loopBound(n)
+    while (i < upper) {
+      acc0 = FloatVector.fromArray(FS, a, i)
+        .fma(FloatVector.fromArray(FS, b, i), acc0)
+      i += step
+    }
+    var s = acc0.add(acc1).reduceLanes(VectorOperators.ADD).toDouble
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Squared L2 with FLOAT-lane accumulation — [[dotF]]'s L2 sibling
+    * (sub and fma both in float). Serve-only; see [[dotF]].
+    */
+  def l2SqF(a: Array[Float], b: Array[Float], n: Int): Double = {
+    var acc0 = FloatVector.zero(FS)
+    var acc1 = FloatVector.zero(FS)
+    val step = FS.length()
+    val upper2 = FS.loopBound(n - step)
+    var i = 0
+    while (i < upper2) {
+      val d0 = FloatVector.fromArray(FS, a, i)
+        .sub(FloatVector.fromArray(FS, b, i))
+      val d1 = FloatVector.fromArray(FS, a, i + step)
+        .sub(FloatVector.fromArray(FS, b, i + step))
+      acc0 = d0.fma(d0, acc0)
+      acc1 = d1.fma(d1, acc1)
+      i += 2 * step
+    }
+    val upper = FS.loopBound(n)
+    while (i < upper) {
+      val d = FloatVector.fromArray(FS, a, i)
+        .sub(FloatVector.fromArray(FS, b, i))
+      acc0 = d.fma(d, acc0)
+      i += step
+    }
+    var s = acc0.add(acc1).reduceLanes(VectorOperators.ADD).toDouble
+    while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  /** Four float-accumulated dots against GATHERED rows — [[dot4At]]'s
+    * serving twin (the HNSW beam-expansion tile under the float-acc
+    * flavor). Serve-only; see [[dotF]].
+    */
+  def dot4AtF(a: Array[Float], cs: Array[Array[Float]],
+              i0: Int, i1: Int, i2: Int, i3: Int, n: Int,
+              out: Array[Double]): Unit = {
+    val q0 = cs(i0); val q1 = cs(i1); val q2 = cs(i2); val q3 = cs(i3)
+    var a0 = FloatVector.zero(FS)
+    var a1 = FloatVector.zero(FS)
+    var a2 = FloatVector.zero(FS)
+    var a3 = FloatVector.zero(FS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      a0 = va.fma(FloatVector.fromArray(FS, q0, i), a0)
+      a1 = va.fma(FloatVector.fromArray(FS, q1, i), a1)
+      a2 = va.fma(FloatVector.fromArray(FS, q2, i), a2)
+      a3 = va.fma(FloatVector.fromArray(FS, q3, i), a3)
+      i += step
+    }
+    var s0 = a0.reduceLanes(VectorOperators.ADD).toDouble
+    var s1 = a1.reduceLanes(VectorOperators.ADD).toDouble
+    var s2 = a2.reduceLanes(VectorOperators.ADD).toDouble
+    var s3 = a3.reduceLanes(VectorOperators.ADD).toDouble
+    while (i < n) {
+      val ad = a(i).toDouble
+      s0 += ad * q0(i).toDouble; s1 += ad * q1(i).toDouble
+      s2 += ad * q2(i).toDouble; s3 += ad * q3(i).toDouble
+      i += 1
+    }
+    out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
+  }
+
+  /** Four float-accumulated squared-L2s against GATHERED rows —
+    * [[l2Sq4At]]'s serving twin. Serve-only; see [[dotF]].
+    */
+  def l2Sq4AtF(a: Array[Float], cs: Array[Array[Float]],
+               i0: Int, i1: Int, i2: Int, i3: Int, n: Int,
+               out: Array[Double]): Unit = {
+    val q0 = cs(i0); val q1 = cs(i1); val q2 = cs(i2); val q3 = cs(i3)
+    var a0 = FloatVector.zero(FS)
+    var a1 = FloatVector.zero(FS)
+    var a2 = FloatVector.zero(FS)
+    var a3 = FloatVector.zero(FS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      val d0 = va.sub(FloatVector.fromArray(FS, q0, i))
+      val d1 = va.sub(FloatVector.fromArray(FS, q1, i))
+      val d2 = va.sub(FloatVector.fromArray(FS, q2, i))
+      val d3 = va.sub(FloatVector.fromArray(FS, q3, i))
+      a0 = d0.fma(d0, a0); a1 = d1.fma(d1, a1)
+      a2 = d2.fma(d2, a2); a3 = d3.fma(d3, a3)
+      i += step
+    }
+    var s0 = a0.reduceLanes(VectorOperators.ADD).toDouble
+    var s1 = a1.reduceLanes(VectorOperators.ADD).toDouble
+    var s2 = a2.reduceLanes(VectorOperators.ADD).toDouble
+    var s3 = a3.reduceLanes(VectorOperators.ADD).toDouble
+    while (i < n) {
+      val ad = a(i).toDouble
+      val e0 = ad - q0(i).toDouble; s0 += e0 * e0
+      val e1 = ad - q1(i).toDouble; s1 += e1 * e1
+      val e2 = ad - q2(i).toDouble; s2 += e2 * e2
+      val e3 = ad - q3(i).toDouble; s3 += e3 * e3
+      i += 1
+    }
+    out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
+  }
+
   private val BS = ByteVector.SPECIES_PREFERRED
 
   /** SIMD int8→float widen: out(i) = b(off+i).toFloat, i < n. The

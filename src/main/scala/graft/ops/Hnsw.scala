@@ -97,6 +97,28 @@ object Hnsw {
       }
     }
 
+    /** [[dist]] under the opt-in float-accumulation SERVING flavor
+      * ([[Simd.dotF]]/[[Simd.l2SqF]]): ~2× FMA lane width, ~n·ε_f32
+      * relative drift — can flip true near-ties, so it exists only on the
+      * QUERY path behind `floatAcc = true` (builds and every oracle path
+      * keep [[dist]]'s double-lane contract; graphs stay bit-identical).
+      * Falls back to [[dist]] without SIMD or for cosine (no float-acc
+      * kernel; the flavor is then a no-op, never an error).
+      */
+    private def distF(a: Array[Float], b: Array[Float]): Double = {
+      if (!VectorKernels.simdEnabled) return dist(a, b)
+      val n = math.min(a.length, b.length)
+      evals += 1
+      metric match {
+        case Metric.L2     => Simd.l2SqF(a, b, n)
+        case Metric.Dot    => -Simd.dotF(a, b, n)
+        case Metric.Cosine => { evals -= 1; dist(a, b) }
+      }
+    }
+
+    private def distX(a: Array[Float], b: Array[Float], facc: Boolean): Double =
+      if (facc) distF(a, b) else dist(a, b)
+
     /** Whether the 4-wide gather tile applies: uniform-dim rows (engine
       * contract; tracked defensively across inserts), SIMD linked, and a
       * tiled kernel for the metric (L2/Dot; cosine stays per-pair).
@@ -125,6 +147,28 @@ object Hnsw {
           out(0) = -out(0); out(1) = -out(1); out(2) = -out(2); out(3) = -out(3)
       }
     }
+
+    /** [[dist4]]'s float-accumulation serving twin (see [[distF]]). Only
+      * reachable when the tile gate already holds (SIMD, L2/Dot), so no
+      * fallback arm is needed.
+      */
+    private def dist4F(q: Array[Float], i0: Int, i1: Int, i2: Int, i3: Int,
+                       out: Array[Double]): Unit = {
+      evals += 4
+      val tn = math.min(q.length, dimU)
+      metric match {
+        case Metric.L2 =>
+          Simd.l2Sq4AtF(q, vecs, i0, i1, i2, i3, tn, out)
+        case _ =>
+          Simd.dot4AtF(q, vecs, i0, i1, i2, i3, tn, out)
+          out(0) = -out(0); out(1) = -out(1); out(2) = -out(2); out(3) = -out(3)
+      }
+    }
+
+    private def dist4X(q: Array[Float], i0: Int, i1: Int, i2: Int, i3: Int,
+                       out: Array[Double], facc: Boolean): Unit =
+      if (facc) dist4F(q, i0, i1, i2, i3, out)
+      else dist4(q, i0, i1, i2, i3, out)
     /** Distance → the metric's score column value. */
     private def score(d: Double): Double = metric match {
       case Metric.L2 => d
@@ -143,16 +187,17 @@ object Hnsw {
       * neighbor improves (ties never move — the current node wins, which
       * keeps the walk deterministic and terminating).
       */
-    private def greedy(q: Array[Float], ep: Int, layer: Int): Int = {
+    private def greedy(q: Array[Float], ep: Int, layer: Int,
+                       facc: Boolean = false): Int = {
       var cur = ep
-      var curD = dist(q, vecs(cur))
+      var curD = distX(q, vecs(cur), facc)
       var improved = true
       while (improved) {
         improved = false
         val nbrs = links(cur)(layer)
         var i = 0
         while (i < nbrs.length) {
-          val d = dist(q, vecs(nbrs(i)))
+          val d = distX(q, vecs(nbrs(i)), facc)
           if (d < curD) { curD = d; cur = nbrs(i); improved = true }
           i += 1
         }
@@ -299,10 +344,11 @@ object Hnsw {
       * Fills `s.rd`/`s.ri` ascending by (dist, idx) and returns the count.
       */
     private def searchLayer(q: Array[Float], ep: Int, ef: Int,
-                            layer: Int, s: Scratch): Int = {
+                            layer: Int, s: Scratch,
+                            facc: Boolean = false): Int = {
       s.reset(n)
       val useTile = tiled(q)
-      val d0 = dist(q, vecs(ep))
+      val d0 = distX(q, vecs(ep), facc)
       s.cPush(d0, ep); s.rPush(d0, ep); s.visit(ep)
       var stop = false
       while (!stop && s.cn > 0) {
@@ -330,7 +376,7 @@ object Hnsw {
                 s.ti(tn) = e
                 tn += 1
                 if (tn == 4) {
-                  dist4(q, s.ti(0), s.ti(1), s.ti(2), s.ti(3), s.tout)
+                  dist4X(q, s.ti(0), s.ti(1), s.ti(2), s.ti(3), s.tout, facc)
                   admit(s.tout(0), s.ti(0)); admit(s.tout(1), s.ti(1))
                   admit(s.tout(2), s.ti(2)); admit(s.tout(3), s.ti(3))
                   tn = 0
@@ -339,13 +385,13 @@ object Hnsw {
               i += 1
             }
             var j = 0
-            while (j < tn) { admit(dist(q, vecs(s.ti(j))), s.ti(j)); j += 1 }
+            while (j < tn) { admit(distX(q, vecs(s.ti(j)), facc), s.ti(j)); j += 1 }
           } else {
             while (i < nbrs.length) {
               val e = nbrs(i)
               if (!s.visited(e)) {
                 s.visit(e)
-                val d = dist(q, vecs(e))
+                val d = distX(q, vecs(e), facc)
                 if (s.rn < ef || d < s.rd(0)) {
                   s.cPush(d, e)
                   s.rPush(d, e)
@@ -499,13 +545,14 @@ object Hnsw {
       * search at layer 0 with `ef = max(efSearch, k)`. Returns (id, score)
       * best-first in the METRIC's order.
       */
-    def search(q: Array[Float], k: Int, efSearch: Int): Array[(Long, Double)] = {
+    def search(q: Array[Float], k: Int, efSearch: Int,
+               facc: Boolean = false): Array[(Long, Double)] = {
       if (n == 0) return Array.empty
       val s = scratchTL.get()
       var ep = entry
       var lc = levels(entry)
-      while (lc > 0) { ep = greedy(q, ep, lc); lc -= 1 }
-      val cnt = searchLayer(q, ep, math.max(efSearch, k), 0, s)
+      while (lc > 0) { ep = greedy(q, ep, lc, facc); lc -= 1 }
+      val cnt = searchLayer(q, ep, math.max(efSearch, k), 0, s, facc)
       val out = new Array[(Long, Double)](math.min(k, cnt))
       var j = 0
       while (j < out.length) {
@@ -721,6 +768,13 @@ object Hnsw {
     * routeProbe=0 [[searchWarm]] over the same graphs: same beam search,
     * same [[TopKAggregator]] tie-break on the merge (HnswSpec gates it).
     *
+    * `floatAcc = true` switches the beam DISTANCES (search only — never
+    * builds) to the float-accumulation kernels: ~2× FMA width against the
+    * double-lane contract the 3.3×-vs-hnswlib kernel margin was
+    * attributed to. Results may differ on true near-ties, so the flavor
+    * is recall-gated (HnswSpec), not hash-gated, and no oracle path
+    * enables it.
+    *
     * Returns (id, score) rows, best-first, ≤ k.
     */
   def searchLocal(qvec: Array[Float], cacheKey: String, nShards: Int, k: Int,
@@ -728,7 +782,8 @@ object Hnsw {
                   efConstruction: Int = 100, efSearch: Int = 64,
                   seed: Long = 42L,
                   centroids: Array[Array[Float]] = null,
-                  routeProbe: Int = 0): Array[(Long, Double)] = {
+                  routeProbe: Int = 0,
+                  floatAcc: Boolean = false): Array[(Long, Double)] = {
     val dim = qvec.length
     val group = shardGroupIfPresent(cacheKey).getOrElse(
       throw new IllegalStateException(
@@ -750,7 +805,7 @@ object Hnsw {
       val g = group.get(key)
       require(g != null,
         s"no warmed hnsw graph for shard $shard under '$cacheKey'")
-      g.search(qvec, k, efSearch).foreach { case (id, s) => agg.consider(buf, id, s) }
+      g.search(qvec, k, efSearch, floatAcc).foreach { case (id, s) => agg.consider(buf, id, s) }
     }
     (0 until buf.n).map(i => (buf.ids(i), buf.scores(i))).toArray
       .sortBy { case (id, s) => (if (metric.larger) -s else s, id) }

@@ -58,7 +58,7 @@ object Ivf {
   def train(base: DataFrame, nlist: Int, ntrain: Int = 200000, seed: Long = 42L,
             vecCol: String = "vec", idCol: String = "id",
             maxIter: Int = 25, maxPointsPerCentroid: Int = 256,
-            stableFrac: Double = 0.0): Array[Array[Float]] = {
+            stableFrac: Double = 0.033): Array[Array[Float]] = {
     val cap = nlist.toLong * maxPointsPerCentroid
     val feat = trainSample(base, math.min(ntrain.toLong, cap).toInt, idCol)
     // the id-prefix contract (dense positional ids) violated — e.g. sparse
@@ -192,10 +192,10 @@ object Ivf {
                  cacheKey: String, nlist: Int, ntrain: Int,
                  seed: Long = 42L,
                  onPhase: (String, Double) => Unit = (_, _) => ()): Index = {
-    // "t5" versions the trainer (the graft fused-SIMD Lloyd, hash-draw /
+    // "t6" versions the trainer (the graft fused-SIMD Lloyd, hash-draw /
     // nredo init): cached artifacts from an older trainer must MISS, not
     // serve silently — bump this tag whenever trainer semantics change
-    val key = s"$cacheKey|$nlist|$ntrain|$seed|t5"
+    val key = s"$cacheKey|$nlist|$ntrain|$seed|t6"
     indexCache.computeIfAbsent(key, _ => {
       val path = s"target/ivf_cache/${cacheDigest(key)}"
       val centFile = s"$path.centroids.bin"

@@ -167,8 +167,8 @@ object Opq {
   def trainRotationCached(cacheKey: String, base: => DataFrame, m: Int,
                           ksub: Int, ntrain: Int, iters: Int = 8,
                           seed: Long = 42L): Array[Array[Float]] = {
-    // |t5 versions the codebook trainer (graft Lloyd; see Ivf.buildOrGet)
-    val key = s"$cacheKey|$m|$ksub|$ntrain|$iters|$seed|t5"
+    // |t6 versions the codebook trainer (graft Lloyd; see Ivf.buildOrGet)
+    val key = s"$cacheKey|$m|$ksub|$ntrain|$iters|$seed|t6"
     rotCache.computeIfAbsent(key, _ => {
       new java.io.File("target/opq_cache").mkdirs()
       val file = s"target/opq_cache/${Ivf.cacheDigest(key)}.rot.bin"

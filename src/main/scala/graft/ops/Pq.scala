@@ -636,8 +636,8 @@ object Pq {
                  nlist: Int, m: Int, ksub: Int, ntrain: Int,
                  seed: Long = 42L, idCol: String = "id",
                  vecCol: String = "vec"): Index = {
-    // |t5 versions the codebook trainer (graft Lloyd; see Ivf.buildOrGet)
-    val key = s"$cacheKey|$nlist|$m|$ksub|$ntrain|$seed|t5"
+    // |t6 versions the codebook trainer (graft Lloyd; see Ivf.buildOrGet)
+    val key = s"$cacheKey|$nlist|$m|$ksub|$ntrain|$seed|t6"
     indexCache.computeIfAbsent(key, _ => {
       val path = s"target/pq_cache/${Ivf.cacheDigest(key)}"
       (Ivf.loadMatrix(s"$path.coarse.bin"), loadBooks(s"$path.books.bin")) match {
@@ -682,7 +682,7 @@ object Pq {
   def buildOrGetIvf4(spark: SparkSession, base: => DataFrame, cacheKey: String,
                      nlist: Int, m4: Int, ntrain: Int, seed: Long = 42L,
                      idCol: String = "id", vecCol: String = "vec"): Index = {
-    val key = s"$cacheKey|ivf4|$nlist|$m4|16|$ntrain|$seed|t5"
+    val key = s"$cacheKey|ivf4|$nlist|$m4|16|$ntrain|$seed|t6"
     indexCache.computeIfAbsent(key, _ => {
       val path = s"target/pq4_cache/${Ivf.cacheDigest(key)}"
       (Ivf.loadMatrix(s"$path.coarse.bin"), loadBooks(s"$path.books.bin")) match {
@@ -769,18 +769,30 @@ object Pq {
     * (quantized score, id) policy, same float re-rank, same global
     * (score, id) top-refineK), and the refine replays [[Search.refine]]'s
     * l2Sq ranking — results are IDENTICAL to
-    * [[searchFastScanIvfRefined]] for the same arguments (PqServeSpec
-    * gates it). Returns ≤ k (id, l2sq) pairs, best-first.
+    * [[searchFastScanIvfRefined]] for the same arguments (Pq4Spec gates
+    * it; the identity needs refineK > k, hence the require — at
+    * refineK == k the Spark twin skips its refine and returns ADC
+    * scores, while this path always refines). The identity also assumes
+    * each cluster's blocked rows land in ONE input partition on the
+    * Spark side — [[blockedRelation]]'s layout contract (one blob row
+    * per cell); a cell split across partitions would widen the Spark
+    * side's candidate pool to a superset of the local reservoir's.
+    *
+    * `floatAcc = true` switches the refine's exact-L2 kernel to the
+    * float-accumulation serving flavor ([[Simd.l2SqF]]) — can flip true
+    * near-ties, so it is recall-gated only and no oracle/spec-identity
+    * path enables it. Returns ≤ k (id, l2sq) pairs, best-first.
     */
   def searchLocalIvf4(qvec: Array[Float], idx: Index, cacheKey: String,
-                      nprobe: Int, k: Int, refineK: Int = 100): Array[(Long, Double)] = {
+                      nprobe: Int, k: Int, refineK: Int = 100,
+                      floatAcc: Boolean = false): Array[(Long, Double)] = {
     import graft.functions.expressions.{CentroidOps, PqOps, Simd, VectorKernels}
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val img = localCache.get(cacheKey)
     require(img != null,
       s"no warmed ivf4 serving image under '$cacheKey' — call warmLocalIvf4 first")
-    require(refineK >= k, // the Spark twin skips the refine at refineK <= k
-      s"searchLocalIvf4 always refines: need refineK ($refineK) >= k ($k)")
+    require(refineK > k, // the Spark twin skips the refine at refineK <= k
+      s"searchLocalIvf4 always refines: need refineK ($refineK) > k ($k)")
     val books = idx.books
     val m4 = books.length
     val spMax = m4 / 2
@@ -880,7 +892,10 @@ object Pq {
       val vi = java.util.Arrays.binarySearch(img.vecIds, id)
       require(vi >= 0, s"candidate id $id missing from the vector store")
       refIds(j) = id
-      refD(j) = VectorKernels.l2Sq(qvec, img.vecs(vi))
+      val v = img.vecs(vi)
+      refD(j) =
+        if (floatAcc && simd) Simd.l2SqF(qvec, v, math.min(qvec.length, v.length))
+        else VectorKernels.l2Sq(qvec, v)
       j += 1
     }
     Array.range(0, take).sortBy(i => (refD(i), refIds(i))).take(k)

@@ -324,7 +324,7 @@ object BenchScale {
       // index build is DDL (cached on disk across JVMs) — measured once,
       // not best-of: a cached hit records ~0 and says so
       val buildCached = new java.io.File(
-        s"target/ivf_cache/${Ivf.cacheDigest(s"$annKey|$nlist|200000|42|t5")}/_SUCCESS").isFile
+        s"target/ivf_cache/${Ivf.cacheDigest(s"$annKey|$nlist|200000|42|t6")}/_SUCCESS").isFile
       val tBuild = System.nanoTime()
       val buildPhases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val idx = Ivf.buildOrGet(spark, base, annKey, nlist = nlist,
@@ -519,7 +519,7 @@ object BenchScale {
       // cluster-partitioned nibble table serves the probe from the probed
       // cells only — the 100 TB serving flavor of the 4-bit path. Build is
       // DDL like ann_ivf_build (cached across JVMs, recorded once).
-      val ivf4Key = s"$annKey|ivf4|$nlist|${annDim / 4}|16|200000|42|t5"
+      val ivf4Key = s"$annKey|ivf4|$nlist|${annDim / 4}|16|200000|42|t6"
       val ivf4Cached = new java.io.File(
         s"target/pq4_cache/${Ivf.cacheDigest(ivf4Key)}/_SUCCESS").isFile
       val tIvf4 = System.nanoTime()
@@ -624,7 +624,11 @@ object BenchScale {
       // Determinism of this path is spec-gated (KmeansSpec two-level test).
       if (only.forall(_.contains("ann_ivf_train4096"))) {
         val t4096 = System.nanoTime()
-        val cents4096 = Ivf.train(base, nlist = 4096, ntrain = 200000)
+        // explicit stableFrac=0: THIS row is the iso-iteration (25) FAISS
+        // comparison; the stable-stop flavor (now the Ivf.train default)
+        // is the row below
+        val cents4096 = Ivf.train(base, nlist = 4096, ntrain = 200000,
+          stableFrac = 0.0)
         annResults("ann_ivf_train4096") = Map(
           "train_sec" -> (System.nanoTime() - t4096) / 1e9,
           "nlist" -> 4096.0, "ncentroids" -> cents4096.length.toDouble)
@@ -879,6 +883,33 @@ object BenchScale {
           "avg_us" -> lat.sum / nServe, "nprobe" -> 8.0, "refine_k" -> 100.0,
           "n_queries" -> nServe.toDouble)
         println(f"[scale] ann_pq4_local_serve   p50=${pctL(0.5)}%8.1f us  p95=${pctL(0.95)}%8.1f  p99=${pctL(0.99)}%8.1f us")
+        // float-acc refine twin (r13, verdict task #3): the pq4 serve's
+        // only double-lane stage is the exact refine of rk candidates, so
+        // the facc delta HERE isolates that stage's share of the p50
+        var ovl = 0L
+        val latF = serveQs.map { qv =>
+          val t0 = System.nanoTime()
+          val got = Pq.searchLocalIvf4(qv, ivf4, "bench_local_ivf4",
+            nprobe = 8, k = 10, refineK = 100, floatAcc = true)
+          val dt = (System.nanoTime() - t0) / 1e3
+          val contract = Pq.searchLocalIvf4(qv, ivf4, "bench_local_ivf4",
+            nprobe = 8, k = 10, refineK = 100)
+          ovl += got.map(_._1).toSet.intersect(contract.map(_._1).toSet).size
+          dt
+        }
+        java.util.Arrays.sort(latF)
+        def pctF(p: Double): Double = {
+          val idx = p * (nServe - 1)
+          val lo = idx.toInt
+          val frac = idx - lo
+          if (lo + 1 < nServe) latF(lo) * (1 - frac) + latF(lo + 1) * frac
+          else latF(lo)
+        }
+        annResults("ann_pq4_local_serve_facc") = Map(
+          "p50_us" -> pctF(0.50), "p95_us" -> pctF(0.95), "p99_us" -> pctF(0.99),
+          "avg_us" -> latF.sum / nServe, "nprobe" -> 8.0, "refine_k" -> 100.0,
+          "overlap_vs_contract" -> ovl.toDouble / (nServe * 10))
+        println(f"[scale] ann_pq4_local_serve_facc p50=${pctF(0.5)}%8.1f us  p99=${pctF(0.99)}%8.1f us  overlap=${ovl.toDouble / (nServe * 10)}%.4f")
         Pq.invalidateLocal("bench_local_ivf4")
       }
 
@@ -890,9 +921,14 @@ object BenchScale {
       runAnn("ann_semantic_dedup") {
         val sub = base.filter(col("id") < 200000)
           .select(col("id").as("vec_id"), col("vec").as("embedding"))
-        val out = Dedup.semanticDedup(sub, idx.centroids, tau = 0.99)
+        // assign ONCE (r13): the checkpointed image feeds the candidate
+        // self-join, the keeper join, and the pairs_checked diagnostic —
+        // r12 paid three screened-argmin corpus passes for the same row
+        val assigned = Ivf.assign(sub, idx.centroids, "embedding")
+          .localCheckpoint()
+        val out = Dedup.semanticDedupAssigned(assigned, tau = 0.99)
         val dropped = out.filter(!col("keep")).count().toDouble
-        val nCand = Ivf.assign(sub, idx.centroids, "embedding")
+        val nCand = assigned
           .groupBy("cluster_id").count()
           .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
           .head().getLong(0)
@@ -1011,6 +1047,39 @@ object BenchScale {
             "build_sec" -> sgBuild)
           println(f"[scale] ann_hnsw_single_graph_ef$ef%-4d p50=${pct(0.5)}%8.1f us  p99=${pct(0.99)}%8.1f us  (build ${sgBuild}%6.1f s)")
         }
+        // FLOAT-ACC serving flavor at the hnswlib comparison point (r13,
+        // verdict task #3): the 3.3× kernel margin vs hnswlib's 0.208 ms
+        // was attributed to the double-lane precision contract — the facc
+        // twin measures how much of the margin that contract actually is.
+        // Same graph, same queries; id-overlap vs the contract path rides
+        // beside the latency (ties may flip — recall-gated, never hashed).
+        {
+          val ef = 64
+          serveQs.take(32).foreach { qv =>
+            Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM, hEfc, ef,
+              floatAcc = true)
+          }
+          var overlap = 0L
+          val lat = serveQs.map { qv =>
+            val t0 = System.nanoTime()
+            val got = Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM, hEfc,
+              ef, floatAcc = true)
+            val dt = (System.nanoTime() - t0) / 1e3
+            val contract = Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM,
+              hEfc, ef)
+            overlap += got.map(_._1).toSet
+              .intersect(contract.map(_._1).toSet).size
+            dt
+          }
+          java.util.Arrays.sort(lat)
+          val pct = pctOf(lat) _
+          annResults("ann_hnsw_single_graph_ef64_facc") = Map(
+            "p50_us" -> pct(0.50), "p95_us" -> pct(0.95),
+            "p99_us" -> pct(0.99), "avg_us" -> lat.sum / nServe,
+            "ef_search" -> ef.toDouble, "n_vec" -> sgN.toDouble,
+            "overlap_vs_contract" -> overlap.toDouble / (nServe * k))
+          println(f"[scale] ann_hnsw_single_graph_ef64_facc p50=${pct(0.5)}%8.1f us  p99=${pct(0.99)}%8.1f us  overlap=${overlap.toDouble / (nServe * k)}%.4f")
+        }
         Hnsw.invalidate(sgKey)
       }
       listSizes.unpersist()
@@ -1039,7 +1108,7 @@ object BenchScale {
             "stored_mb" -> dirBytes(path3) / 1e6)
         }
         val b3Cached = new java.io.File(
-          s"target/ivf_cache/${Ivf.cacheDigest(s"$key3|$nlist|200000|42|t5")}/_SUCCESS").isFile
+          s"target/ivf_cache/${Ivf.cacheDigest(s"$key3|$nlist|200000|42|t6")}/_SUCCESS").isFile
         val tB3 = System.nanoTime()
         val b3Phases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
         val idx3 = Ivf.buildOrGet(spark, base3, key3, nlist = nlist,
@@ -1062,7 +1131,7 @@ object BenchScale {
         // (a) IVF-fastscan probe at the r12 operating point (np8/rk100):
         // probe cost must track nprobe/nlist (scanned cells ∝ 1/nlist of
         // a 3× corpus → ~3× bytes per cell, same cell count)
-        val ivf43Key = s"$key3|ivf4|$nlist|${annDim / 4}|16|200000|42|t5"
+        val ivf43Key = s"$key3|ivf4|$nlist|${annDim / 4}|16|200000|42|t6"
         val ivf43Cached = new java.io.File(
           s"target/pq4_cache/${Ivf.cacheDigest(ivf43Key)}/_SUCCESS").isFile
         val tIvf43 = System.nanoTime()
@@ -1079,6 +1148,34 @@ object BenchScale {
           Map("recall" -> Ivf.meanRecall(pred, gt3, k).collect()(0).getDouble(0),
             "nprobe" -> 8.0, "refine_k" -> 100.0, "n_vec" -> n3.toDouble,
             "stored_mb" -> dirBytes(ivf43.path) / 1e6)
+        }
+        // (a') the nlist-SCALING recipe made concrete (r13, verdict task
+        // #7): ann3m_pq4_ivf_probe pays 3× rows/cell at nlist=1024; the
+        // documented fix for constant probe cost is nlist ∝ corpus. With
+        // nlist=4096 the cells are back at ~1M/1024 geometry (732 vs 977
+        // rows/cell) — and the stable-stop trainer (the r13 default)
+        // makes the 4096-cell coarse train affordable. np=8 holds the
+        // byte budget at the 1M level; np=16 is the recall-insurance
+        // point (2× cells probed still scans ~1.5× the 1M bytes).
+        val ivf43bKey = s"$key3|ivf4|4096|${annDim / 4}|16|200000|42|t6"
+        val ivf43bCached = new java.io.File(
+          s"target/pq4_cache/${Ivf.cacheDigest(ivf43bKey)}/_SUCCESS").isFile
+        val tIvf43b = System.nanoTime()
+        val ivf43b = Pq.buildOrGetIvf4(spark, base3, key3, nlist = 4096,
+          m4 = annDim / 4, ntrain = 200000)
+        annResults("ann3m_pq4_ivf_build_nlist4096") = Map(
+          "sec" -> (System.nanoTime() - tIvf43b) / 1e9,
+          "nlist" -> 4096.0, "n_vec" -> n3.toDouble,
+          "cached" -> (if (ivf43bCached) 1.0 else 0.0))
+        println(f"[scale] ann3m_pq4_ivf_build_nlist4096 ${annResults("ann3m_pq4_ivf_build_nlist4096")("sec")}%8.2f s")
+        for (np <- Seq(8, 16)) {
+          runAnn(s"ann3m_pq4_ivf_probe_nlist4096_np$np") {
+            val pred = Pq.searchFastScanIvfRefined(base3, ivf43b, q3,
+              nprobe = np, k, refineK = 100)
+            Map("recall" -> Ivf.meanRecall(pred, gt3, k).collect()(0).getDouble(0),
+              "nprobe" -> np.toDouble, "refine_k" -> 100.0,
+              "nlist" -> 4096.0, "n_vec" -> n3.toDouble)
+          }
         }
         // (b) routed HNSW serve at 3M: 1024 cluster-shard graphs, probed
         // 32/nlist per query — per-query cost tracks routeProbe × shard

@@ -65,6 +65,14 @@ class HnswSpec extends AnyFunSuite {
       m = 8, efConstruction = 64, efSearch = 32).toSeq
     assert(local == warm,
       s"in-process serve diverged from the warm Spark path: $local vs $warm")
+    // the float-acc SERVING flavor relaxes the precision contract, never
+    // the candidates: gate the id SET (recall), not scores/hashes —
+    // near-tie order may legitimately differ
+    val faccIds = Hnsw.searchLocal(qv, key, nShards = 4, k = 10, Metric.Dot,
+      m = 8, efConstruction = 64, efSearch = 32, floatAcc = true)
+      .map(_._1).toSet
+    val hits = faccIds.intersect(warm.map(_._1).toSet).size
+    assert(hits >= 9, s"floatAcc serve recall $hits/10 vs contract path")
     Hnsw.invalidate(key)
   }
 

@@ -120,6 +120,42 @@ class SimdSpec extends AnyFunSuite {
     }
   }
 
+  test("float-acc serving kernels track the double-lane contract within " +
+       "the documented n·eps_f32 budget") {
+    // dotF/l2SqF/dot4AtF/l2Sq4AtF are the OPT-IN serve flavors — never
+    // bitwise-comparable, but they must stay inside the ~n·2^-24 relative
+    // band the scaladoc promises (a kernel bug would blow far past it)
+    forAllPairs { (a, b) =>
+      val n = math.min(a.length, b.length)
+      val budget = n * 1.2e-7 * (1.0 + n.toDouble / 64)
+      val sD = Simd.dot(a, b, n)
+      assert(math.abs(Simd.dotF(a, b, n) - sD) <=
+        budget * math.max(1.0, a.map(x => math.abs(x.toDouble)).sum),
+        s"dotF outside the float-acc budget at n=$n")
+      val sL = Simd.l2Sq(a, b, n)
+      assert(math.abs(Simd.l2SqF(a, b, n) - sL) <=
+        budget * math.max(1.0, sL), s"l2SqF outside the budget at n=$n")
+    }
+    (1 to 20).foreach { _ =>
+      val n = 16 + rng.nextInt(685)
+      val a = Array.fill(n)(rng.nextFloat() * 2 - 1)
+      val rows = Array.fill(6)(Array.fill(n)(rng.nextFloat() * 2 - 1))
+      val outF = new Array[Double](4)
+      val budget = n * 1.2e-7 * (1.0 + n.toDouble / 64)
+      Simd.dot4AtF(a, rows, 1, 2, 3, 4, n, outF)
+      (0 until 4).foreach { j =>
+        val d = Simd.dot(a, rows(1 + j), n)
+        assert(math.abs(outF(j) - d) <=
+          budget * math.max(1.0, a.map(x => math.abs(x.toDouble)).sum))
+      }
+      Simd.l2Sq4AtF(a, rows, 1, 2, 3, 4, n, outF)
+      (0 until 4).foreach { j =>
+        val d = Simd.l2Sq(a, rows(1 + j), n)
+        assert(math.abs(outF(j) - d) <= budget * math.max(1.0, d))
+      }
+    }
+  }
+
   test("batched cosine with hoisted norms == per-pair cosine (bitwise)") {
     val dim = 100
     val x = Array.fill(dim)(rng.nextFloat() * 2 - 1)

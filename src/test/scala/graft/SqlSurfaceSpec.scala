@@ -67,6 +67,64 @@ class SqlSurfaceSpec extends AnyFunSuite {
       s"error should name the registered indexes: ${err.getMessage}")
   }
 
+  test("graft_ann_search_hnsw TVF == the Scala routed path, exactly") {
+    import graft.functions.AnnSql
+    import graft.ops.{Hnsw, Ivf, Metric}
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val router = Ivf.buildOrGet(spark, base, s"$dir|sqlhnsw", nlist = 4,
+      ntrain = 500)
+    AnnSql.registerHnsw(spark, "emb_hnsw", base, router.centroids,
+      routeProbe = 2, m = 8, efConstruction = 64,
+      cacheKey = s"$dir|sqlhnsw|tvf")
+    base.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .createOrReplaceTempView("hnsw_queries")
+    val sql = spark.sql(
+      "SELECT * FROM graft_ann_search_hnsw('emb_hnsw', 'hnsw_queries', 10, 64)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val scala0 = Hnsw.searchRouted(base,
+      base.filter(col("id") < 8)
+        .select(col("id").as("qid"), col("vec").as("qvec")),
+      router.centroids, routeProbe = 2, k = 10, Metric.Dot, m = 8,
+      efConstruction = 64, efSearch = 64, cacheKey = s"$dir|sqlhnsw|tvf")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(sql == scala0, "HNSW SQL TVF diverged from the Scala routed path")
+    // inline-vector ad-hoc form
+    val q3vec = base.filter(col("id") === 3).select(col("vec"))
+      .head().getSeq[Float](0)
+    val inline = spark.sql(
+      s"SELECT * FROM graft_ann_search_hnsw('emb_hnsw', ARRAY(${q3vec.mkString(",")}), 10)")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaView = scala0.filter(_._1 == 3L).map(t => (t._2, t._3, t._4))
+    assert(inline == viaView, "inline-vector HNSW TVF diverged from the view form")
+    // unknown index names the registered hnsw indexes
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_ann_search_hnsw('nope', 'hnsw_queries', 10)")
+        .collect()
+    }
+    assert(err.getMessage.contains("emb_hnsw") ||
+      Option(err.getCause).exists(_.getMessage.contains("emb_hnsw")),
+      s"error should name the registered indexes: ${err.getMessage}")
+    // lifecycle: unregister retires the name; re-registering revives it
+    assert(AnnSql.unregister(spark, "emb_hnsw"))
+    val gone = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_ann_search_hnsw('emb_hnsw', 'hnsw_queries', 10)")
+        .collect()
+    }
+    assert(gone.getMessage.contains("no hnsw index") ||
+      Option(gone.getCause).exists(_.getMessage.contains("no hnsw index")))
+    assert(!AnnSql.unregister(spark, "emb_hnsw"), "double unregister")
+    AnnSql.registerHnsw(spark, "emb_hnsw", base, router.centroids,
+      routeProbe = 2, m = 8, efConstruction = 64,
+      cacheKey = s"$dir|sqlhnsw|tvf")
+    assert(spark.sql(
+      "SELECT * FROM graft_ann_search_hnsw('emb_hnsw', 'hnsw_queries', 10)")
+      .count() > 0)
+  }
+
   test("SQL top-k with graft_dot matches the DataFrame path") {
     val sql = spark.sql(
       """SELECT b.vec_id AS id,
