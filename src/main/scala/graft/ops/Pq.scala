@@ -673,6 +673,54 @@ object Pq {
       kk => searchFastScanIvf(idx, spark, queries, nprobe, kk), idCol, vecCol)
   }
 
+  /** The union of coarse cells the fastscan probe touches for this query
+    * batch — driver-bounded (≤ Q × nprobe distinct ids), computed with
+    * the SAME selection kernel [[searchFastScanIvf]] uses
+    * ([[graft.functions.expressions.CentroidOps.topNprobeF]]), so the set
+    * is exactly the candidate stage's.
+    */
+  def probedCells(coarse: Array[Array[Float]], queries: DataFrame,
+                  nprobe: Int): Array[Int] = {
+    import graft.functions.expressions.CentroidOps
+    val np = math.min(nprobe, coarse.length)
+    queries.select(col("qvec")).collect()
+      .flatMap(r => CentroidOps.topNprobeF(r.getSeq[Float](0).toArray, coarse, np))
+      .distinct.sorted
+  }
+
+  /** [[searchFastScanIvfRefined]] with the refine FETCH pruned to the
+    * probed cells: `clustered` is a full-precision table partitioned by
+    * the SAME coarse assignment as the index (e.g. `Ivf.buildOrGet` on
+    * the same (base, nlist, ntrain, seed) — the trainer is deterministic,
+    * so the two coarse quantizers are identical), and the probed-cell
+    * union goes into the scan as a partition-column IN predicate.
+    *
+    * Why this exists (r13, measured at 3M×384d): the flat flavor's refine
+    * streams the ENTIRE base against the broadcast candidates — a
+    * 4.6 GB corpus scan that flattened the probe wall at ~1.4 s no
+    * matter how far nlist pruned the fastscan stage (nlist 1024 → 4096
+    * cut candidate-stage bytes 4× and moved the wall nothing). Every
+    * candidate id comes from a probed cell by construction, so the
+    * pruned fetch provably contains every candidate — results are
+    * IDENTICAL to the flat flavor (Pq4Spec gates equality and the
+    * partition-filter plan shape) while the fetch reads ~Q·nprobe/nlist
+    * of the corpus instead of all of it: the FAISS refine-index shape
+    * (codes + original vectors, both inverted-list-pruned).
+    */
+  def searchFastScanIvfRefinedClustered(clustered: DataFrame, idx: Index,
+                                        queries: DataFrame, nprobe: Int,
+                                        k: Int, refineK: Int,
+                                        idCol: String = "id",
+                                        vecCol: String = "vec"): DataFrame = {
+    val spark = clustered.sparkSession
+    val cells = probedCells(idx.coarse, queries, nprobe)
+    val pruned = clustered
+      .filter(col("cluster_id").isin(cells.map(c => c: Any): _*))
+      .select(col(idCol), col(vecCol))
+    refineAdc(pruned, queries, k, refineK,
+      kk => searchFastScanIvf(idx, spark, queries, nprobe, kk), idCol, vecCol)
+  }
+
   /** Build (or fetch) the IVF-fastscan index: coarse KMeans → residual
     * 4-bit codebooks (ksub=16) → encode → cluster-partitioned blocked
     * nibble table ([[graft.io.QuantizedTables.writePq4BlockedClustered]]).

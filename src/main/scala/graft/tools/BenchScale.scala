@@ -568,6 +568,17 @@ object BenchScale {
             "nprobe" -> np.toDouble, "refine_k" -> rk.toDouble)
         }
       }
+      // CLUSTERED-REFINE flavor (r13): the rows above stream the whole
+      // 1.5 GB base through the refine fetch; this one prunes the fetch
+      // to the probed cells via the IVF index's clustered table (same
+      // deterministic coarse quantizer). Results are Pq4Spec-pinned
+      // identical; the delta here is the refine fetch's corpus scan.
+      runAnn("ann_pq4_ivf_probe_np8_rk100_cref") {
+        val pred = Pq.searchFastScanIvfRefinedClustered(clustered, ivf4,
+          queries, nprobe = 8, k, refineK = 100)
+        Map("recall" -> Ivf.meanRecall(pred, gt, k).collect()(0).getDouble(0),
+          "nprobe" -> 8.0, "refine_k" -> 100.0)
+      }
       queries512.unpersist()
 
       // refine join against plain vs bucketed base, measured in the
@@ -1172,6 +1183,40 @@ object BenchScale {
           runAnn(s"ann3m_pq4_ivf_probe_nlist4096_np$np") {
             val pred = Pq.searchFastScanIvfRefined(base3, ivf43b, q3,
               nprobe = np, k, refineK = 100)
+            Map("recall" -> Ivf.meanRecall(pred, gt3, k).collect()(0).getDouble(0),
+              "nprobe" -> np.toDouble, "refine_k" -> 100.0,
+              "nlist" -> 4096.0, "n_vec" -> n3.toDouble)
+          }
+        }
+        // CLUSTERED-REFINE at 3M (r13): the nlist-4096 rows above proved
+        // the flat refine's corpus scan was the wall — candidate-stage
+        // bytes fell 4x (nlist 1024 -> 4096) and the wall moved nothing.
+        // Pruning the refine fetch to the probed cells is the fix; at
+        // np8/nlist4096 the fetch reads ~0.8% of the corpus instead of
+        // 4.6 GB. nlist=1024 twin first (reuses idx3's clustered table),
+        // then the 4096 point over its own clustered table.
+        runAnn("ann3m_pq4_ivf_probe_cref") {
+          val pred = Pq.searchFastScanIvfRefinedClustered(clustered3, ivf43,
+            q3, nprobe = 8, k, refineK = 100)
+          Map("recall" -> Ivf.meanRecall(pred, gt3, k).collect()(0).getDouble(0),
+            "nprobe" -> 8.0, "refine_k" -> 100.0, "nlist" -> nlist.toDouble,
+            "n_vec" -> n3.toDouble)
+        }
+        val b3bCached = new java.io.File(
+          s"target/ivf_cache/${Ivf.cacheDigest(s"$key3|4096|200000|42|t6")}/_SUCCESS").isFile
+        val tB3b = System.nanoTime()
+        val idx3b = Ivf.buildOrGet(spark, base3, key3, nlist = 4096,
+          ntrain = 200000)
+        annResults("ann3m_ivf_build_nlist4096") = Map(
+          "sec" -> (System.nanoTime() - tB3b) / 1e9, "nlist" -> 4096.0,
+          "n_vec" -> n3.toDouble,
+          "cached" -> (if (b3bCached) 1.0 else 0.0))
+        println(f"[scale] ann3m_ivf_build_nlist4096 ${annResults("ann3m_ivf_build_nlist4096")("sec")}%8.2f s")
+        val clustered3b = idx3b.clustered(spark)
+        for (np <- Seq(8, 16)) {
+          runAnn(s"ann3m_pq4_ivf_probe_nlist4096_np${np}_cref") {
+            val pred = Pq.searchFastScanIvfRefinedClustered(clustered3b,
+              ivf43b, q3, nprobe = np, k, refineK = 100)
             Map("recall" -> Ivf.meanRecall(pred, gt3, k).collect()(0).getDouble(0),
               "nprobe" -> np.toDouble, "refine_k" -> 100.0,
               "nlist" -> 4096.0, "n_vec" -> n3.toDouble)

@@ -228,6 +228,33 @@ class Pq4Spec extends AnyFunSuite {
   // hit-quanta (2/160) below per the house convention
   private val REFINED_GATE_RK100 = 0.98
 
+  test("clustered-refine flavor == flat refine exactly, with a " +
+    "partition-pruned fetch") {
+    // same (base, nlist, ntrain, seed) → the deterministic trainer gives
+    // the IVF index the SAME coarse quantizer as the pq4 index, so its
+    // clustered table's partition column is the pq4 cells
+    val ivfIdx = Ivf.buildOrGet(spark, base, s"$dir|pq4spec", nlist = 8,
+      ntrain = 500)
+    assert(ivfIdx.centroids.length == ivf4.coarse.length &&
+      ivfIdx.centroids.zip(ivf4.coarse).forall { case (a, b) => a.sameElements(b) },
+      "coarse quantizers diverged — the clustered table would prune wrong cells")
+    val flat = Pq.searchFastScanIvfRefined(base, ivf4, queries,
+      nprobe = 4, k = 10, refineK = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaClustered = Pq.searchFastScanIvfRefinedClustered(
+      ivfIdx.clustered(spark), ivf4, queries, nprobe = 4, k = 10, refineK = 50)
+    val plan = viaClustered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"refine fetch not partition-pruned:\n$plan")
+    val got = viaClustered.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == flat, "clustered-refine diverged from the flat refine")
+    // the probed-cell union is the candidate stage's own selection
+    val cells = Pq.probedCells(ivf4.coarse, queries, nprobe = 4)
+    assert(cells.nonEmpty && cells.length <= 8 && cells.sameElements(cells.sorted))
+  }
+
   test("in-process serve (searchLocalIvf4) == the Spark refined path, exactly") {
     Pq.warmLocalIvf4(spark, ivf4, "pq4spec_local", base)
     val qRows = base.filter(col("id") < 16)
