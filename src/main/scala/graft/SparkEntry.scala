@@ -470,10 +470,16 @@ object SparkEntry {
       // refineK=100 is the r12 operating point: the refine budget — not
       // the 4-bit codebook — bound the r11 recall plateau (RefineTune at
       // 1M: rk50 0.950 → rk100 0.975, matching the reference's PQ+Refine
-      // 0.9758 @ R=100, Performance.md:708-711)
+      // 0.9758 @ R=100, Performance.md:708-711). r13: the refine FETCH is
+      // partition-pruned to the probed cells via the same-quantizer
+      // clustered table (the flat flavor's corpus scan was the 3M probe
+      // wall) — results identical, and this oracle hash-gates the pruned
+      // path end to end.
+      val refIdx = Ivf.buildOrGet(s, base, s"$dir|pq4ivf", nlist = 16,
+        ntrain = 100000)
       val pred = predSidecar("a13_pq4_ivf",
-        Pq.searchFastScanIvfRefined(base, idx, qs, nprobe = 8, k = 10,
-          refineK = 100))
+        Pq.searchFastScanIvfRefinedClustered(refIdx.clustered(s), idx, qs,
+          nprobe = 8, k = 10, refineK = 100))
       Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),
 
