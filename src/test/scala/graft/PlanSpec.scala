@@ -56,6 +56,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cross join leaked in:\n$plan")
   }
 
+  test("semantic candidate self-join shuffles the corpus ONCE (exchange reuse)") {
+    // the self-join's two sides are projections of the same assigned
+    // frame. In the broadcast regime no corpus shuffle exists at all; in
+    // the shuffle-join regime (forced here — the 100 TB shape) the two
+    // cluster_id exchanges canonicalize identically and AQE's runtime
+    // stage reuse must read ONE corpus shuffle from both sides. The gate
+    // inspects the FINAL adaptive plan (reuse is a runtime decision —
+    // the initial plan always shows both exchanges).
+    import graft.ops.{Dedup, Ivf}
+    val idx = Ivf.buildOrGet(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec")), dir, nlist = 16, ntrain = 2000)
+    val assigned = idx.clustered(spark).select(col("id").as("vec_id"),
+      col("vec").as("embedding"), col("cluster_id"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Dedup.semanticCandidatesAssigned(assigned)
+      df.collect() // finalizes THIS dataset's adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"plan never finalized:\n$plan")
+      assert(plan.contains("ReusedExchange"),
+        s"self-join shuffles the corpus twice:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("d13/d14: semantic dedup sources the stored clustered table — no " +
        "assignment kernel anywhere in the plan") {
     // r12 ran the screened argmin twice per semanticDedup call; the r13
