@@ -431,6 +431,295 @@ object Simd {
     out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
   }
 
+  // ---- FLAT-OFFSET kernel twins -------------------------------------
+  // The HNSW graph stores its vectors in ONE packed float array (r13:
+  // `Array[Array[Float]]` rows cost a pointer dereference + scattered
+  // cache lines per distance eval — the dominant share of the serve
+  // margin left after the facc study). Each kernel below is the
+  // BITWISE twin of its array sibling: identical lane math, identical
+  // order, the row merely read at `flat(off + i)` instead of `row(i)`
+  // (SimdSpec gates every pair), so graphs built over either storage
+  // are identical and every determinism oracle rides through unchanged.
+
+  /** [[dot]] reading b at `flat(boff + i)` — bitwise twin. */
+  def dotOff(a: Array[Float], flat: Array[Float], boff: Int, n: Int): Double = {
+    var acc0 = DoubleVector.zero(DS)
+    var acc1 = DoubleVector.zero(DS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      val vb = FloatVector.fromArray(FS, flat, boff + i)
+      acc0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+        .fma(vb.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], acc0)
+      acc1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+        .fma(vb.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], acc1)
+      i += step
+    }
+    var s = acc0.add(acc1).reduceLanes(VectorOperators.ADD)
+    while (i < n) { s += a(i).toDouble * flat(boff + i).toDouble; i += 1 }
+    s
+  }
+
+  /** [[l2Sq]] reading b at `flat(boff + i)` — bitwise twin. */
+  def l2SqOff(a: Array[Float], flat: Array[Float], boff: Int, n: Int): Double = {
+    var acc0 = DoubleVector.zero(DS)
+    var acc1 = DoubleVector.zero(DS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      val vb = FloatVector.fromArray(FS, flat, boff + i)
+      val d0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+        .sub(vb.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+        .sub(vb.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      acc0 = d0.fma(d0, acc0)
+      acc1 = d1.fma(d1, acc1)
+      i += step
+    }
+    var s = acc0.add(acc1).reduceLanes(VectorOperators.ADD)
+    while (i < n) {
+      val d = a(i).toDouble - flat(boff + i).toDouble; s += d * d; i += 1
+    }
+    s
+  }
+
+  /** [[sumSq]] over `flat(off until off + n)` — bitwise twin. */
+  def sumSqOff(flat: Array[Float], off: Int, n: Int): Double = {
+    var acc0 = DoubleVector.zero(DS)
+    var acc1 = DoubleVector.zero(DS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, flat, off + i)
+      val va0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+      val va1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+      acc0 = va0.fma(va0, acc0)
+      acc1 = va1.fma(va1, acc1)
+      i += step
+    }
+    var s = acc0.add(acc1).reduceLanes(VectorOperators.ADD)
+    while (i < n) { val d = flat(off + i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  /** [[dot4At]] over four flat offsets — bitwise twin. */
+  def dot4AtOff(a: Array[Float], flat: Array[Float],
+                o0: Int, o1: Int, o2: Int, o3: Int, n: Int,
+                out: Array[Double]): Unit = {
+    var a00 = DoubleVector.zero(DS); var a01 = DoubleVector.zero(DS)
+    var a10 = DoubleVector.zero(DS); var a11 = DoubleVector.zero(DS)
+    var a20 = DoubleVector.zero(DS); var a21 = DoubleVector.zero(DS)
+    var a30 = DoubleVector.zero(DS); var a31 = DoubleVector.zero(DS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      val va0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+      val va1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+      val v0 = FloatVector.fromArray(FS, flat, o0 + i)
+      a00 = va0.fma(v0.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a00)
+      a01 = va1.fma(v0.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a01)
+      val v1 = FloatVector.fromArray(FS, flat, o1 + i)
+      a10 = va0.fma(v1.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a10)
+      a11 = va1.fma(v1.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a11)
+      val v2 = FloatVector.fromArray(FS, flat, o2 + i)
+      a20 = va0.fma(v2.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a20)
+      a21 = va1.fma(v2.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a21)
+      val v3 = FloatVector.fromArray(FS, flat, o3 + i)
+      a30 = va0.fma(v3.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a30)
+      a31 = va1.fma(v3.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a31)
+      i += step
+    }
+    var s0 = a00.add(a01).reduceLanes(VectorOperators.ADD)
+    var s1 = a10.add(a11).reduceLanes(VectorOperators.ADD)
+    var s2 = a20.add(a21).reduceLanes(VectorOperators.ADD)
+    var s3 = a30.add(a31).reduceLanes(VectorOperators.ADD)
+    while (i < n) {
+      val ad = a(i).toDouble
+      s0 += ad * flat(o0 + i).toDouble; s1 += ad * flat(o1 + i).toDouble
+      s2 += ad * flat(o2 + i).toDouble; s3 += ad * flat(o3 + i).toDouble
+      i += 1
+    }
+    out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
+  }
+
+  /** [[l2Sq4At]] over four flat offsets — bitwise twin. */
+  def l2Sq4AtOff(a: Array[Float], flat: Array[Float],
+                 o0: Int, o1: Int, o2: Int, o3: Int, n: Int,
+                 out: Array[Double]): Unit = {
+    var a00 = DoubleVector.zero(DS); var a01 = DoubleVector.zero(DS)
+    var a10 = DoubleVector.zero(DS); var a11 = DoubleVector.zero(DS)
+    var a20 = DoubleVector.zero(DS); var a21 = DoubleVector.zero(DS)
+    var a30 = DoubleVector.zero(DS); var a31 = DoubleVector.zero(DS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      val va0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+      val va1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+      val v0 = FloatVector.fromArray(FS, flat, o0 + i)
+      val d00 = va0.sub(v0.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d01 = va1.sub(v0.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a00 = d00.fma(d00, a00); a01 = d01.fma(d01, a01)
+      val v1 = FloatVector.fromArray(FS, flat, o1 + i)
+      val d10 = va0.sub(v1.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d11 = va1.sub(v1.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a10 = d10.fma(d10, a10); a11 = d11.fma(d11, a11)
+      val v2 = FloatVector.fromArray(FS, flat, o2 + i)
+      val d20 = va0.sub(v2.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d21 = va1.sub(v2.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a20 = d20.fma(d20, a20); a21 = d21.fma(d21, a21)
+      val v3 = FloatVector.fromArray(FS, flat, o3 + i)
+      val d30 = va0.sub(v3.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d31 = va1.sub(v3.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a30 = d30.fma(d30, a30); a31 = d31.fma(d31, a31)
+      i += step
+    }
+    var s0 = a00.add(a01).reduceLanes(VectorOperators.ADD)
+    var s1 = a10.add(a11).reduceLanes(VectorOperators.ADD)
+    var s2 = a20.add(a21).reduceLanes(VectorOperators.ADD)
+    var s3 = a30.add(a31).reduceLanes(VectorOperators.ADD)
+    while (i < n) {
+      val ad = a(i).toDouble
+      val e0 = ad - flat(o0 + i).toDouble; s0 += e0 * e0
+      val e1 = ad - flat(o1 + i).toDouble; s1 += e1 * e1
+      val e2 = ad - flat(o2 + i).toDouble; s2 += e2 * e2
+      val e3 = ad - flat(o3 + i).toDouble; s3 += e3 * e3
+      i += 1
+    }
+    out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
+  }
+
+  /** [[dotF]] reading b at `flat(boff + i)` — the facc serving twin. */
+  def dotFOff(a: Array[Float], flat: Array[Float], boff: Int, n: Int): Double = {
+    var acc0 = FloatVector.zero(FS)
+    var acc1 = FloatVector.zero(FS)
+    val step = FS.length()
+    val upper2 = FS.loopBound(n - step)
+    var i = 0
+    while (i < upper2) {
+      acc0 = FloatVector.fromArray(FS, a, i)
+        .fma(FloatVector.fromArray(FS, flat, boff + i), acc0)
+      acc1 = FloatVector.fromArray(FS, a, i + step)
+        .fma(FloatVector.fromArray(FS, flat, boff + i + step), acc1)
+      i += 2 * step
+    }
+    val upper = FS.loopBound(n)
+    while (i < upper) {
+      acc0 = FloatVector.fromArray(FS, a, i)
+        .fma(FloatVector.fromArray(FS, flat, boff + i), acc0)
+      i += step
+    }
+    var s = acc0.add(acc1).reduceLanes(VectorOperators.ADD).toDouble
+    while (i < n) { s += a(i).toDouble * flat(boff + i).toDouble; i += 1 }
+    s
+  }
+
+  /** [[l2SqF]] reading b at `flat(boff + i)` — the facc serving twin. */
+  def l2SqFOff(a: Array[Float], flat: Array[Float], boff: Int, n: Int): Double = {
+    var acc0 = FloatVector.zero(FS)
+    var acc1 = FloatVector.zero(FS)
+    val step = FS.length()
+    val upper2 = FS.loopBound(n - step)
+    var i = 0
+    while (i < upper2) {
+      val d0 = FloatVector.fromArray(FS, a, i)
+        .sub(FloatVector.fromArray(FS, flat, boff + i))
+      val d1 = FloatVector.fromArray(FS, a, i + step)
+        .sub(FloatVector.fromArray(FS, flat, boff + i + step))
+      acc0 = d0.fma(d0, acc0)
+      acc1 = d1.fma(d1, acc1)
+      i += 2 * step
+    }
+    val upper = FS.loopBound(n)
+    while (i < upper) {
+      val d = FloatVector.fromArray(FS, a, i)
+        .sub(FloatVector.fromArray(FS, flat, boff + i))
+      acc0 = d.fma(d, acc0)
+      i += step
+    }
+    var s = acc0.add(acc1).reduceLanes(VectorOperators.ADD).toDouble
+    while (i < n) {
+      val d = a(i).toDouble - flat(boff + i).toDouble; s += d * d; i += 1
+    }
+    s
+  }
+
+  /** [[dot4AtF]] over four flat offsets — the facc serving twin. */
+  def dot4AtFOff(a: Array[Float], flat: Array[Float],
+                 o0: Int, o1: Int, o2: Int, o3: Int, n: Int,
+                 out: Array[Double]): Unit = {
+    var a0 = FloatVector.zero(FS)
+    var a1 = FloatVector.zero(FS)
+    var a2 = FloatVector.zero(FS)
+    var a3 = FloatVector.zero(FS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      a0 = va.fma(FloatVector.fromArray(FS, flat, o0 + i), a0)
+      a1 = va.fma(FloatVector.fromArray(FS, flat, o1 + i), a1)
+      a2 = va.fma(FloatVector.fromArray(FS, flat, o2 + i), a2)
+      a3 = va.fma(FloatVector.fromArray(FS, flat, o3 + i), a3)
+      i += step
+    }
+    var s0 = a0.reduceLanes(VectorOperators.ADD).toDouble
+    var s1 = a1.reduceLanes(VectorOperators.ADD).toDouble
+    var s2 = a2.reduceLanes(VectorOperators.ADD).toDouble
+    var s3 = a3.reduceLanes(VectorOperators.ADD).toDouble
+    while (i < n) {
+      val ad = a(i).toDouble
+      s0 += ad * flat(o0 + i).toDouble; s1 += ad * flat(o1 + i).toDouble
+      s2 += ad * flat(o2 + i).toDouble; s3 += ad * flat(o3 + i).toDouble
+      i += 1
+    }
+    out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
+  }
+
+  /** [[l2Sq4AtF]] over four flat offsets — the facc serving twin. */
+  def l2Sq4AtFOff(a: Array[Float], flat: Array[Float],
+                  o0: Int, o1: Int, o2: Int, o3: Int, n: Int,
+                  out: Array[Double]): Unit = {
+    var a0 = FloatVector.zero(FS)
+    var a1 = FloatVector.zero(FS)
+    var a2 = FloatVector.zero(FS)
+    var a3 = FloatVector.zero(FS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      val d0 = va.sub(FloatVector.fromArray(FS, flat, o0 + i))
+      val d1 = va.sub(FloatVector.fromArray(FS, flat, o1 + i))
+      val d2 = va.sub(FloatVector.fromArray(FS, flat, o2 + i))
+      val d3 = va.sub(FloatVector.fromArray(FS, flat, o3 + i))
+      a0 = d0.fma(d0, a0); a1 = d1.fma(d1, a1)
+      a2 = d2.fma(d2, a2); a3 = d3.fma(d3, a3)
+      i += step
+    }
+    var s0 = a0.reduceLanes(VectorOperators.ADD).toDouble
+    var s1 = a1.reduceLanes(VectorOperators.ADD).toDouble
+    var s2 = a2.reduceLanes(VectorOperators.ADD).toDouble
+    var s3 = a3.reduceLanes(VectorOperators.ADD).toDouble
+    while (i < n) {
+      val ad = a(i).toDouble
+      val e0 = ad - flat(o0 + i).toDouble; s0 += e0 * e0
+      val e1 = ad - flat(o1 + i).toDouble; s1 += e1 * e1
+      val e2 = ad - flat(o2 + i).toDouble; s2 += e2 * e2
+      val e3 = ad - flat(o3 + i).toDouble; s3 += e3 * e3
+      i += 1
+    }
+    out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
+  }
+
   /** dot(a, b) with FLOAT-lane accumulation — the opt-in SERVING twin of
     * [[dot]] (see [[dot4F]]'s rationale: float FMA runs 2× the lane width,
     * no F2D widening). Two independent accumulator chains cover FMA

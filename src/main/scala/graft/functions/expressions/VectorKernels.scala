@@ -75,6 +75,51 @@ object VectorKernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
   }
 
+  // ---- flat-offset twins (the HNSW packed vector store; see
+  // [[Simd.dotOff]]'s rationale) — each bitwise-identical to its array
+  // sibling over the same values, VectorKernelsSpec-gated ----
+
+  /** [[dot]] of `a` against `n` floats of `flat` starting at `off`. */
+  def dotOff(a: Array[Float], flat: Array[Float], off: Int, n: Int): Double = {
+    if (simdEnabled && n >= SimdMinLen) return Simd.dotOff(a, flat, off, n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * flat(off + i).toDouble; i += 1 }
+    acc
+  }
+
+  /** [[l2Sq]] flat-offset twin. */
+  def l2SqOff(a: Array[Float], flat: Array[Float], off: Int, n: Int): Double = {
+    if (simdEnabled && n >= SimdMinLen) return Simd.l2SqOff(a, flat, off, n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a(i).toDouble - flat(off + i).toDouble; acc += d * d; i += 1
+    }
+    acc
+  }
+
+  /** [[sumSq]] flat-offset twin. */
+  def sumSqOff(flat: Array[Float], off: Int, n: Int): Double = {
+    if (simdEnabled && n >= SimdMinLen) return Simd.sumSqOff(flat, off, n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = flat(off + i).toDouble; acc += d * d; i += 1 }
+    acc
+  }
+
+  /** [[cosine]] flat-offset twin: same dot/(sqrt·sqrt) formulation over
+    * the SAME per-side element counts as `cosine(a, flat-row)` — the row
+    * norm runs over its full `n` stored floats, the query norm over all
+    * of `a`, matching the array twin's `norm2(a) * norm2(b)` exactly.
+    */
+  def cosineOff(a: Array[Float], flat: Array[Float], off: Int, n: Int): Double = {
+    val na = norm2(a)
+    val nb = math.sqrt(sumSqOff(flat, off, n))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dotOff(a, flat, off, math.min(a.length, n)) / (na * nb)
+  }
+
   /** Dequantized dot: f32 query · (int8 codes × per-row scale)
     * (`src/simd_dot.cpp:151-213`). Routed through the widen-then-[[dot]]
     * shape so it is bit-identical to the batched `BatchScore.scoresI8`

@@ -70,7 +70,17 @@ object Hnsw {
 
     private var n = 0
     private var cap = 1024
-    private var vecs = new Array[Array[Float]](cap)
+    // packed vector store (r13): ONE float array + per-node offsets, not
+    // Array[Array[Float]] rows — a row dereference was a pointer chase to
+    // a scattered heap object per distance eval, the dominant share of
+    // the serve margin left after the facc study. All kernels read
+    // flat(offs(x) + i) through bitwise-twin -Off kernels, so graphs and
+    // results are identical to the row-array storage (SimdSpec gates the
+    // kernels, HnswSpec the behavior).
+    private var flat = new Array[Float](cap * 16)
+    private var flatLen = 0
+    private var offs = new Array[Int](cap)
+    private var lens = new Array[Int](cap)
     private var ids = new Array[Long](cap)
     private var levels = new Array[Int](cap)
     /** node → layer → neighbor internal indices (ragged, layer 0 first) */
@@ -88,12 +98,14 @@ object Hnsw {
     /** Ranking distance (smaller = closer): L2 squared, or negated
       * dot/cosine — hnswlib's ip-space trick for similarity metrics.
       */
-    private def dist(a: Array[Float], b: Array[Float]): Double = {
+    private def dist(q: Array[Float], x: Int): Double = {
       evals += 1
+      val nn = math.min(q.length, lens(x))
+      val o = offs(x)
       metric match {
-        case Metric.L2     => VectorKernels.l2Sq(a, b)
-        case Metric.Dot    => -VectorKernels.dot(a, b)
-        case Metric.Cosine => -VectorKernels.cosine(a, b)
+        case Metric.L2     => VectorKernels.l2SqOff(q, flat, o, nn)
+        case Metric.Dot    => -VectorKernels.dotOff(q, flat, o, nn)
+        case Metric.Cosine => -VectorKernels.cosineOff(q, flat, o, nn)
       }
     }
 
@@ -105,19 +117,19 @@ object Hnsw {
       * Falls back to [[dist]] without SIMD or for cosine (no float-acc
       * kernel; the flavor is then a no-op, never an error).
       */
-    private def distF(a: Array[Float], b: Array[Float]): Double = {
-      if (!VectorKernels.simdEnabled) return dist(a, b)
-      val n = math.min(a.length, b.length)
+    private def distF(q: Array[Float], x: Int): Double = {
+      if (!VectorKernels.simdEnabled) return dist(q, x)
+      val nn = math.min(q.length, lens(x))
       evals += 1
       metric match {
-        case Metric.L2     => Simd.l2SqF(a, b, n)
-        case Metric.Dot    => -Simd.dotF(a, b, n)
-        case Metric.Cosine => { evals -= 1; dist(a, b) }
+        case Metric.L2     => Simd.l2SqFOff(q, flat, offs(x), nn)
+        case Metric.Dot    => -Simd.dotFOff(q, flat, offs(x), nn)
+        case Metric.Cosine => { evals -= 1; dist(q, x) }
       }
     }
 
-    private def distX(a: Array[Float], b: Array[Float], facc: Boolean): Double =
-      if (facc) distF(a, b) else dist(a, b)
+    private def distX(q: Array[Float], x: Int, facc: Boolean): Double =
+      if (facc) distF(q, x) else dist(q, x)
 
     /** Whether the 4-wide gather tile applies: uniform-dim rows (engine
       * contract; tracked defensively across inserts), SIMD linked, and a
@@ -141,9 +153,9 @@ object Hnsw {
       val tn = math.min(q.length, dimU)
       metric match {
         case Metric.L2 =>
-          Simd.l2Sq4At(q, vecs, i0, i1, i2, i3, tn, out)
+          Simd.l2Sq4AtOff(q, flat, offs(i0), offs(i1), offs(i2), offs(i3), tn, out)
         case _ =>
-          Simd.dot4At(q, vecs, i0, i1, i2, i3, tn, out)
+          Simd.dot4AtOff(q, flat, offs(i0), offs(i1), offs(i2), offs(i3), tn, out)
           out(0) = -out(0); out(1) = -out(1); out(2) = -out(2); out(3) = -out(3)
       }
     }
@@ -158,9 +170,9 @@ object Hnsw {
       val tn = math.min(q.length, dimU)
       metric match {
         case Metric.L2 =>
-          Simd.l2Sq4AtF(q, vecs, i0, i1, i2, i3, tn, out)
+          Simd.l2Sq4AtFOff(q, flat, offs(i0), offs(i1), offs(i2), offs(i3), tn, out)
         case _ =>
-          Simd.dot4AtF(q, vecs, i0, i1, i2, i3, tn, out)
+          Simd.dot4AtFOff(q, flat, offs(i0), offs(i1), offs(i2), offs(i3), tn, out)
           out(0) = -out(0); out(1) = -out(1); out(2) = -out(2); out(3) = -out(3)
       }
     }
@@ -177,10 +189,24 @@ object Hnsw {
 
     private def grow(): Unit = if (n == cap) {
       cap *= 2
-      vecs = java.util.Arrays.copyOf(vecs, cap)
+      offs = java.util.Arrays.copyOf(offs, cap)
+      lens = java.util.Arrays.copyOf(lens, cap)
       ids = java.util.Arrays.copyOf(ids, cap)
       levels = java.util.Arrays.copyOf(levels, cap)
       links = java.util.Arrays.copyOf(links, cap)
+    }
+
+    /** Copy node `x`'s stored floats into the scratch's node buffer —
+      * the Array-typed view the node-to-node distance calls need (the
+      * occlusion checks and re-select staging). Exact-length, reused
+      * across calls while the length is stable (one allocation per
+      * uniform graph).
+      */
+    private def nodeVec(x: Int, s: Scratch): Array[Float] = {
+      val len = lens(x)
+      if (s.nv.length != len) s.nv = new Array[Float](len)
+      System.arraycopy(flat, offs(x), s.nv, 0, len)
+      s.nv
     }
 
     /** Greedy descent at one layer: step to the closest neighbor until no
@@ -190,14 +216,14 @@ object Hnsw {
     private def greedy(q: Array[Float], ep: Int, layer: Int,
                        facc: Boolean = false): Int = {
       var cur = ep
-      var curD = distX(q, vecs(cur), facc)
+      var curD = distX(q, cur, facc)
       var improved = true
       while (improved) {
         improved = false
         val nbrs = links(cur)(layer)
         var i = 0
         while (i < nbrs.length) {
-          val d = distX(q, vecs(nbrs(i)), facc)
+          val d = distX(q, nbrs(i), facc)
           if (d < curD) { curD = d; cur = nbrs(i); improved = true }
           i += 1
         }
@@ -335,6 +361,8 @@ object Hnsw {
       }
       // re-select precomputed distances (tiled fill, then insertion-sort)
       var td = new Array[Double](8)
+      // node-to-node distance view buffer (see nodeVec)
+      var nv = new Array[Float](0)
     }
     private val scratchTL = new ThreadLocal[Scratch] {
       override def initialValue(): Scratch = new Scratch
@@ -348,7 +376,7 @@ object Hnsw {
                             facc: Boolean = false): Int = {
       s.reset(n)
       val useTile = tiled(q)
-      val d0 = distX(q, vecs(ep), facc)
+      val d0 = distX(q, ep, facc)
       s.cPush(d0, ep); s.rPush(d0, ep); s.visit(ep)
       var stop = false
       while (!stop && s.cn > 0) {
@@ -385,13 +413,13 @@ object Hnsw {
               i += 1
             }
             var j = 0
-            while (j < tn) { admit(distX(q, vecs(s.ti(j)), facc), s.ti(j)); j += 1 }
+            while (j < tn) { admit(distX(q, s.ti(j), facc), s.ti(j)); j += 1 }
           } else {
             while (i < nbrs.length) {
               val e = nbrs(i)
               if (!s.visited(e)) {
                 s.visit(e)
-                val d = distX(q, vecs(e), facc)
+                val d = distX(q, e, facc)
                 if (s.rn < ef || d < s.rd(0)) {
                   s.cPush(d, e)
                   s.rPush(d, e)
@@ -423,7 +451,7 @@ object Hnsw {
       var i = 0
       while (i < len && nKept < max) {
         val dq = ds(i); val c = is(i)
-        val cv = vecs(c)
+        val cv = nodeVec(c, s)
         var ok = true
         var j = 0
         if (useTile) {
@@ -441,7 +469,7 @@ object Hnsw {
           }
         }
         while (ok && j < nKept) {
-          if (dist(cv, vecs(kept(j))) < dq) ok = false
+          if (dist(cv, kept(j)) < dq) ok = false
           j += 1
         }
         if (ok) { kept(nKept) = c; nKept += 1 }
@@ -460,7 +488,13 @@ object Hnsw {
       grow()
       val idx = n
       val lvl = levelOf(id, seed, mL)
-      vecs(idx) = vec; ids(idx) = id; levels(idx) = lvl
+      if (flatLen + vec.length > flat.length)
+        flat = java.util.Arrays.copyOf(flat,
+          math.max(flat.length * 2, flatLen + vec.length))
+      System.arraycopy(vec, 0, flat, flatLen, vec.length)
+      offs(idx) = flatLen; lens(idx) = vec.length
+      flatLen += vec.length
+      ids(idx) = id; levels(idx) = lvl
       if (dimU < 0) dimU = vec.length
       else if (vec.length != dimU) uniform = false
       links(idx) = Array.fill(lvl + 1)(Array.emptyIntArray)
@@ -497,7 +531,7 @@ object Hnsw {
             val len = cur.length + 1
             s.stage(len)
             val sd = s.sd; val si = s.si; val td = s.td
-            val nv = vecs(nb)
+            val nv = nodeVec(nb, s)
             var c = 0
             if (tiledGraph) {
               while (c + 4 <= len) {
@@ -511,7 +545,7 @@ object Hnsw {
               }
             }
             while (c < len) {
-              td(c) = dist(nv, vecs(if (c < cur.length) cur(c) else idx))
+              td(c) = dist(nv, if (c < cur.length) cur(c) else idx)
               c += 1
             }
             var mN = 0

@@ -120,6 +120,63 @@ class SimdSpec extends AnyFunSuite {
     }
   }
 
+  test("flat-offset kernels are bitwise twins of their array siblings") {
+    // the HNSW packed store reads rows at flat(off + i); every -Off kernel
+    // must produce the EXACT bits of its array sibling or graphs built
+    // over the two storages would diverge
+    val rng2 = new scala.util.Random(11)
+    (1 to 50).foreach { _ =>
+      val n = 16 + rng2.nextInt(685)
+      val a = Array.fill(n)(rng2.nextFloat() * 2 - 1)
+      val rows = Array.fill(5)(Array.fill(n)(rng2.nextFloat() * 2 - 1))
+      // pack rows at random non-zero offsets into one flat buffer
+      val pad = rng2.nextInt(7)
+      val flat = new Array[Float](pad + 5 * n)
+      val offs = Array.tabulate(5)(j => pad + j * n)
+      rows.zipWithIndex.foreach { case (r, j) =>
+        System.arraycopy(r, 0, flat, offs(j), n)
+      }
+      def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+      (0 until 5).foreach { j =>
+        assert(bits(Simd.dotOff(a, flat, offs(j), n)) ==
+          bits(Simd.dot(a, rows(j), n)), s"dotOff diverged n=$n")
+        assert(bits(Simd.l2SqOff(a, flat, offs(j), n)) ==
+          bits(Simd.l2Sq(a, rows(j), n)), s"l2SqOff diverged n=$n")
+        assert(bits(Simd.sumSqOff(flat, offs(j), n)) ==
+          bits(Simd.sumSq(rows(j))), s"sumSqOff diverged n=$n")
+        assert(bits(Simd.dotFOff(a, flat, offs(j), n)) ==
+          bits(Simd.dotF(a, rows(j), n)), s"dotFOff diverged n=$n")
+        assert(bits(Simd.l2SqFOff(a, flat, offs(j), n)) ==
+          bits(Simd.l2SqF(a, rows(j), n)), s"l2SqFOff diverged n=$n")
+      }
+      val outA = new Array[Double](4); val outF = new Array[Double](4)
+      Simd.dot4At(a, rows, 1, 2, 3, 4, n, outA)
+      Simd.dot4AtOff(a, flat, offs(1), offs(2), offs(3), offs(4), n, outF)
+      (0 until 4).foreach(j => assert(bits(outA(j)) == bits(outF(j)), "dot4AtOff"))
+      Simd.l2Sq4At(a, rows, 1, 2, 3, 4, n, outA)
+      Simd.l2Sq4AtOff(a, flat, offs(1), offs(2), offs(3), offs(4), n, outF)
+      (0 until 4).foreach(j => assert(bits(outA(j)) == bits(outF(j)), "l2Sq4AtOff"))
+      Simd.dot4AtF(a, rows, 1, 2, 3, 4, n, outA)
+      Simd.dot4AtFOff(a, flat, offs(1), offs(2), offs(3), offs(4), n, outF)
+      (0 until 4).foreach(j => assert(bits(outA(j)) == bits(outF(j)), "dot4AtFOff"))
+      Simd.l2Sq4AtF(a, rows, 1, 2, 3, 4, n, outA)
+      Simd.l2Sq4AtFOff(a, flat, offs(1), offs(2), offs(3), offs(4), n, outF)
+      (0 until 4).foreach(j => assert(bits(outA(j)) == bits(outF(j)), "l2Sq4AtFOff"))
+    }
+    // scalar (simd-off) twins through the VectorKernels dispatchers too
+    val a = Array.fill(13)(rng2.nextFloat()) // below SimdMinLen: scalar path
+    val row = Array.fill(13)(rng2.nextFloat())
+    val flat = new Array[Float](20)
+    System.arraycopy(row, 0, flat, 5, 13)
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    assert(bits(VectorKernels.dotOff(a, flat, 5, 13)) ==
+      bits(VectorKernels.dot(a, row)))
+    assert(bits(VectorKernels.l2SqOff(a, flat, 5, 13)) ==
+      bits(VectorKernels.l2Sq(a, row)))
+    assert(bits(VectorKernels.cosineOff(a, flat, 5, 13)) ==
+      bits(VectorKernels.cosine(a, row)))
+  }
+
   test("float-acc serving kernels track the double-lane contract within " +
        "the documented n·eps_f32 budget") {
     // dotF/l2SqF/dot4AtF/l2Sq4AtF are the OPT-IN serve flavors — never
