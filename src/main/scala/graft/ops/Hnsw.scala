@@ -209,6 +209,23 @@ object Hnsw {
       s.nv
     }
 
+    /** Trim the packed store to its exact used size — call once after the
+      * last insert. The doubling growth leaves up to 2x retained waste per
+      * graph, which across a 1024-shard cached build is gigabytes (a 3M
+      * routed build OOMed on exactly this before the trim existed); after
+      * freeze() the retained footprint is BELOW the old row-array layout
+      * (no per-row object headers).
+      */
+    def freeze(): Unit =
+      if (flat.length > flatLen) flat = java.util.Arrays.copyOf(flat, flatLen)
+
+    /** Pre-size the packed store (exact total known up front in
+      * [[buildShard]]) — no doubling transients during the build.
+      */
+    def reserve(totalFloats: Int): Unit =
+      if (flat.length < totalFloats)
+        flat = java.util.Arrays.copyOf(flat, totalFloats)
+
     /** Greedy descent at one layer: step to the closest neighbor until no
       * neighbor improves (ties never move — the current node wins, which
       * keeps the walk deterministic and terminating).
@@ -488,6 +505,9 @@ object Hnsw {
       grow()
       val idx = n
       val lvl = levelOf(id, seed, mL)
+      require(flatLen.toLong + vec.length <= Int.MaxValue - 8,
+        s"shard vector payload exceeds the packed-store bound (~8.6 GB of " +
+          s"floats) at $n rows - shard the corpus finer (nShards/nlist)")
       if (flatLen + vec.length > flat.length)
         flat = java.util.Arrays.copyOf(flat,
           math.max(flat.length * 2, flatLen + vec.length))
@@ -601,7 +621,11 @@ object Hnsw {
   private def buildShard(rows: Array[(Long, Array[Float])], m: Int, efC: Int,
                          seed: Long, metric: Metric): ShardGraph = {
     val g = new ShardGraph(m, efC, seed, metric)
+    var total = 0L
+    rows.foreach(total += _._2.length)
+    g.reserve(math.min(total, Int.MaxValue - 8).toInt)
     rows.foreach { case (id, v) => g.insert(id, v) }
+    g.freeze()
     g
   }
 
