@@ -478,7 +478,7 @@ object SparkEntry {
       val refIdx = Ivf.buildOrGet(s, base, s"$dir|pq4ivf", nlist = 16,
         ntrain = 100000)
       val pred = predSidecar("a13_pq4_ivf",
-        Pq.searchFastScanIvfRefinedClustered(refIdx.clustered(s), idx, qs,
+        Pq.searchFastScanIvfRefinedClustered(refIdx, idx, qs,
           nprobe = 8, k = 10, refineK = 100))
       Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),

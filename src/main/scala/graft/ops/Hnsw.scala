@@ -105,7 +105,10 @@ object Hnsw {
       metric match {
         case Metric.L2     => VectorKernels.l2SqOff(q, flat, o, nn)
         case Metric.Dot    => -VectorKernels.dotOff(q, flat, o, nn)
-        case Metric.Cosine => -VectorKernels.cosineOff(q, flat, o, nn)
+        // cosineOff truncates the dot to min(q.length, n) itself, so pass
+        // the FULL stored length: the row norm must run over the whole
+        // stored vector (array-sibling semantics), not the query's prefix.
+        case Metric.Cosine => -VectorKernels.cosineOff(q, flat, o, lens(x))
       }
     }
 

@@ -99,9 +99,11 @@ object Ivf {
     * corpus is ~12k small files — the classic partitioned-write explosion;
     * clustering the shuffle first caps it at one file per inverted list.
     */
-  def writeClustered(assigned: DataFrame, path: String): Unit =
+  def writeClustered(assigned: DataFrame, path: String): Unit = {
     assigned.repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    invalidateClustered(path)
+  }
 
   /** IVF probe search: score only the `nprobe` nearest clusters per query.
     *
@@ -146,14 +148,31 @@ object Ivf {
       * dirs), which a repeated consumer (the bench loop, a serving
       * session, the clustered-refine fetch) pays for nothing.
       */
-    def clustered(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    def clustered(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      purgeStoppedClustered()
       clusteredCache.computeIfAbsent(
         s"${graft.core.GraftSession.uuid(spark)}|$clusteredPath",
         _ => spark.read.parquet(clusteredPath))
+    }
   }
 
   private val clusteredCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Drop cached relations bound to stopped sessions (each DataFrame pins
+    * its SparkSession — without eviction the map leaks sessions for the
+    * JVM's life) — the AnnSql.purgeStopped discipline.
+    */
+  private def purgeStoppedClustered(): Unit =
+    clusteredCache.entrySet().removeIf(
+      e => e.getValue.sparkSession.sparkContext.isStopped)
+
+  /** Invalidate cached relations for `path` across all sessions — called
+    * after a (re)write so a rebuilt clustered table never serves the old
+    * file listing.
+    */
+  private[ops] def invalidateClustered(path: String): Unit =
+    clusteredCache.keySet().removeIf(_.endsWith(s"|$path"))
 
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Index]()

@@ -706,18 +706,43 @@ object Pq {
     * partition-filter plan shape) while the fetch reads ~Q·nprobe/nlist
     * of the corpus instead of all of it: the FAISS refine-index shape
     * (codes + original vectors, both inverted-list-pruned).
+    *
+    * Takes the clustered table's [[Ivf.Index]] (not a bare DataFrame) so
+    * the same-quantizer contract is CHECKED at runtime: a clustered table
+    * partitioned by a different coarse assignment would silently drop
+    * candidates absent from the pruned fetch — the one failure mode of
+    * this flavor, and a realistic one across artifacts built under
+    * different trainer versions.
     */
-  def searchFastScanIvfRefinedClustered(clustered: DataFrame, idx: Index,
+  def searchFastScanIvfRefinedClustered(clusteredIdx: Ivf.Index, idx: Index,
                                         queries: DataFrame, nprobe: Int,
                                         k: Int, refineK: Int,
                                         idCol: String = "id",
                                         vecCol: String = "vec"): DataFrame = {
-    val spark = clustered.sparkSession
+    val nlist = idx.coarse.length
+    require(clusteredIdx.centroids.length == nlist &&
+      clusteredIdx.centroids.zip(idx.coarse).forall { case (a, b) => a.sameElements(b) },
+      s"clustered table's coarse quantizer (nlist=${clusteredIdx.centroids.length}) " +
+        s"differs from the fastscan index's (nlist=$nlist): a pruned fetch under a " +
+        "mismatched partitioning silently drops refine candidates. Build both " +
+        "artifacts from the same (base, nlist, ntrain, seed) under the same " +
+        "trainer version — the trainer is deterministic, so identical inputs " +
+        "give bitwise-identical quantizers.")
+    val spark = queries.sparkSession
     val cells = probedCells(idx.coarse, queries, nprobe)
-    val pruned = clustered
-      .filter(col("cluster_id").isin(cells.map(c => c: Any): _*))
-      .select(col(idCol), col(vecCol))
-    refineAdc(pruned, queries, k, refineK,
+    val clustered = clusteredIdx.clustered(spark)
+    // Past ~nlist/2 probed cells (possible at large Q·nprobe) the IN-list
+    // predicate degenerates into a giant filter over nearly every
+    // partition; the unpruned fetch is then the better plan — identical
+    // results, the flat flavor's scan. The absolute floor (512) keeps the
+    // fallback off small fixtures where even an all-cells IN is trivial.
+    val fetch =
+      if (cells.length >= 512 && cells.length * 2 >= nlist)
+        clustered.select(col(idCol), col(vecCol))
+      else
+        clustered.filter(col("cluster_id").isin(cells.map(c => c: Any): _*))
+          .select(col(idCol), col(vecCol))
+    refineAdc(fetch, queries, k, refineK,
       kk => searchFastScanIvf(idx, spark, queries, nprobe, kk), idCol, vecCol)
   }
 

@@ -574,7 +574,7 @@ object BenchScale {
       // deterministic coarse quantizer). Results are Pq4Spec-pinned
       // identical; the delta here is the refine fetch's corpus scan.
       runAnn("ann_pq4_ivf_probe_np8_rk100_cref") {
-        val pred = Pq.searchFastScanIvfRefinedClustered(clustered, ivf4,
+        val pred = Pq.searchFastScanIvfRefinedClustered(idx, ivf4,
           queries, nprobe = 8, k, refineK = 100)
         Map("recall" -> Ivf.meanRecall(pred, gt, k).collect()(0).getDouble(0),
           "nprobe" -> 8.0, "refine_k" -> 100.0)
@@ -862,7 +862,7 @@ object BenchScale {
       }
       // In-process IVF-fastscan serve (r12): the PQ analogue of the
       // routed-HNSW serving tier — per-query latency of the rk100
-      // operating point with no Spark job (PqServeSpec-gated identical to
+      // operating point with no Spark job (Pq4Spec-gated identical to
       // searchFastScanIvfRefined). Reads against ann_hnsw_local_routed:
       // two in-process serving flavors of the same corpus, one
       // graph-traversal-bound, one nibble-scan + refine-bound.
@@ -1196,7 +1196,7 @@ object BenchScale {
         // 4.6 GB. nlist=1024 twin first (reuses idx3's clustered table),
         // then the 4096 point over its own clustered table.
         runAnn("ann3m_pq4_ivf_probe_cref") {
-          val pred = Pq.searchFastScanIvfRefinedClustered(clustered3, ivf43,
+          val pred = Pq.searchFastScanIvfRefinedClustered(idx3, ivf43,
             q3, nprobe = 8, k, refineK = 100)
           Map("recall" -> Ivf.meanRecall(pred, gt3, k).collect()(0).getDouble(0),
             "nprobe" -> 8.0, "refine_k" -> 100.0, "nlist" -> nlist.toDouble,
@@ -1212,10 +1212,9 @@ object BenchScale {
           "n_vec" -> n3.toDouble,
           "cached" -> (if (b3bCached) 1.0 else 0.0))
         println(f"[scale] ann3m_ivf_build_nlist4096 ${annResults("ann3m_ivf_build_nlist4096")("sec")}%8.2f s")
-        val clustered3b = idx3b.clustered(spark)
         for (np <- Seq(8, 16)) {
           runAnn(s"ann3m_pq4_ivf_probe_nlist4096_np${np}_cref") {
-            val pred = Pq.searchFastScanIvfRefinedClustered(clustered3b,
+            val pred = Pq.searchFastScanIvfRefinedClustered(idx3b,
               ivf43b, q3, nprobe = np, k, refineK = 100)
             Map("recall" -> Ivf.meanRecall(pred, gt3, k).collect()(0).getDouble(0),
               "nprobe" -> np.toDouble, "refine_k" -> 100.0,

@@ -243,7 +243,7 @@ class Pq4Spec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val viaClustered = Pq.searchFastScanIvfRefinedClustered(
-      ivfIdx.clustered(spark), ivf4, queries, nprobe = 4, k = 10, refineK = 50)
+      ivfIdx, ivf4, queries, nprobe = 4, k = 10, refineK = 50)
     val plan = viaClustered.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
       s"refine fetch not partition-pruned:\n$plan")
@@ -253,6 +253,19 @@ class Pq4Spec extends AnyFunSuite {
     // the probed-cell union is the candidate stage's own selection
     val cells = Pq.probedCells(ivf4.coarse, queries, nprobe = 4)
     assert(cells.nonEmpty && cells.length <= 8 && cells.sameElements(cells.sorted))
+  }
+
+  test("clustered-refine REJECTS a mismatched coarse quantizer at runtime") {
+    // a clustered table built under a different nlist partitions by a
+    // different assignment — pruning against it would silently drop
+    // candidates, so the call must fail loudly instead
+    val otherIdx = Ivf.buildOrGet(spark, base, s"$dir|pq4spec_mismatch",
+      nlist = 4, ntrain = 500)
+    val e = intercept[IllegalArgumentException] {
+      Pq.searchFastScanIvfRefinedClustered(otherIdx, ivf4, queries,
+        nprobe = 4, k = 10, refineK = 50)
+    }
+    assert(e.getMessage.contains("coarse quantizer"))
   }
 
   test("in-process serve (searchLocalIvf4) == the Spark refined path, exactly") {
