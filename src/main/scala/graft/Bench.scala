@@ -66,6 +66,31 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Healthy-box calibration reference: midpoint of the ~0.156–0.166 s
+    * band the r13 five-run same-code ladder established for [[calibrate]]
+    * on this box. `calib_factor = mean(cal0, cal1) / calibRef` is the
+    * box-speed multiplier of a sweep; normalized values divide it out so
+    * cross-round ratios are mechanical instead of prose adjudication
+    * (r13's 34.17 s artifact was a 1.24–1.61× slow box over the same code
+    * that read 26.96 s fresh-booted).
+    */
+  private val calibRef = 0.161
+
+  /** Workload versions: bump a key whenever its MEASURED WORK intentionally
+    * changes (operating-point parameters, algorithm flavor, fixture), so a
+    * cross-round per-query ratio on mismatched versions is mechanically
+    * non-comparable instead of a bench-ledger footnote. History:
+    *  - a13_pq4_ivf: v2 r12 (refineK 50→100), v3 r13 (clustered-pruned
+    *    refine fetch — like-for-like twin measured 1.14→0.98 s).
+    *  - d13_semantic_dedup: v2 r13 (single-assign plan sourcing the IVF
+    *    clustered table — zero assignment kernels in the fixture plan).
+    * Unlisted keys are v1 (work unchanged since the key appeared).
+    */
+  private val workloadVersion: Map[String, Int] = Map(
+    "a13_pq4_ivf" -> 3,
+    "d13_semantic_dedup" -> 2
+  ).withDefaultValue(1)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -140,10 +165,15 @@ object Bench {
       if (d.isNaN || d.isInfinite) "null" else f"$d%.6f"
     def j4(d: Double): String =
       if (d.isNaN || d.isInfinite) "null" else f"$d%.4f"
+    // 3 decimals (1 ms) for the machine line's per-query medians: the
+    // fastest keys are ~0.1 s, and the ~65-key map must leave the
+    // ~2000-byte tail window room for the calib/normalization block
+    def j3(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
     val medians = results.map { case (name, s) =>
       name -> (if (s.isEmpty) -1.0 else s.sorted.apply(s.length / 2))
     }
-    val qs = medians.map { case (k, v) => s""""$k":${j4(v)}""" }.mkString("{", ",", "}")
+    val qs = medians.map { case (k, v) => s""""$k":${j3(v)}""" }.mkString("{", ",", "}")
     val stats = results.collect { case (name, s) if s.nonEmpty =>
       val st = LatencyStats.ofLatencies(s)
       val bw = name match {
@@ -162,14 +192,33 @@ object Bench {
     }.mkString("{", ",", "}")
     val cal1 = calibrate(cpus.toInt)
     val total = medians.map(_._2).filter(_ >= 0).sum
+    // Box-speed factor and its normalization: divide the box multiplier
+    // out of the totals so cross-round comparison is mechanical. The
+    // factor is the sweep-mean calibration over the healthy-band
+    // reference; a sweep that DEGRADES mid-run (r13: 0.194 → 0.2511)
+    // still shows in the calib pair itself.
+    val calibFactor = (cal0 + cal1) / 2.0 / calibRef
+    val normTotal = total / calibFactor
     // Compact machine line: total + per-query medians (+ the two-point
-    // box calibration). Must stay well under the driver's ~2000-byte tail
-    // window (with sbt's trailing "[success]" line inside the same window).
-    val calJ = s""""calib":[${j4(cal0)},${j4(cal1)}]"""
+    // box calibration, its factor over the healthy-band reference, the
+    // factor-normalized total, and the non-v1 workload tags). Must stay
+    // well under the driver's ~2000-byte tail window (with sbt's trailing
+    // "[success]" line inside the same window).
+    val calJ = s""""calib":[${j4(cal0)},${j4(cal1)}],"calib_ref":${j4(calibRef)},""" +
+      s""""calib_factor":${j4(calibFactor)},"norm_total":${j4(normTotal)}"""
+    val wlCompact = selected.map(_._1).filter(workloadVersion(_) != 1)
+      .map(n => s""""$n":${workloadVersion(n)}""").mkString("{", ",", "}")
     val machineLine =
-      s"""{"metric":"total","value":${j4(total)},"unit":"sec",$calJ,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j4(total)},"unit":"sec",$calJ,"wl":$wlCompact,"queries":$qs,"sf":"$sfDir"}"""
+    // full artifact: per-query medians at full precision, their
+    // calib-normalized twins, and every workload tag
+    val qs4 = medians.map { case (k, v) => s""""$k":${j4(v)}""" }.mkString("{", ",", "}")
+    val qsNorm = medians.map { case (k, v) =>
+      s""""$k":${j4(if (v >= 0) v / calibFactor else v)}""" }.mkString("{", ",", "}")
+    val wlFull = selected.map { case (n, _) =>
+      s""""$n":${workloadVersion(n)}""" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec",$calJ,"queries":$qs,"stats":$stats,"n_vectors":$nVec,"dim":$dim,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec",$calJ,"queries":$qs4,"queries_norm":$qsNorm,"workload":$wlFull,"stats":$stats,"n_vectors":$nVec,"dim":$dim,"sf":"$sfDir"}"""
     // subset runs are a dev aid — never let them clobber the full artifact
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
