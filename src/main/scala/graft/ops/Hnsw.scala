@@ -40,6 +40,16 @@ import graft.functions.expressions.{Simd, VectorKernels}
   */
 object Hnsw {
 
+  /** Leading cache lines (64 B each) of the NEXT distance tile's rows to
+    * touch while the current tile computes — the serve walk's software
+    * prefetch stand-in (see the serve expansion in searchLayer). 0
+    * disables touching. Value-neutral by construction (the touches are
+    * pure loads into a blackhole); tunable live for A/B probing
+    * (ServeProbe sweeps it), default from `-Dgraft.hnsw.touchLines`.
+    */
+  @volatile private[graft] var touchLines: Int =
+    java.lang.Integer.getInteger("graft.hnsw.touchLines", 24)
+
   /** splitmix64 finalizer — the repo-standard seeded hash (same shape as
     * `SyntheticVectors.uLocal`).
     */
@@ -212,15 +222,54 @@ object Hnsw {
       s.nv
     }
 
-    /** Trim the packed store to its exact used size — call once after the
-      * last insert. The doubling growth leaves up to 2x retained waste per
-      * graph, which across a 1024-shard cached build is gigabytes (a 3M
-      * routed build OOMed on exactly this before the trim existed); after
-      * freeze() the retained footprint is BELOW the old row-array layout
-      * (no per-row object headers).
+    // Layer-0 adjacency in CSR form, built once at freeze(): the serve
+    // walk's beam expansion reads l0adj(l0off(i) until l0off(i+1)) instead
+    // of links(i)(0) — one flat primitive array instead of a ragged
+    // Array[Array[Array[Int]]] triple indirection. Per hop that removes
+    // two dependent pointer-chases (outer-array element load → per-node
+    // layer array → per-layer neighbor object) whose cache misses, not
+    // the distance kernels, dominated the serve walk (r13 attribution:
+    // facc bought ~20 %, layout ~0 — the residual vs hnswlib's 208 µs is
+    // bookkeeping). Values and iteration order are IDENTICAL to the
+    // ragged path, so traversal — and every result — is bit-identical
+    // (HnswSpec local==warm + determinism gates ride on it).
+    private var l0off: Array[Int] = null
+    private var l0adj: Array[Int] = null
+
+    /** Trim the packed store to its exact used size and snapshot the
+      * layer-0 CSR — call once after the last insert. The doubling growth
+      * leaves up to 2x retained waste per graph, which across a
+      * 1024-shard cached build is gigabytes (a 3M routed build OOMed on
+      * exactly this before the trim existed); after freeze() the retained
+      * footprint is BELOW the old row-array layout (no per-row object
+      * headers).
       */
-    def freeze(): Unit =
+    def freeze(): Unit = {
       if (flat.length > flatLen) flat = java.util.Arrays.copyOf(flat, flatLen)
+      var total = 0L
+      var i = 0
+      while (i < n) { total += links(i)(0).length; i += 1 }
+      if (total <= Int.MaxValue - 8) {
+        val off = new Array[Int](n + 1)
+        val adj = new Array[Int](total.toInt)
+        var p = 0
+        i = 0
+        while (i < n) {
+          off(i) = p
+          val nb = links(i)(0)
+          System.arraycopy(nb, 0, adj, p, nb.length)
+          p += nb.length
+          i += 1
+        }
+        off(n) = p
+        l0off = off; l0adj = adj
+      }
+    }
+
+    /** Measurement hook ([[graft.tools.ServeProbe]] A/B): drop the CSR so
+      * the walk falls back to the ragged-links path; freeze() restores it.
+      */
+    private[graft] def dropCsr(): Unit = { l0off = null; l0adj = null }
 
     /** Pre-size the packed store (exact total known up front in
       * [[buildShard]]) — no doubling transients during the build.
@@ -383,6 +432,9 @@ object Hnsw {
       var td = new Array[Double](8)
       // node-to-node distance view buffer (see nodeVec)
       var nv = new Array[Float](0)
+      // serve expansion: gathered-unvisited buffer + touch blackhole
+      var gat = new Array[Int](64)
+      var sink = 0.0
     }
     private val scratchTL = new ThreadLocal[Scratch] {
       override def initialValue(): Scratch = new Scratch
@@ -396,6 +448,11 @@ object Hnsw {
                             facc: Boolean = false): Int = {
       s.reset(n)
       val useTile = tiled(q)
+      // post-freeze layer-0 expansion reads the flat CSR — same neighbor
+      // values in the same order as the ragged path, so admissions and
+      // traversal are bit-identical; only the load chain is shorter
+      val csr = layer == 0 && l0adj != null
+      val adj = l0adj; val off = l0off
       val d0 = distX(q, ep, facc)
       s.cPush(d0, ep); s.rPush(d0, ep); s.visit(ep)
       var stop = false
@@ -404,9 +461,86 @@ object Hnsw {
         if (s.popD > s.rd(0) && s.rn >= ef) {
           stop = true // every remaining candidate is even farther
         } else {
-          val nbrs = links(s.popI)(layer)
+          val nbrs = if (csr) null else links(s.popI)(layer)
+          val nb0 = if (csr) off(s.popI) else 0
+          val nbN = if (csr) off(s.popI + 1) - nb0 else nbrs.length
           var i = 0
-          if (useTile) {
+          if (useTile && csr) {
+            // SERVE expansion (post-freeze only — builds never reach it):
+            // gather every unvisited neighbor first, then compute in
+            // 4-row tiles with the NEXT tile's leading cache lines
+            // touched while the current tile computes — a software
+            // prefetch stand-in (the JVM has no prefetch intrinsic; a
+            // live blackhole load is the closest legal form). Admissions
+            // run in gather order on bitwise-identical values, so
+            // traversal — and every result — matches the interleaved
+            // path exactly (ServeProbe gates the equality per run).
+            if (s.gat.length < nbN)
+              s.gat = new Array[Int](math.max(nbN, s.gat.length * 2))
+            var gn = 0
+            while (i < nbN) {
+              val e = adj(nb0 + i)
+              if (!s.visited(e)) { s.visit(e); s.gat(gn) = e; gn += 1 }
+              i += 1
+            }
+            def admit(d: Double, e: Int): Unit =
+              if (s.rn < ef || d < s.rd(0)) {
+                s.cPush(d, e)
+                s.rPush(d, e)
+                if (s.rn > ef) s.rPopMax()
+              }
+            var bh = 0f
+            // facc's float lanes halve the kernel's compute leg, leaving
+            // no stall window for the touches to hide in — measured, they
+            // only contend for load ports there (ServeProbe r14: facc+t8
+            // 620-656 µs vs facc+t0 441-533), so the touch pipeline is
+            // contract-path-only
+            val tl = if (facc) 0 else touchLines
+            def touch(from: Int): Unit = {
+              var u = from
+              val un = math.min(from + 4, gn)
+              while (u < un) {
+                val o = offs(s.gat(u))
+                var l = 0
+                while (l < tl && l * 16 < dimU) { bh += flat(o + l * 16); l += 1 }
+                u += 1
+              }
+            }
+            // two-tile-deep touch pipeline: prime tiles 0 and 1, then each
+            // iteration touches tile b/4+2 while tile b/4 computes — every
+            // row's lines are in flight ~2 kernel calls before they're read
+            if (tl > 0) { touch(0); touch(4) }
+            var b = 0
+            while (b + 3 <= gn) { // full or once-padded tile (≤1/4 waste)
+              if (tl > 0) touch(b + 8)
+              val e1 = s.gat(b + 1)
+              val e2 = if (b + 2 < gn) s.gat(b + 2) else e1
+              val e3 = if (b + 3 < gn) s.gat(b + 3) else e1
+              dist4X(q, s.gat(b), e1, e2, e3, s.tout, facc)
+              // padded lanes recompute a real row — bitwise-identical per
+              // lane, discarded below; keep the eval counter honest
+              val real = math.min(4, gn - b)
+              evals -= 4 - real
+              admit(s.tout(0), s.gat(b)); admit(s.tout(1), e1)
+              if (b + 2 < gn) admit(s.tout(2), e2)
+              if (b + 3 < gn) admit(s.tout(3), e3)
+              b += 4
+            }
+            while (b < gn) { admit(distX(q, s.gat(b), facc), s.gat(b)); b += 1 }
+            // cross-expansion prefetch: after this expansion's admissions,
+            // cd(0) IS the next pop (cPop takes the heap min), so its
+            // adjacency line and first neighbor-row heads are known now —
+            // touch them so the next expansion's serial head (adjacency
+            // load → first rows) is already in flight
+            if (tl > 0 && s.cn > 0) {
+              val nx = s.ci(0)
+              val ao = off(nx)
+              val ae = math.min(ao + 4, off(nx + 1))
+              var z = ao
+              while (z < ae) { bh += flat(offs(adj(z))); z += 1 }
+            }
+            s.sink += bh
+          } else if (useTile) {
             // gather unvisited neighbors 4 at a time through the tiled
             // kernel; admission runs sequentially on the same values in
             // the same order, so traversal is unchanged
@@ -417,8 +551,8 @@ object Hnsw {
                 s.rPush(d, e)
                 if (s.rn > ef) s.rPopMax()
               }
-            while (i < nbrs.length) {
-              val e = nbrs(i)
+            while (i < nbN) {
+              val e = if (csr) adj(nb0 + i) else nbrs(i)
               if (!s.visited(e)) {
                 s.visit(e)
                 s.ti(tn) = e
@@ -435,8 +569,8 @@ object Hnsw {
             var j = 0
             while (j < tn) { admit(distX(q, s.ti(j), facc), s.ti(j)); j += 1 }
           } else {
-            while (i < nbrs.length) {
-              val e = nbrs(i)
+            while (i < nbN) {
+              val e = if (csr) adj(nb0 + i) else nbrs(i)
               if (!s.visited(e)) {
                 s.visit(e)
                 val d = distX(q, e, facc)
@@ -506,6 +640,7 @@ object Hnsw {
       */
     def insert(id: Long, vec: Array[Float]): Unit = {
       grow()
+      l0off = null; l0adj = null // a post-freeze insert invalidates the CSR
       val idx = n
       val lvl = levelOf(id, seed, mL)
       require(flatLen.toLong + vec.length <= Int.MaxValue - 8,
