@@ -14,15 +14,24 @@ import graft.ops.{Hnsw, Metric, Pq}
   * {{{
   *   SELECT * FROM graft_ann_search('docs', 'my_queries', 10, 8, 100)
   *   SELECT * FROM graft_ann_search_hnsw('docs', 'my_queries', 10, 64)
+  *   SELECT * FROM graft_ann_search_filtered('docs', 'my_queries', 10,
+  *                                           'label < 5')
   * }}}
   *
   * where `'docs'` names an index registered via [[registerIndex]] /
   * [[registerHnsw]] and `'my_queries'` is any view with (qid long,
   * qvec array<float>) — returning (qid, id, score, rank) exactly as the
-  * Scala path does (SqlSurfaceSpec pins both equalities). The second
+  * Scala path does (SqlSurfaceSpec pins the equalities). The second
   * TVF resolves to the ROUTED sharded-HNSW plan ([[Hnsw.searchRouted]],
   * the a11-pinned 100 TB serving flavor); the first to the IVF-fastscan
-  * + exact-refine plan.
+  * + exact-refine plan; the third composes a metadata predicate with the
+  * search through [[graft.ops.FilteredSearch.auto]]'s chooser (the
+  * "nearest neighbors WHERE lang='en'" form) — tiny match sets route to
+  * the exact filtered scan, everything else to the widened-probe
+  * IVF-fastscan flavor over the registered index. Its predicate argument
+  * is an ANSI boolean expression over the index's BASE columns, parsed
+  * with the session's own parser at analysis time, so a malformed
+  * predicate fails the outer statement's analysis, not its execution.
   *
   * Shape notes:
   *  - The TVF builder resolves at ANALYSIS time: it reads the literal
@@ -116,14 +125,16 @@ object AnnSql {
     hnswIndexes.keySet().removeIf(_.startsWith(prefix))
   }
 
-  /** Register the `graft_ann_search` / `graft_ann_search_hnsw` table
-    * functions in this session.
+  /** Register the `graft_ann_search` / `graft_ann_search_hnsw` /
+    * `graft_ann_search_filtered` table functions in this session.
     */
   def register(spark: SparkSession): Unit = {
     Bridge.tableFunctionRegistry(spark).createOrReplaceTempFunction(
       "graft_ann_search", es => build(spark, es), "built-in")
     Bridge.tableFunctionRegistry(spark).createOrReplaceTempFunction(
       "graft_ann_search_hnsw", es => buildHnsw(spark, es), "built-in")
+    Bridge.tableFunctionRegistry(spark).createOrReplaceTempFunction(
+      "graft_ann_search_filtered", es => buildFiltered(spark, es), "built-in")
   }
 
   private def lit(e: Expression, fn: String, what: String): Any = {
@@ -193,6 +204,45 @@ object AnnSql {
     val (idx, base) = entry
     val qs = queriesArg(spark, es(1), "graft_ann_search")
     Pq.searchFastScanIvfRefined(base, idx, qs, nprobe, k, refineK)
+      .queryExecution.logical
+  }
+
+  /** `graft_ann_search_filtered(index_name, queries_view | query_array,
+    * k, predicate_sql[, nprobe, refine_k, exact_threshold])` — resolves
+    * to [[graft.ops.FilteredSearch.auto]]'s plan over the registered
+    * IVF-fastscan index: the one selectivity aggregate runs at analysis
+    * time (plan-construction eagerness, like the probe/route computation
+    * of the sibling TVFs), and the chooser routes matching sets ≤
+    * exact_threshold to the exact filtered scan, everything else to the
+    * widened pq4 probe + filtered refine.
+    */
+  private def buildFiltered(spark: SparkSession,
+                            es: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ann_search_filtered"
+    require(es.length >= 4 && es.length <= 7,
+      s"$fn(index_name, queries_view | query_array, k, predicate_sql" +
+        "[, nprobe, refine_k, exact_threshold])")
+    val name = strArg(es.head, fn, "index_name")
+    val k = intArg(es(2), fn, "k")
+    val predSql = strArg(es(3), fn, "predicate_sql")
+    val nprobe = if (es.length >= 5) intArg(es(4), fn, "nprobe") else 8
+    val refineK = if (es.length >= 6) intArg(es(5), fn, "refine_k") else 100
+    val exactThreshold =
+      if (es.length >= 7) intArg(es(6), fn, "exact_threshold").toLong
+      else 100000L
+    val entry = indexes.get(key(spark, name))
+    if (entry == null) {
+      throw new IllegalArgumentException(
+        s"$fn: no index '$name' registered in this session " +
+          s"(registered: ${knownNames(indexes, spark)}) — call " +
+          "AnnSql.registerIndex(spark, name, idx, base) first")
+    }
+    val (idx, base) = entry
+    val qs = queriesArg(spark, es(1), fn)
+    graft.ops.FilteredSearch.auto(base,
+      org.apache.spark.sql.functions.expr(predSql), qs, k,
+      exactThreshold = exactThreshold, pq4Index = Some((idx, nprobe)),
+      pq4RefineK = refineK)
       .queryExecution.logical
   }
 

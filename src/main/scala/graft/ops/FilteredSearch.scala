@@ -167,6 +167,7 @@ object FilteredSearch {
            exactThreshold: Long = 100000, hnswShards: Int = 8,
            cacheKey: String = "",
            pq4Index: Option[(Pq.Index, Int)] = None,
+           pq4RefineK: Int = 100,
            idCol: String = "id", vecCol: String = "vec"): DataFrame = {
     val r = base.agg(count(lit(1)), count(when(pred, 1))).head()
     val total = r.getLong(0)
@@ -176,7 +177,7 @@ object FilteredSearch {
       exact(base, pred, queries, k, metric, idCol, vecCol)
     else (pq4Index, ivfIndex) match {
       case (Some((idx, nprobe)), _) =>
-        pq4(base, pred, queries, idx, nprobe, k,
+        pq4(base, pred, queries, idx, nprobe, k, refineK = pq4RefineK,
           selectivity = s, idCol = idCol, vecCol = vecCol)
       case (None, Some((assigned, centroids, nprobe))) =>
         ivf(assigned, pred, queries, centroids, nprobe, k, metric,

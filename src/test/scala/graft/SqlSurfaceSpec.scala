@@ -67,6 +67,50 @@ class SqlSurfaceSpec extends AnyFunSuite {
       s"error should name the registered indexes: ${err.getMessage}")
   }
 
+  test("graft_ann_search_filtered TVF == FilteredSearch.auto, exactly") {
+    import graft.functions.AnnSql
+    import graft.ops.{FilteredSearch, Pq}
+    // base keeps the metadata column the predicate filters on (a10's shape)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    val m4 = base.select(size(col("vec")).as("d")).head().getInt(0) / 4
+    val idx = Pq.buildOrGetIvf4(spark, base, s"$dir|sqlfiltered", nlist = 8,
+      m4 = m4, ntrain = 500)
+    AnnSql.registerIndex(spark, "emb_fidx", idx, base)
+    val qs = base.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    qs.createOrReplaceTempView("f_queries")
+    // default threshold: the fixture's match set is tiny → exact route
+    // (the a10-pinned semantics)
+    val sql = spark.sql(
+      "SELECT * FROM graft_ann_search_filtered('emb_fidx', 'f_queries', 10, 'label < 5')")
+      .collect().map(_.toSeq).toSet
+    val viaAuto = FilteredSearch.auto(base, col("label") < 5, qs, k = 10,
+      pq4Index = Some((idx, 8)))
+      .collect().map(_.toSeq).toSet
+    assert(sql == viaAuto, "filtered TVF diverged from FilteredSearch.auto")
+    // exact_threshold=0 forces the widened-pq4 route; still == auto
+    val sqlPq = spark.sql(
+      "SELECT * FROM graft_ann_search_filtered('emb_fidx', 'f_queries', 10, " +
+        "'label < 5', 4, 50, 0)")
+      .collect().map(_.toSeq).toSet
+    val viaAutoPq = FilteredSearch.auto(base, col("label") < 5, qs, k = 10,
+      exactThreshold = 0L, pq4Index = Some((idx, 4)), pq4RefineK = 50)
+      .collect().map(_.toSeq).toSet
+    assert(sqlPq == viaAutoPq, "filtered TVF (pq4 route) diverged from auto")
+    assert(sqlPq.nonEmpty)
+    // every returned id satisfies the predicate
+    val allowed = base.filter(col("label") < 5).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sqlPq.forall(r => allowed.contains(r(1).asInstanceOf[Long])))
+    // a malformed predicate fails the statement's ANALYSIS, not execution
+    val bad = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_ann_search_filtered('emb_fidx', 'f_queries', 10, 'no_such_col <')")
+        .collect()
+    }
+    assert(bad != null)
+  }
+
   test("graft_ann_search_hnsw TVF == the Scala routed path, exactly") {
     import graft.functions.AnnSql
     import graft.ops.{Hnsw, Ivf, Metric}
