@@ -1336,4 +1336,186 @@ object Simd {
     while (i < n) { s += a(i).toDouble * a(i).toDouble; i += 1 }
     s
   }
+
+  // ---- ByteBuffer twins (r14 mmap-store spike): the `-Off` kernels with
+  // the stored side read from a (typically mmapped, little-endian) direct
+  // ByteBuffer instead of a heap float array. Accumulation order, lane
+  // interleave and scalar tails are IDENTICAL to the array twins, so
+  // every value is bitwise equal over the same payload — the precision
+  // contract transfers unchanged to an off-heap packed store. `boff` is
+  // a FLOAT offset like the array twins'; byte position = boff * 4.
+
+  private val LE = java.nio.ByteOrder.LITTLE_ENDIAN
+
+  /** [[dotOff]] over a ByteBuffer payload — bitwise twin. */
+  def dotOffBB(a: Array[Float], bb: java.nio.ByteBuffer, boff: Int,
+               n: Int): Double = {
+    var acc0 = DoubleVector.zero(DS)
+    var acc1 = DoubleVector.zero(DS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    val base = boff * 4
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      val vb = FloatVector.fromByteBuffer(FS, bb, base + i * 4, LE)
+      acc0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+        .fma(vb.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], acc0)
+      acc1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+        .fma(vb.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], acc1)
+      i += step
+    }
+    var s = acc0.add(acc1).reduceLanes(VectorOperators.ADD)
+    while (i < n) { s += a(i).toDouble * bb.getFloat(base + i * 4).toDouble; i += 1 }
+    s
+  }
+
+  /** [[l2SqOff]] over a ByteBuffer payload — bitwise twin. */
+  def l2SqOffBB(a: Array[Float], bb: java.nio.ByteBuffer, boff: Int,
+                n: Int): Double = {
+    var acc0 = DoubleVector.zero(DS)
+    var acc1 = DoubleVector.zero(DS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    val base = boff * 4
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromArray(FS, a, i)
+      val vb = FloatVector.fromByteBuffer(FS, bb, base + i * 4, LE)
+      val d0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+        .sub(vb.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+        .sub(vb.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      acc0 = d0.fma(d0, acc0)
+      acc1 = d1.fma(d1, acc1)
+      i += step
+    }
+    var s = acc0.add(acc1).reduceLanes(VectorOperators.ADD)
+    while (i < n) {
+      val d = a(i).toDouble - bb.getFloat(base + i * 4).toDouble
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  /** [[sumSqOff]] over a ByteBuffer payload — bitwise twin. */
+  def sumSqOffBB(bb: java.nio.ByteBuffer, boff: Int, n: Int): Double = {
+    var acc0 = DoubleVector.zero(DS)
+    var acc1 = DoubleVector.zero(DS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    val base = boff * 4
+    var i = 0
+    while (i < upper) {
+      val va = FloatVector.fromByteBuffer(FS, bb, base + i * 4, LE)
+      val v0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+      val v1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+      acc0 = v0.fma(v0, acc0)
+      acc1 = v1.fma(v1, acc1)
+      i += step
+    }
+    var s = acc0.add(acc1).reduceLanes(VectorOperators.ADD)
+    while (i < n) {
+      val d = bb.getFloat(base + i * 4).toDouble; s += d * d; i += 1
+    }
+    s
+  }
+
+  /** [[dot4AtOff]] over a ByteBuffer payload — bitwise twin. */
+  def dot4AtOffBB(a: Array[Float], bb: java.nio.ByteBuffer,
+                  o0: Int, o1: Int, o2: Int, o3: Int, n: Int,
+                  out: Array[Double]): Unit = {
+    var a00 = DoubleVector.zero(DS); var a01 = DoubleVector.zero(DS)
+    var a10 = DoubleVector.zero(DS); var a11 = DoubleVector.zero(DS)
+    var a20 = DoubleVector.zero(DS); var a21 = DoubleVector.zero(DS)
+    var a30 = DoubleVector.zero(DS); var a31 = DoubleVector.zero(DS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    val b0 = o0 * 4; val b1 = o1 * 4; val b2 = o2 * 4; val b3 = o3 * 4
+    var i = 0
+    while (i < upper) {
+      val ib = i * 4
+      val va = FloatVector.fromArray(FS, a, i)
+      val va0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+      val va1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+      val v0 = FloatVector.fromByteBuffer(FS, bb, b0 + ib, LE)
+      a00 = va0.fma(v0.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a00)
+      a01 = va1.fma(v0.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a01)
+      val v1 = FloatVector.fromByteBuffer(FS, bb, b1 + ib, LE)
+      a10 = va0.fma(v1.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a10)
+      a11 = va1.fma(v1.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a11)
+      val v2 = FloatVector.fromByteBuffer(FS, bb, b2 + ib, LE)
+      a20 = va0.fma(v2.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a20)
+      a21 = va1.fma(v2.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a21)
+      val v3 = FloatVector.fromByteBuffer(FS, bb, b3 + ib, LE)
+      a30 = va0.fma(v3.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector], a30)
+      a31 = va1.fma(v3.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector], a31)
+      i += step
+    }
+    var s0 = a00.add(a01).reduceLanes(VectorOperators.ADD)
+    var s1 = a10.add(a11).reduceLanes(VectorOperators.ADD)
+    var s2 = a20.add(a21).reduceLanes(VectorOperators.ADD)
+    var s3 = a30.add(a31).reduceLanes(VectorOperators.ADD)
+    while (i < n) {
+      val ib = i * 4
+      val ad = a(i).toDouble
+      s0 += ad * bb.getFloat(b0 + ib).toDouble
+      s1 += ad * bb.getFloat(b1 + ib).toDouble
+      s2 += ad * bb.getFloat(b2 + ib).toDouble
+      s3 += ad * bb.getFloat(b3 + ib).toDouble
+      i += 1
+    }
+    out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
+  }
+
+  /** [[l2Sq4AtOff]] over a ByteBuffer payload — bitwise twin. */
+  def l2Sq4AtOffBB(a: Array[Float], bb: java.nio.ByteBuffer,
+                   o0: Int, o1: Int, o2: Int, o3: Int, n: Int,
+                   out: Array[Double]): Unit = {
+    var a00 = DoubleVector.zero(DS); var a01 = DoubleVector.zero(DS)
+    var a10 = DoubleVector.zero(DS); var a11 = DoubleVector.zero(DS)
+    var a20 = DoubleVector.zero(DS); var a21 = DoubleVector.zero(DS)
+    var a30 = DoubleVector.zero(DS); var a31 = DoubleVector.zero(DS)
+    val step = FS.length()
+    val upper = FS.loopBound(n)
+    val b0 = o0 * 4; val b1 = o1 * 4; val b2 = o2 * 4; val b3 = o3 * 4
+    var i = 0
+    while (i < upper) {
+      val ib = i * 4
+      val va = FloatVector.fromArray(FS, a, i)
+      val va0 = va.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector]
+      val va1 = va.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector]
+      val v0 = FloatVector.fromByteBuffer(FS, bb, b0 + ib, LE)
+      val d00 = va0.sub(v0.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d01 = va1.sub(v0.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a00 = d00.fma(d00, a00); a01 = d01.fma(d01, a01)
+      val v1 = FloatVector.fromByteBuffer(FS, bb, b1 + ib, LE)
+      val d10 = va0.sub(v1.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d11 = va1.sub(v1.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a10 = d10.fma(d10, a10); a11 = d11.fma(d11, a11)
+      val v2 = FloatVector.fromByteBuffer(FS, bb, b2 + ib, LE)
+      val d20 = va0.sub(v2.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d21 = va1.sub(v2.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a20 = d20.fma(d20, a20); a21 = d21.fma(d21, a21)
+      val v3 = FloatVector.fromByteBuffer(FS, bb, b3 + ib, LE)
+      val d30 = va0.sub(v3.convert(VectorOperators.F2D, 0).asInstanceOf[DoubleVector])
+      val d31 = va1.sub(v3.convert(VectorOperators.F2D, 1).asInstanceOf[DoubleVector])
+      a30 = d30.fma(d30, a30); a31 = d31.fma(d31, a31)
+      i += step
+    }
+    var s0 = a00.add(a01).reduceLanes(VectorOperators.ADD)
+    var s1 = a10.add(a11).reduceLanes(VectorOperators.ADD)
+    var s2 = a20.add(a21).reduceLanes(VectorOperators.ADD)
+    var s3 = a30.add(a31).reduceLanes(VectorOperators.ADD)
+    while (i < n) {
+      val ib = i * 4
+      val ad = a(i).toDouble
+      val e0 = ad - bb.getFloat(b0 + ib).toDouble; s0 += e0 * e0
+      val e1 = ad - bb.getFloat(b1 + ib).toDouble; s1 += e1 * e1
+      val e2 = ad - bb.getFloat(b2 + ib).toDouble; s2 += e2 * e2
+      val e3 = ad - bb.getFloat(b3 + ib).toDouble; s3 += e3 * e3
+      i += 1
+    }
+    out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
+  }
 }

@@ -120,6 +120,56 @@ object VectorKernels {
     else dotOff(a, flat, off, math.min(a.length, n)) / (na * nb)
   }
 
+  // ---- ByteBuffer twins of the `-Off` family (r14 mmap-store spike):
+  // same dispatch (SIMD when linked, scalar twin otherwise), stored side
+  // read from a little-endian ByteBuffer at FLOAT offset `off`. Values
+  // are bitwise equal to the array twins over the same payload.
+
+  /** [[dotOff]] over a ByteBuffer payload — bitwise twin. */
+  def dotOffBB(a: Array[Float], bb: java.nio.ByteBuffer, off: Int,
+               n: Int): Double = {
+    if (simdEnabled && n >= SimdMinLen) return Simd.dotOffBB(a, bb, off, n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a(i).toDouble * bb.getFloat((off + i) * 4).toDouble; i += 1
+    }
+    acc
+  }
+
+  /** [[l2SqOff]] over a ByteBuffer payload — bitwise twin. */
+  def l2SqOffBB(a: Array[Float], bb: java.nio.ByteBuffer, off: Int,
+                n: Int): Double = {
+    if (simdEnabled && n >= SimdMinLen) return Simd.l2SqOffBB(a, bb, off, n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a(i).toDouble - bb.getFloat((off + i) * 4).toDouble
+      acc += d * d; i += 1
+    }
+    acc
+  }
+
+  /** [[sumSqOff]] over a ByteBuffer payload — bitwise twin. */
+  def sumSqOffBB(bb: java.nio.ByteBuffer, off: Int, n: Int): Double = {
+    if (simdEnabled && n >= SimdMinLen) return Simd.sumSqOffBB(bb, off, n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = bb.getFloat((off + i) * 4).toDouble; acc += d * d; i += 1
+    }
+    acc
+  }
+
+  /** [[cosineOff]] over a ByteBuffer payload — bitwise twin. */
+  def cosineOffBB(a: Array[Float], bb: java.nio.ByteBuffer, off: Int,
+                  n: Int): Double = {
+    val na = norm2(a)
+    val nb = math.sqrt(sumSqOffBB(bb, off, n))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dotOffBB(a, bb, off, math.min(a.length, n)) / (na * nb)
+  }
+
   /** Dequantized dot: f32 query · (int8 codes × per-row scale)
     * (`src/simd_dot.cpp:151-213`). Routed through the widen-then-[[dot]]
     * shape so it is bit-identical to the batched `BatchScore.scoresI8`

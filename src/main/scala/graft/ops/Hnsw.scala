@@ -112,7 +112,14 @@ object Hnsw {
       evals += 1
       val nn = math.min(q.length, lens(x))
       val o = offs(x)
-      metric match {
+      if (flatBB != null) metric match {
+        // mmap-backed payload (readStore(mapped = true)): the BB kernel
+        // twins are bitwise-equal over the same bytes, so a mapped graph
+        // returns IDENTICAL results to its on-heap original
+        case Metric.L2     => VectorKernels.l2SqOffBB(q, flatBB, o, nn)
+        case Metric.Dot    => -VectorKernels.dotOffBB(q, flatBB, o, nn)
+        case Metric.Cosine => -VectorKernels.cosineOffBB(q, flatBB, o, lens(x))
+      } else metric match {
         case Metric.L2     => VectorKernels.l2SqOff(q, flat, o, nn)
         case Metric.Dot    => -VectorKernels.dotOff(q, flat, o, nn)
         // cosineOff truncates the dot to min(q.length, n) itself, so pass
@@ -131,7 +138,9 @@ object Hnsw {
       * kernel; the flavor is then a no-op, never an error).
       */
     private def distF(q: Array[Float], x: Int): Double = {
-      if (!VectorKernels.simdEnabled) return dist(q, x)
+      // no float-acc BB kernels: a mapped graph serves facc requests on
+      // the contract path (flavor is a no-op there, never an error)
+      if (flatBB != null || !VectorKernels.simdEnabled) return dist(q, x)
       val nn = math.min(q.length, lens(x))
       evals += 1
       metric match {
@@ -164,7 +173,13 @@ object Hnsw {
                       out: Array[Double]): Unit = {
       evals += 4
       val tn = math.min(q.length, dimU)
-      metric match {
+      if (flatBB != null) metric match {
+        case Metric.L2 =>
+          Simd.l2Sq4AtOffBB(q, flatBB, offs(i0), offs(i1), offs(i2), offs(i3), tn, out)
+        case _ =>
+          Simd.dot4AtOffBB(q, flatBB, offs(i0), offs(i1), offs(i2), offs(i3), tn, out)
+          out(0) = -out(0); out(1) = -out(1); out(2) = -out(2); out(3) = -out(3)
+      } else metric match {
         case Metric.L2 =>
           Simd.l2Sq4AtOff(q, flat, offs(i0), offs(i1), offs(i2), offs(i3), tn, out)
         case _ =>
@@ -179,6 +194,7 @@ object Hnsw {
       */
     private def dist4F(q: Array[Float], i0: Int, i1: Int, i2: Int, i3: Int,
                        out: Array[Double]): Unit = {
+      if (flatBB != null) { dist4(q, i0, i1, i2, i3, out); return }
       evals += 4
       val tn = math.min(q.length, dimU)
       metric match {
@@ -236,6 +252,14 @@ object Hnsw {
     private var l0off: Array[Int] = null
     private var l0adj: Array[Int] = null
 
+    // Off-heap payload (readStore(mapped = true)): when set, the vector
+    // rows live in an mmapped little-endian file region instead of
+    // `flat`, read through the bitwise-equal BB kernel twins. Zero heap
+    // residency for the payload (no GC pressure under sustained serve;
+    // page cache shared across JVMs mapping the same store). Mapped
+    // graphs are read-only.
+    private var flatBB: java.nio.ByteBuffer = null
+
     /** Trim the packed store to its exact used size and snapshot the
       * layer-0 CSR — call once after the last insert. The doubling growth
       * leaves up to 2x retained waste per graph, which across a
@@ -270,6 +294,133 @@ object Hnsw {
       * the walk falls back to the ragged-links path; freeze() restores it.
       */
     private[graft] def dropCsr(): Unit = { l0off = null; l0adj = null }
+
+    /** Serialize this graph to `file`: a header (construction params +
+      * structure: ids/offs/lens/levels/links) followed by the packed
+      * float payload as raw little-endian bytes at an offset recorded in
+      * the 12-byte prefix — so [[Hnsw.readStore]] can either stream the
+      * payload onto the heap or mmap it in place. This is the build-once /
+      * warm-in-seconds artifact: replaying the deterministic build costs
+      * the full construction wall (383 s at 500K); loading the store costs
+      * I/O only.
+      */
+    def writeStore(file: String): Unit = {
+      require(flatBB == null, "writeStore from a mapped graph is redundant" +
+        " — the store file it was mapped from already exists")
+      val head = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(head)
+      out.writeInt(m); out.writeInt(efC); out.writeLong(seed)
+      out.writeUTF(metric.toString)
+      out.writeInt(n); out.writeInt(entry)
+      out.writeInt(dimU); out.writeBoolean(uniform)
+      var i = 0
+      while (i < n) {
+        out.writeLong(ids(i)); out.writeInt(offs(i))
+        out.writeInt(lens(i)); out.writeInt(levels(i))
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        val ls = links(i)
+        out.writeInt(ls.length)
+        ls.foreach { nb => out.writeInt(nb.length); nb.foreach(out.writeInt) }
+        i += 1
+      }
+      out.writeInt(flatLen)
+      out.flush()
+      val hdr = head.toByteArray
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(file),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        val prefix = java.nio.ByteBuffer.allocate(12)
+        prefix.putInt(0x47465448) // "GFTH"
+        prefix.putInt(1)
+        prefix.putInt(hdr.length)
+        prefix.flip()
+        ch.write(prefix)
+        ch.write(java.nio.ByteBuffer.wrap(hdr))
+        val chunk = java.nio.ByteBuffer.allocateDirect(1 << 20)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var p = 0
+        while (p < flatLen) {
+          chunk.clear()
+          val take = math.min(flatLen - p, chunk.capacity / 4)
+          chunk.asFloatBuffer().put(flat, p, take)
+          chunk.limit(take * 4)
+          ch.write(chunk)
+          p += take
+        }
+      } finally ch.close()
+    }
+
+    /** Fill structure fields from a parsed store header (see
+      * [[Hnsw.readStore]] — m/efC/seed/metric were already consumed to
+      * construct this instance), then attach the payload: streamed onto
+      * the heap, or mapped read-only in place.
+      */
+    private[Hnsw] def loadFrom(in: java.io.DataInputStream,
+                               ch: java.nio.channels.FileChannel,
+                               payloadOff: Long, mapped: Boolean): Unit = {
+      n = in.readInt(); entry = in.readInt()
+      dimU = in.readInt(); uniform = in.readBoolean()
+      cap = math.max(n, 1)
+      ids = new Array[Long](cap); offs = new Array[Int](cap)
+      lens = new Array[Int](cap); levels = new Array[Int](cap)
+      links = new Array[Array[Array[Int]]](cap)
+      var i = 0
+      while (i < n) {
+        ids(i) = in.readLong(); offs(i) = in.readInt()
+        lens(i) = in.readInt(); levels(i) = in.readInt()
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        val nl = in.readInt()
+        val ls = new Array[Array[Int]](nl)
+        var l = 0
+        while (l < nl) {
+          val deg = in.readInt()
+          val nb = new Array[Int](deg)
+          var j = 0
+          while (j < deg) { nb(j) = in.readInt(); j += 1 }
+          ls(l) = nb
+          l += 1
+        }
+        links(i) = ls
+        i += 1
+      }
+      flatLen = in.readInt()
+      if (mapped) {
+        flat = Array.emptyFloatArray
+        flatBB = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
+          payloadOff, flatLen.toLong * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      } else {
+        flat = new Array[Float](flatLen)
+        val chunk = java.nio.ByteBuffer.allocateDirect(1 << 20)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        ch.position(payloadOff)
+        var p = 0
+        while (p < flatLen) {
+          chunk.clear()
+          val want = math.min(flatLen - p, chunk.capacity / 4)
+          chunk.limit(want * 4)
+          var got = 0
+          while (got < want * 4) {
+            val r = ch.read(chunk)
+            require(r > 0, "truncated graph store payload")
+            got += r
+          }
+          chunk.flip()
+          chunk.asFloatBuffer().get(flat, p, want)
+          p += want
+        }
+      }
+      freeze() // rebuild the layer-0 CSR for the serve walk
+    }
 
     /** Pre-size the packed store (exact total known up front in
       * [[buildShard]]) — no doubling transients during the build.
@@ -502,7 +653,12 @@ object Hnsw {
               while (u < un) {
                 val o = offs(s.gat(u))
                 var l = 0
-                while (l < tl && l * 16 < dimU) { bh += flat(o + l * 16); l += 1 }
+                if (flatBB == null)
+                  while (l < tl && l * 16 < dimU) { bh += flat(o + l * 16); l += 1 }
+                else
+                  while (l < tl && l * 16 < dimU) {
+                    bh += flatBB.getFloat((o + l * 16) * 4); l += 1
+                  }
                 u += 1
               }
             }
@@ -537,7 +693,10 @@ object Hnsw {
               val ao = off(nx)
               val ae = math.min(ao + 4, off(nx + 1))
               var z = ao
-              while (z < ae) { bh += flat(offs(adj(z))); z += 1 }
+              if (flatBB == null)
+                while (z < ae) { bh += flat(offs(adj(z))); z += 1 }
+              else
+                while (z < ae) { bh += flatBB.getFloat(offs(adj(z)) * 4); z += 1 }
             }
             s.sink += bh
           } else if (useTile) {
@@ -639,6 +798,8 @@ object Hnsw {
       * reproducible graphs — [[buildShard]] guarantees it.
       */
     def insert(id: Long, vec: Array[Float]): Unit = {
+      require(flatBB == null, "mapped graphs are read-only — readStore " +
+        "with mapped=false to get an insertable on-heap copy")
       grow()
       l0off = null; l0adj = null // a post-freeze insert invalidates the CSR
       val idx = n
@@ -774,6 +935,85 @@ object Hnsw {
                                 efC: Int, seed: Long,
                                 metric: Metric): ShardGraph =
     buildShard(rows, m, efC, seed, metric)
+
+  /** Load a graph store written by [[ShardGraph.writeStore]]. With
+    * `mapped = true` the float payload stays OFF-HEAP (an mmapped
+    * read-only region served through bitwise-equal BB kernel twins —
+    * results identical, zero payload heap residency, page cache shared
+    * across JVMs); otherwise it streams onto the heap, byte-identical to
+    * the graph that was saved. Either way the warm cost is I/O, not the
+    * deterministic rebuild (383 s at 500K×384d).
+    */
+  def readStore(file: String, mapped: Boolean = false): ShardGraph = {
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(file), java.nio.file.StandardOpenOption.READ)
+    try {
+      val prefix = java.nio.ByteBuffer.allocate(12)
+      while (prefix.hasRemaining && ch.read(prefix) > 0) {}
+      prefix.flip()
+      require(prefix.getInt() == 0x47465448, s"$file: not a graft graph store")
+      require(prefix.getInt() == 1, s"$file: unknown graph store version")
+      val hdrLen = prefix.getInt()
+      val hdrBuf = java.nio.ByteBuffer.allocate(hdrLen)
+      while (hdrBuf.hasRemaining && ch.read(hdrBuf) > 0) {}
+      require(!hdrBuf.hasRemaining, s"$file: truncated graph store header")
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(hdrBuf.array()))
+      val m = in.readInt(); val efC = in.readInt(); val seed = in.readLong()
+      val metric = in.readUTF() match {
+        case "Dot" => Metric.Dot
+        case "Cosine" => Metric.Cosine
+        case "L2" => Metric.L2
+        case other => throw new IllegalArgumentException(
+          s"$file: unknown metric '$other'")
+      }
+      val g = new ShardGraph(m, efC, seed, metric)
+      g.loadFrom(in, ch, 12L + hdrLen, mapped)
+      g
+    } finally ch.close()
+  }
+
+  /** Persist every warmed shard graph under `cacheKey` to `dir` (one
+    * store file per shard, its cache key embedded in a manifest line) —
+    * the executor-warm artifact: a serving JVM restores the whole group
+    * with [[warmFromDisk]] in I/O time instead of replaying the build.
+    * Returns the number of shards written.
+    */
+  def saveWarmed(cacheKey: String, dir: String): Int = {
+    val group = shardGroupIfPresent(cacheKey).getOrElse(
+      throw new IllegalStateException(
+        s"no warmed hnsw graphs under '$cacheKey' to save"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val manifest = new StringBuilder
+    var i = 0
+    group.forEach { (key, g) =>
+      val f = s"shard_$i.graph"
+      g.writeStore(s"$dir/$f")
+      manifest.append(key).append('\t').append(f).append('\n')
+      i += 1
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/MANIFEST"), manifest.toString)
+    i
+  }
+
+  /** Restore a shard group saved by [[saveWarmed]] into this JVM's graph
+    * cache under `cacheKey` — after this, [[searchWarm]]/[[searchLocal]]
+    * serve exactly as if the graphs had been built here ([[readStore]]'s
+    * identity guarantee). `mapped = true` keeps every payload off-heap.
+    * Returns the number of shards restored.
+    */
+  def warmFromDisk(cacheKey: String, dir: String,
+                   mapped: Boolean = false): Int = {
+    val lines = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/MANIFEST")).split('\n').filter(_.nonEmpty)
+    val group = shardGroup(cacheKey)
+    lines.foreach { line =>
+      val Array(key, f) = line.split('\t')
+      group.computeIfAbsent(key, _ => readStore(s"$dir/$f", mapped))
+    }
+    lines.length
+  }
 
   /** Executor-level graph cache: shards are immutable once built, so a
     * non-empty `cacheKey` lets every later query batch (the bench loop,

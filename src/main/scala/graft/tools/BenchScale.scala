@@ -948,6 +948,29 @@ object BenchScale {
           "all_pairs_ratio" -> nCand / (200000.0 * 199999 / 2),
           "nlist" -> nlist.toDouble)
       }
+      // the PAPER's keep rule at the same scale point (r14, verdict task
+      // #4): keep the component member farthest from its cluster centroid
+      // (d14-oracle-gated at fixture scale) — the delta vs the min-id row
+      // is one cdist enrichment pass plus a per-component window over
+      // PAIRED rows only, so the cost shape should track the min-id twin
+      runAnn("ann_semantic_dedup_far") {
+        val sub = base.filter(col("id") < 200000)
+          .select(col("id").as("vec_id"), col("vec").as("embedding"))
+        val assigned = Dedup.withCentroidDist(
+          Ivf.assign(sub, idx.centroids, "embedding"), idx.centroids,
+          "embedding").localCheckpoint()
+        val out = Dedup.semanticDedupAssigned(assigned, tau = 0.99,
+          keepRule = "far_from_centroid")
+        val dropped = out.filter(!col("keep")).count().toDouble
+        val nCand = assigned
+          .groupBy("cluster_id").count()
+          .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
+          .head().getLong(0)
+        Map("n" -> 200000.0, "n_dropped" -> dropped,
+          "pairs_checked" -> nCand.toDouble,
+          "all_pairs_ratio" -> nCand / (200000.0 * 199999 / 2),
+          "nlist" -> nlist.toDouble)
+      }
 
       // routed shards: the IVF centroids double as the shard router —
       // probing 32/nlist shards must hold recall while cutting evals
@@ -1239,7 +1262,67 @@ object BenchScale {
           Map("recall" -> Ivf.meanRecall(pred, gt3, k).collect()(0).getDouble(0),
             "route_probe" -> 32.0, "n_vec" -> n3.toDouble)
         }
+        // 3M IN-PROCESS serving points (r14, verdict task #5): both tiers
+        // are pinned at 1M (pq4 ~1.0 ms, routed HNSW ~5.7 ms p50); these
+        // rows close the 1M→3M SERVING slope the way r12/r13 closed the
+        // batch slopes. 256 distinct queries, one timed call each after a
+        // warm pass, reference-interpolated percentiles.
+        val nServe3 = 256
+        val serveQs3 = base3
+          .filter(col("id") >= 100000L && col("id") < 100000L + nServe3)
+          .orderBy("id").select(col("vec")).collect()
+          .map(_.getSeq[Float](0).toArray)
+        def pct3(lat: Array[Double])(p: Double): Double = {
+          val idx = p * (lat.length - 1)
+          val lo = idx.toInt
+          val frac = idx - lo
+          if (lo + 1 < lat.length) lat(lo) * (1 - frac) + lat(lo + 1) * frac
+          else lat(lo)
+        }
+        // (a) routed HNSW in-process: the graphs routed3Key just built,
+        // probed 32/nlist per query — results == the batch ann3m_hnsw
+        // _routed flavor (HnswSpec local==warm), whose recall rides above
+        serveQs3.take(32).foreach { qv =>
+          Hnsw.searchLocal(qv, routed3Key, nlist, k, Metric.Dot, hM, hEfc,
+            efSearch = 64, centroids = idx3.centroids, routeProbe = 32)
+        }
+        val latR3 = serveQs3.map { qv =>
+          val t0 = System.nanoTime()
+          Hnsw.searchLocal(qv, routed3Key, nlist, k, Metric.Dot, hM, hEfc,
+            efSearch = 64, centroids = idx3.centroids, routeProbe = 32)
+          (System.nanoTime() - t0) / 1e3
+        }
+        java.util.Arrays.sort(latR3)
+        annResults("ann3m_hnsw_local_routed") = Map(
+          "p50_us" -> pct3(latR3)(0.50), "p95_us" -> pct3(latR3)(0.95),
+          "p99_us" -> pct3(latR3)(0.99), "avg_us" -> latR3.sum / nServe3,
+          "route_probe" -> 32.0, "n_shards" -> nlist.toDouble,
+          "n_vec" -> n3.toDouble)
+        println(f"[scale] ann3m_hnsw_local_routed p50=${pct3(latR3)(0.5)}%8.1f us  p99=${pct3(latR3)(0.99)}%8.1f us")
         Hnsw.invalidate(routed3Key)
+        // (b) pq4 in-process serve on the nlist=4096 index — the r13
+        // recipe (nlist ∝ corpus) carried into the serving tier; the
+        // refine reads the id-sorted full-precision store, so the serve
+        // p50 tracks nprobe × rows/cell, not the corpus
+        Pq.warmLocalIvf4(spark, ivf43b, "bench3m_ivf4", base3)
+        serveQs3.take(32).foreach { qv =>
+          Pq.searchLocalIvf4(qv, ivf43b, "bench3m_ivf4", nprobe = 8, k = 10,
+            refineK = 100)
+        }
+        val latP3 = serveQs3.map { qv =>
+          val t0 = System.nanoTime()
+          Pq.searchLocalIvf4(qv, ivf43b, "bench3m_ivf4", nprobe = 8, k = 10,
+            refineK = 100)
+          (System.nanoTime() - t0) / 1e3
+        }
+        java.util.Arrays.sort(latP3)
+        annResults("ann3m_pq4_local_serve") = Map(
+          "p50_us" -> pct3(latP3)(0.50), "p95_us" -> pct3(latP3)(0.95),
+          "p99_us" -> pct3(latP3)(0.99), "avg_us" -> latP3.sum / nServe3,
+          "nprobe" -> 8.0, "refine_k" -> 100.0, "nlist" -> 4096.0,
+          "n_vec" -> n3.toDouble)
+        println(f"[scale] ann3m_pq4_local_serve p50=${pct3(latP3)(0.5)}%8.1f us  p99=${pct3(latP3)(0.99)}%8.1f us")
+        Pq.invalidateLocal("bench3m_ivf4")
         gt3.unpersist()
         q3.unpersist()
       }

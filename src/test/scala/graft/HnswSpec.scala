@@ -278,6 +278,48 @@ class HnswSpec extends AnyFunSuite {
       s"invalidate($live) freed ${before - Hnsw.cacheSize} of 4 shard graphs")
   }
 
+  test("graph store round-trips: heap and mapped loads serve identically") {
+    val rows = SyntheticVectors.lowRankFast(spark, 2000, 64, intrinsic = 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val g = Hnsw.probeBuild(rows, m = 8, efC = 64, seed = 42L, Metric.Dot)
+    val qs = rows.take(16).map(_._2)
+    val want = qs.map(g.search(_, 10, 64).toSeq)
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_store").toString
+    g.writeStore(s"$tmp/g.graph")
+    // heap load: byte-identical payload, identical results
+    val heap = Hnsw.readStore(s"$tmp/g.graph")
+    assert(qs.map(heap.search(_, 10, 64).toSeq).sameElements(want),
+      "heap-loaded graph diverged from the original")
+    // mapped load: off-heap payload through the BB kernel twins —
+    // results must still be IDENTICAL (bitwise kernel contract)
+    val mapped = Hnsw.readStore(s"$tmp/g.graph", mapped = true)
+    assert(qs.map(mapped.search(_, 10, 64).toSeq).sameElements(want),
+      "mapped graph diverged from the original")
+    // facc on a mapped graph degrades to the contract path, never errors
+    assert(mapped.search(qs.head, 10, 64, facc = true).toSeq == want.head)
+    // mapped graphs are read-only
+    intercept[IllegalArgumentException] {
+      mapped.insert(99999L, rows.head._2)
+    }
+    // group save/restore: warmFromDisk re-registers under the same keys
+    val key = "store_spec_group"
+    val df = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val warmQ = queries
+    val viaBuild = Hnsw.search(df, warmQ, k = 10, Metric.Dot, m = 8,
+      efConstruction = 64, nShards = 2, cacheKey = key).collect()
+      .map(_.toSeq).toSet
+    val nSaved = Hnsw.saveWarmed(key, s"$tmp/group")
+    assert(nSaved == 2)
+    Hnsw.invalidate(key)
+    assert(Hnsw.warmFromDisk(key, s"$tmp/group", mapped = true) == 2)
+    val viaDisk = Hnsw.searchWarm(warmQ, key, nShards = 2, k = 10,
+      Metric.Dot, m = 8, efConstruction = 64).collect().map(_.toSeq).toSet
+    assert(viaDisk == viaBuild, "disk-restored group diverged from the build")
+    Hnsw.invalidate(key)
+  }
+
   test("self-match: a base vector's own id is its rank-1 hit") {
     // L2 metric: the self pair is distance 0, the unconditional minimum —
     // any miss is a graph reachability bug, not a metric artifact

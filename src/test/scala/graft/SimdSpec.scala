@@ -177,6 +177,55 @@ class SimdSpec extends AnyFunSuite {
       bits(VectorKernels.cosine(a, row)))
   }
 
+  test("ByteBuffer kernels are bitwise twins of the -Off family") {
+    // the mmap-store serve path (r14) reads rows from a little-endian
+    // ByteBuffer; every BB kernel must produce the EXACT bits of the
+    // array twin over the same payload — mapped graphs would otherwise
+    // diverge from the graphs they were saved from
+    val rng2 = new scala.util.Random(13)
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    (1 to 50).foreach { _ =>
+      val n = 16 + rng2.nextInt(685)
+      val a = Array.fill(n)(rng2.nextFloat() * 2 - 1)
+      val pad = rng2.nextInt(7)
+      val flat = Array.fill(pad + 5 * n)(rng2.nextFloat() * 2 - 1)
+      val offs = Array.tabulate(5)(j => pad + j * n)
+      // the exact payload, as a direct little-endian buffer (mmap's shape)
+      val bb = java.nio.ByteBuffer.allocateDirect(flat.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.asFloatBuffer().put(flat)
+      (0 until 5).foreach { j =>
+        assert(bits(Simd.dotOffBB(a, bb, offs(j), n)) ==
+          bits(Simd.dotOff(a, flat, offs(j), n)), s"dotOffBB diverged n=$n")
+        assert(bits(Simd.l2SqOffBB(a, bb, offs(j), n)) ==
+          bits(Simd.l2SqOff(a, flat, offs(j), n)), s"l2SqOffBB diverged n=$n")
+        assert(bits(Simd.sumSqOffBB(bb, offs(j), n)) ==
+          bits(Simd.sumSqOff(flat, offs(j), n)), s"sumSqOffBB diverged n=$n")
+      }
+      val outA = new Array[Double](4); val outB = new Array[Double](4)
+      Simd.dot4AtOff(a, flat, offs(1), offs(2), offs(3), offs(4), n, outA)
+      Simd.dot4AtOffBB(a, bb, offs(1), offs(2), offs(3), offs(4), n, outB)
+      (0 until 4).foreach(j => assert(bits(outA(j)) == bits(outB(j)), "dot4AtOffBB"))
+      Simd.l2Sq4AtOff(a, flat, offs(1), offs(2), offs(3), offs(4), n, outA)
+      Simd.l2Sq4AtOffBB(a, bb, offs(1), offs(2), offs(3), offs(4), n, outB)
+      (0 until 4).foreach(j => assert(bits(outA(j)) == bits(outB(j)), "l2Sq4AtOffBB"))
+    }
+    // scalar dispatch twins (below SimdMinLen) including cosine
+    val a = Array.fill(13)(rng2.nextFloat())
+    val row = Array.fill(13)(rng2.nextFloat())
+    val flat = new Array[Float](20)
+    System.arraycopy(row, 0, flat, 5, 13)
+    val bb = java.nio.ByteBuffer.allocateDirect(80)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asFloatBuffer().put(flat)
+    assert(bits(VectorKernels.dotOffBB(a, bb, 5, 13)) ==
+      bits(VectorKernels.dotOff(a, flat, 5, 13)))
+    assert(bits(VectorKernels.l2SqOffBB(a, bb, 5, 13)) ==
+      bits(VectorKernels.l2SqOff(a, flat, 5, 13)))
+    assert(bits(VectorKernels.cosineOffBB(a, bb, 5, 13)) ==
+      bits(VectorKernels.cosineOff(a, flat, 5, 13)))
+  }
+
   test("float-acc serving kernels track the double-lane contract within " +
        "the documented n·eps_f32 budget") {
     // dotF/l2SqF/dot4AtF/l2Sq4AtF are the OPT-IN serve flavors — never
