@@ -1337,6 +1337,83 @@ object Simd {
     s
   }
 
+  /** Fused f32·i8 dot with FLOAT accumulation — the i8-quantized serve
+    * flavor's beam kernel (r14): Σ a(i) · codes(off + i), UNSCALED (the
+    * caller multiplies by the row's quantization scale). No widening
+    * copy ([[i8ToFloat]] + dot would stream the row twice); the byte
+    * vector expands straight into float lanes per part. Float
+    * accumulation is the facc-class contract: ~n·ε_f32 relative drift,
+    * recall-gated at the flavor level, never an oracle path.
+    */
+  def dotI8F(a: Array[Float], codes: Array[Byte], off: Int, n: Int): Float = {
+    var acc = FloatVector.zero(FS)
+    val bstep = BS.length()
+    val fstep = FS.length()
+    val parts = bstep / fstep
+    var i = 0
+    while (i + bstep <= n) {
+      val bv = ByteVector.fromArray(BS, codes, off + i)
+      var p = 0
+      while (p < parts) {
+        val vc = bv.convertShape(VectorOperators.B2F, FS, p)
+          .asInstanceOf[FloatVector]
+        val va = FloatVector.fromArray(FS, a, i + p * fstep)
+        acc = va.fma(vc, acc)
+        p += 1
+      }
+      i += bstep
+    }
+    var s = acc.reduceLanes(VectorOperators.ADD)
+    while (i < n) { s += a(i) * codes(off + i).toFloat; i += 1 }
+    s
+  }
+
+  /** [[dotI8F]] over four rows — the i8 serve walk's gather tile: four
+    * independent byte-row streams per call (the MLP the per-row kernel
+    * lacks — same motivation as [[dot4AtOff]]). Unscaled, float-acc.
+    */
+  def dotI8F4At(a: Array[Float], codes: Array[Byte],
+                o0: Int, o1: Int, o2: Int, o3: Int, n: Int,
+                out: Array[Float]): Unit = {
+    var acc0 = FloatVector.zero(FS); var acc1 = FloatVector.zero(FS)
+    var acc2 = FloatVector.zero(FS); var acc3 = FloatVector.zero(FS)
+    val bstep = BS.length()
+    val fstep = FS.length()
+    val parts = bstep / fstep
+    var i = 0
+    while (i + bstep <= n) {
+      val b0 = ByteVector.fromArray(BS, codes, o0 + i)
+      val b1 = ByteVector.fromArray(BS, codes, o1 + i)
+      val b2 = ByteVector.fromArray(BS, codes, o2 + i)
+      val b3 = ByteVector.fromArray(BS, codes, o3 + i)
+      var p = 0
+      while (p < parts) {
+        val va = FloatVector.fromArray(FS, a, i + p * fstep)
+        acc0 = va.fma(b0.convertShape(VectorOperators.B2F, FS, p)
+          .asInstanceOf[FloatVector], acc0)
+        acc1 = va.fma(b1.convertShape(VectorOperators.B2F, FS, p)
+          .asInstanceOf[FloatVector], acc1)
+        acc2 = va.fma(b2.convertShape(VectorOperators.B2F, FS, p)
+          .asInstanceOf[FloatVector], acc2)
+        acc3 = va.fma(b3.convertShape(VectorOperators.B2F, FS, p)
+          .asInstanceOf[FloatVector], acc3)
+        p += 1
+      }
+      i += bstep
+    }
+    var s0 = acc0.reduceLanes(VectorOperators.ADD)
+    var s1 = acc1.reduceLanes(VectorOperators.ADD)
+    var s2 = acc2.reduceLanes(VectorOperators.ADD)
+    var s3 = acc3.reduceLanes(VectorOperators.ADD)
+    while (i < n) {
+      val ai = a(i)
+      s0 += ai * codes(o0 + i).toFloat; s1 += ai * codes(o1 + i).toFloat
+      s2 += ai * codes(o2 + i).toFloat; s3 += ai * codes(o3 + i).toFloat
+      i += 1
+    }
+    out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
+  }
+
   // ---- ByteBuffer twins (r14 mmap-store spike): the `-Off` kernels with
   // the stored side read from a (typically mmapped, little-endian) direct
   // ByteBuffer instead of a heap float array. Accumulation order, lane

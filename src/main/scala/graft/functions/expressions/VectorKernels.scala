@@ -120,6 +120,18 @@ object VectorKernels {
     else dotOff(a, flat, off, math.min(a.length, n)) / (na * nb)
   }
 
+  /** Fused f32·i8 dot, float accumulation, unscaled (see [[Simd.dotI8F]]).
+    * SIMD and scalar paths agree to float reassociation only — this is a
+    * recall-gated serving-flavor kernel, never an oracle path.
+    */
+  def dotI8FOff(a: Array[Float], codes: Array[Byte], off: Int, n: Int): Float = {
+    if (simdEnabled && n >= SimdMinLen) return Simd.dotI8F(a, codes, off, n)
+    var acc = 0.0f
+    var i = 0
+    while (i < n) { acc += a(i) * codes(off + i).toFloat; i += 1 }
+    acc
+  }
+
   // ---- ByteBuffer twins of the `-Off` family (r14 mmap-store spike):
   // same dispatch (SIMD when linked, scalar twin otherwise), stored side
   // read from a little-endian ByteBuffer at FLOAT offset `off`. Values

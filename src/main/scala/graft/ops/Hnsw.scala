@@ -295,6 +295,194 @@ object Hnsw {
       */
     private[graft] def dropCsr(): Unit = { l0off = null; l0adj = null }
 
+    // i8-quantized serve sidecar (r14): per-row symmetric int8 codes
+    // (VectorKernels.i8Scale/i8Codes — the F7 kernels, v4-pinned
+    // semantics) + scale + Σcode² , built once per graph on demand. The
+    // serve walk's wall is DRAM on the gathered f32 rows (94 % of walk
+    // time in the kernels, facc −20 %, prefetch −13 % — the r14
+    // profile); i8 rows are 4× fewer bytes, attacking the wall itself.
+    // A recall-gated FLAVOR like facc: the beam walks quantized
+    // distances, then the ef survivors re-rank under the CONTRACT
+    // kernel, so returned scores are exact and only true-neighbor beam
+    // misses cost recall.
+    private var i8codes: Array[Byte] = null
+    private var i8scale: Array[Float] = null
+    private var i8cnorm2: Array[Float] = null
+
+    private def rowFloat(i: Int): Float =
+      if (flatBB != null) flatBB.getFloat(i * 4) else flat(i)
+
+    /** Build the i8 serve sidecar (idempotent; ~n·dim work once). */
+    def quantizeStore(): Unit = synchronized {
+      if (i8codes != null) return
+      val codes = new Array[Byte](flatLen)
+      val scales = new Array[Float](n)
+      val cn2 = new Array[Float](n)
+      val row = new Array[Float](if (uniform && dimU > 0) dimU else 0)
+      var x = 0
+      while (x < n) {
+        val o = offs(x); val len = lens(x)
+        val r = if (row.length == len) row else new Array[Float](len)
+        var i = 0
+        while (i < len) { r(i) = rowFloat(o + i); i += 1 }
+        val s = VectorKernels.i8Scale(r)
+        val c = VectorKernels.i8Codes(r, s)
+        System.arraycopy(c, 0, codes, o, len)
+        var c2 = 0f // codes ≤ 127, len ≤ ~1e5: exact in float (< 2^24)
+        i = 0
+        while (i < len) { val v = c(i).toFloat; c2 += v * v; i += 1 }
+        scales(x) = s
+        cn2(x) = c2
+        x += 1
+      }
+      i8cnorm2 = cn2; i8scale = scales; i8codes = codes
+    }
+
+    /** Quantized distance (smaller = closer), derived from the unscaled
+      * int dot: dot ≈ s·d8; L2² ≈ |q|² − 2s·d8 + s²·Σc²; cosine ≈
+      * s·d8 / (|q|·s·√Σc²). `qn2` = |q|² is hoisted per search.
+      */
+    private def distI8(q: Array[Float], x: Int, qn2: Double): Double = {
+      evals += 1
+      val nn = math.min(q.length, lens(x))
+      val d8 = VectorKernels.dotI8FOff(q, i8codes, offs(x), nn).toDouble
+      val sc = i8scale(x).toDouble
+      metric match {
+        case Metric.Dot => -(sc * d8)
+        case Metric.L2  => qn2 - 2.0 * sc * d8 + sc * sc * i8cnorm2(x)
+        case Metric.Cosine =>
+          val rn = math.sqrt(i8cnorm2(x).toDouble) // scale cancels
+          val qn = math.sqrt(qn2)
+          if (rn == 0.0 || qn == 0.0) 0.0 else -(d8 / (qn * rn))
+      }
+    }
+
+    /** The i8-quantized serve walk: greedy descent + layer-0 beam over
+      * quantized distances, then an exact CONTRACT-kernel re-rank of the
+      * ef survivors down to k — FAISS's SQ-then-refine serving shape.
+      * Returned scores are therefore exact; recall is gated (HnswSpec),
+      * never hashed. Requires [[quantizeStore]].
+      */
+    def searchI8(q: Array[Float], k: Int, efSearch: Int): Array[(Long, Double)] = {
+      require(i8codes != null, "searchI8 needs the i8 sidecar — call quantizeStore() first")
+      if (n == 0) return Array.empty
+      val s = scratchTL.get()
+      var qn2 = 0.0
+      var qi = 0
+      while (qi < q.length) { qn2 += q(qi).toDouble * q(qi); qi += 1 }
+      // greedy descent on quantized distances
+      var ep = entry
+      var lc = levels(entry)
+      while (lc > 0) {
+        var cur = ep
+        var curD = distI8(q, cur, qn2)
+        var improved = true
+        while (improved) {
+          improved = false
+          val nbrs = links(cur)(lc)
+          var i = 0
+          while (i < nbrs.length) {
+            val d = distI8(q, nbrs(i), qn2)
+            if (d < curD) { curD = d; cur = nbrs(i); improved = true }
+            i += 1
+          }
+        }
+        ep = cur
+        lc -= 1
+      }
+      // layer-0 beam on quantized distances. Expansion mirrors the serve
+      // walk's gather-then-tile shape: the 4-row i8 tile streams four
+      // byte rows per kernel call (the per-row kernel measured only ~12 %
+      // under contract at 200K because it had no memory-level
+      // parallelism — the tile is where the 4×-fewer-bytes win lives).
+      val ef = math.max(efSearch, k)
+      s.reset(n)
+      val csr = l0adj != null
+      val adj = l0adj; val off = l0off
+      val useTile8 = uniform && VectorKernels.simdEnabled && dimU >= 16
+      val tn = math.min(q.length, dimU)
+      def d8Of(dotRaw: Float, x: Int): Double = {
+        val sc = i8scale(x).toDouble
+        val d8 = dotRaw.toDouble
+        metric match {
+          case Metric.Dot => -(sc * d8)
+          case Metric.L2  => qn2 - 2.0 * sc * d8 + sc * sc * i8cnorm2(x)
+          case Metric.Cosine =>
+            val rn = math.sqrt(i8cnorm2(x).toDouble)
+            val qn = math.sqrt(qn2)
+            if (rn == 0.0 || qn == 0.0) 0.0 else -(d8 / (qn * rn))
+        }
+      }
+      def admit8(d: Double, e: Int): Unit =
+        if (s.rn < ef || d < s.rd(0)) {
+          s.cPush(d, e)
+          s.rPush(d, e)
+          if (s.rn > ef) s.rPopMax()
+        }
+      val d0 = distI8(q, ep, qn2)
+      s.cPush(d0, ep); s.rPush(d0, ep); s.visit(ep)
+      var stop = false
+      while (!stop && s.cn > 0) {
+        s.cPop()
+        if (s.popD > s.rd(0) && s.rn >= ef) {
+          stop = true
+        } else {
+          val nbrs = if (csr) null else links(s.popI)(0)
+          val nb0 = if (csr) off(s.popI) else 0
+          val nbN = if (csr) off(s.popI + 1) - nb0 else nbrs.length
+          var i = 0
+          if (useTile8) {
+            if (s.gat.length < nbN)
+              s.gat = new Array[Int](math.max(nbN, s.gat.length * 2))
+            var gn = 0
+            while (i < nbN) {
+              val e = if (csr) adj(nb0 + i) else nbrs(i)
+              if (!s.visited(e)) { s.visit(e); s.gat(gn) = e; gn += 1 }
+              i += 1
+            }
+            var b = 0
+            while (b + 3 <= gn) { // full or once-padded tile
+              val e0 = s.gat(b); val e1 = s.gat(b + 1)
+              val e2 = if (b + 2 < gn) s.gat(b + 2) else e1
+              val e3 = if (b + 3 < gn) s.gat(b + 3) else e1
+              Simd.dotI8F4At(q, i8codes, offs(e0), offs(e1), offs(e2),
+                offs(e3), tn, s.t8out)
+              evals += math.min(4, gn - b)
+              admit8(d8Of(s.t8out(0), e0), e0)
+              admit8(d8Of(s.t8out(1), e1), e1)
+              if (b + 2 < gn) admit8(d8Of(s.t8out(2), e2), e2)
+              if (b + 3 < gn) admit8(d8Of(s.t8out(3), e3), e3)
+              b += 4
+            }
+            while (b < gn) { admit8(distI8(q, s.gat(b), qn2), s.gat(b)); b += 1 }
+          } else {
+            while (i < nbN) {
+              val e = if (csr) adj(nb0 + i) else nbrs(i)
+              if (!s.visited(e)) {
+                s.visit(e)
+                admit8(distI8(q, e, qn2), e)
+              }
+              i += 1
+            }
+          }
+        }
+      }
+      val cnt = s.rSortAsc()
+      // exact re-rank of the ef survivors under the contract kernel:
+      // ef full-precision evals per query — cheap insurance that returns
+      // exact scores and absorbs in-beam quantization rank noise
+      val rer = new Array[(Long, Double)](cnt)
+      var j = 0
+      while (j < cnt) {
+        val x = s.ri(j)
+        rer(j) = (ids(x), score(dist(q, x)))
+        j += 1
+      }
+      rer.sortBy { case (id, sc) =>
+        (if (metric.larger) -sc else sc, id)
+      }.take(math.min(k, cnt))
+    }
+
     /** Serialize this graph to `file`: a header (construction params +
       * structure: ids/offs/lens/levels/links) followed by the packed
       * float payload as raw little-endian bytes at an offset recorded in
@@ -586,6 +774,8 @@ object Hnsw {
       // serve expansion: gathered-unvisited buffer + touch blackhole
       var gat = new Array[Int](64)
       var sink = 0.0
+      // i8 tile output (unscaled float dots)
+      val t8out = new Array[Float](4)
     }
     private val scratchTL = new ThreadLocal[Scratch] {
       override def initialValue(): Scratch = new Scratch
@@ -1057,6 +1247,19 @@ object Hnsw {
   def invalidate(cacheKey: String): Unit =
     graphCache.synchronized { graphCache.remove(cacheKey); () }
 
+  /** Build the i8 serve sidecar on every warmed shard under `cacheKey`
+    * (see [[ShardGraph.quantizeStore]]) — call once before serving with
+    * `quantized = true`. Returns the number of shards quantized.
+    */
+  def quantizeWarmed(cacheKey: String): Int = {
+    val group = shardGroupIfPresent(cacheKey).getOrElse(
+      throw new IllegalStateException(
+        s"no warmed hnsw graphs under '$cacheKey' to quantize"))
+    var n = 0
+    group.forEach { (_, g) => g.quantizeStore(); n += 1 }
+    n
+  }
+
   private[graft] def cacheSize: Int = graphCache.synchronized {
     var n = 0
     graphCache.values.forEach(g => n += g.size)
@@ -1211,6 +1414,12 @@ object Hnsw {
     * is recall-gated (HnswSpec), not hash-gated, and no oracle path
     * enables it.
     *
+    * `quantized = true` walks the beam over the i8 sidecar
+    * ([[quantizeWarmed]] first) and exact-re-ranks the ef survivors —
+    * 4× fewer bytes per gathered row against a DRAM-bound walk; also
+    * recall-gated, with exact returned scores (see
+    * [[ShardGraph.searchI8]]).
+    *
     * Returns (id, score) rows, best-first, ≤ k.
     */
   def searchLocal(qvec: Array[Float], cacheKey: String, nShards: Int, k: Int,
@@ -1219,7 +1428,8 @@ object Hnsw {
                   seed: Long = 42L,
                   centroids: Array[Array[Float]] = null,
                   routeProbe: Int = 0,
-                  floatAcc: Boolean = false): Array[(Long, Double)] = {
+                  floatAcc: Boolean = false,
+                  quantized: Boolean = false): Array[(Long, Double)] = {
     val dim = qvec.length
     val group = shardGroupIfPresent(cacheKey).getOrElse(
       throw new IllegalStateException(
@@ -1241,7 +1451,10 @@ object Hnsw {
       val g = group.get(key)
       require(g != null,
         s"no warmed hnsw graph for shard $shard under '$cacheKey'")
-      g.search(qvec, k, efSearch, floatAcc).foreach { case (id, s) => agg.consider(buf, id, s) }
+      val hits =
+        if (quantized) g.searchI8(qvec, k, efSearch)
+        else g.search(qvec, k, efSearch, floatAcc)
+      hits.foreach { case (id, s) => agg.consider(buf, id, s) }
     }
     (0 until buf.n).map(i => (buf.ids(i), buf.scores(i))).toArray
       .sortBy { case (id, s) => (if (metric.larger) -s else s, id) }

@@ -1114,6 +1114,42 @@ object BenchScale {
             "overlap_vs_contract" -> overlap.toDouble / (nServe * k))
           println(f"[scale] ann_hnsw_single_graph_ef64_facc p50=${pct(0.5)}%8.1f us  p99=${pct(0.99)}%8.1f us  overlap=${overlap.toDouble / (nServe * k)}%.4f")
         }
+        // i8-QUANTIZED serving flavor (r14): beam over the int8 sidecar
+        // (4× fewer bytes per gathered row against the DRAM-bound walk —
+        // the r14 profile's one remaining lever), exact contract-kernel
+        // re-rank of the ef survivors. Recall-gated like facc; overlap
+        // vs the contract path rides beside the latency.
+        {
+          val ef = 64
+          val tQ = System.nanoTime()
+          Hnsw.quantizeWarmed(sgKey)
+          val quantSec = (System.nanoTime() - tQ) / 1e9
+          serveQs.take(32).foreach { qv =>
+            Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM, hEfc, ef,
+              quantized = true)
+          }
+          var overlap = 0L
+          val lat = serveQs.map { qv =>
+            val t0 = System.nanoTime()
+            val got = Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM,
+              hEfc, ef, quantized = true)
+            val dt = (System.nanoTime() - t0) / 1e3
+            val contract = Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot,
+              hM, hEfc, ef)
+            overlap += got.map(_._1).toSet
+              .intersect(contract.map(_._1).toSet).size
+            dt
+          }
+          java.util.Arrays.sort(lat)
+          val pct = pctOf(lat) _
+          annResults("ann_hnsw_single_graph_ef64_i8") = Map(
+            "p50_us" -> pct(0.50), "p95_us" -> pct(0.95),
+            "p99_us" -> pct(0.99), "avg_us" -> lat.sum / nServe,
+            "ef_search" -> ef.toDouble, "n_vec" -> sgN.toDouble,
+            "quantize_sec" -> quantSec,
+            "overlap_vs_contract" -> overlap.toDouble / (nServe * k))
+          println(f"[scale] ann_hnsw_single_graph_ef64_i8 p50=${pct(0.5)}%8.1f us  p99=${pct(0.99)}%8.1f us  overlap=${overlap.toDouble / (nServe * k)}%.4f")
+        }
         Hnsw.invalidate(sgKey)
       }
       listSizes.unpersist()

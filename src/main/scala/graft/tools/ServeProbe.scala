@@ -70,7 +70,32 @@ object ServeProbe {
       Hnsw.touchLines = 0
       measure(s"facc+t0#$pass", facc = true)
     }
-    Hnsw.touchLines = 8
+    Hnsw.touchLines = 24
+
+    // i8-quantized serve flavor: beam over the int8 sidecar, exact
+    // re-rank of the ef survivors; overlap vs the contract path rides
+    // beside the latency
+    val tQ = System.nanoTime()
+    g.quantizeStore()
+    println(f"quantizeStore: ${(System.nanoTime() - tQ) / 1e9}%.2f s")
+    var ovl = 0L
+    qs.foreach { q =>
+      val got = g.searchI8(q, k, ef).map(_._1).toSet
+      val want = g.search(q, k, ef).map(_._1).toSet
+      ovl += got.intersect(want).size
+    }
+    println(f"i8 overlap vs contract: ${ovl.toDouble / (qs.length * k)}%.4f")
+    for (pass <- 1 to 2) {
+      qs.take(32).foreach(g.searchI8(_, k, ef))
+      val lat = qs.map { q =>
+        val t = System.nanoTime()
+        g.searchI8(q, k, ef)
+        (System.nanoTime() - t) / 1e3
+      }
+      java.util.Arrays.sort(lat)
+      println(f"i8#$pass%-8s p50=${lat(lat.length / 2)}%8.1f us  p95=${lat((lat.length * 0.95).toInt)}%8.1f us  avg=${lat.sum / lat.length}%8.1f us")
+      measure(s"contract#$pass")
+    }
 
     // evals/query: the kernel-work axis
     val e0 = g.evals

@@ -320,6 +320,41 @@ class HnswSpec extends AnyFunSuite {
     Hnsw.invalidate(key)
   }
 
+  test("i8-quantized serve flavor: high overlap, exact returned scores") {
+    val rows = SyntheticVectors.lowRankFast(spark, 3000, 96, intrinsic = 24)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val g = Hnsw.probeBuild(rows, m = 8, efC = 64, seed = 42L, Metric.Dot)
+    intercept[IllegalArgumentException](g.searchI8(rows.head._2, 5, 32))
+    g.quantizeStore()
+    val qs = rows.take(32).map(_._2)
+    var overlap = 0
+    qs.foreach { q =>
+      val got = g.searchI8(q, 10, 64)
+      val want = g.search(q, 10, 64)
+      overlap += got.map(_._1).toSet.intersect(want.map(_._1).toSet).size
+      // re-rank contract: scores of common ids are EXACT (the contract
+      // kernel rescoring), so they must equal the contract path's bits
+      val wantScores = want.toMap
+      got.foreach { case (id, sc) =>
+        wantScores.get(id).foreach(w => assert(w == sc,
+          s"i8 re-ranked score for $id not exact: $sc vs $w"))
+      }
+    }
+    // quantization may drop true neighbors the beam never sees — gate a
+    // floor well above chance, not identity (recall-gated flavor)
+    assert(overlap >= (32 * 10 * 0.9).toInt,
+      s"i8 flavor overlap ${overlap / 320.0} below the 0.9 gate")
+    // the flavor works over a mapped store too (rowFloat reads the BB)
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_i8").toString
+    g.writeStore(s"$tmp/g.graph")
+    val mapped = Hnsw.readStore(s"$tmp/g.graph", mapped = true)
+    mapped.quantizeStore()
+    val a = mapped.searchI8(qs.head, 10, 64).toSeq
+    assert(a == g.searchI8(qs.head, 10, 64).toSeq,
+      "mapped i8 walk diverged from heap i8 walk")
+  }
+
   test("self-match: a base vector's own id is its rank-1 hit") {
     // L2 metric: the self pair is distance 0, the unconditional minimum —
     // any miss is a graph reachability bug, not a metric artifact
