@@ -426,6 +426,41 @@ object SparkEntry {
       Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),
 
+    // C4's full serving STACK, oracle-pinned end-to-end: the a11 routed
+    // flavor answered from the GRAPH STORE. Build once under this key
+    // (cached-DDL shape, like a1's index: the store persists under
+    // target/ and later runs restore instead of rebuilding), persist
+    // with saveWarmed, drop the in-JVM group, restore with
+    // warmFromDisk(mapped = true) — the payload stays OFF-HEAP, served
+    // through the bitwise-equal ByteBuffer kernel twins — and serve via
+    // searchWarm's routed static shard pruning. Store round-trip
+    // identity and the mapped read-only contract are gated in HnswSpec;
+    // this query pins the composed path (build → persist → mmap-restore
+    // → routed serve) under the same sidecar hash oracle as a9/a11.
+    "a14_hnsw_store" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val qs = recallQueries(s, dir)
+      val router = Ivf.buildOrGet(s, base, dir, nlist = 8, ntrain = 2000)
+      val key = s"$dir|hnswstore"
+      // "g1" versions the store format — a format bump must MISS, not
+      // misparse (readStore validates magic/version loudly either way)
+      val storeDir = s"target/hnsw_store/${Ivf.cacheDigest(s"$key|m8|efc64|s42|Dot|g1")}"
+      if (!new java.io.File(s"$storeDir/MANIFEST").isFile) {
+        // cold: build the routed group (one action), then persist it
+        Hnsw.searchRouted(base, qs, router.centroids, routeProbe = 4,
+          k = 10, Metric.Dot, m = 8, efConstruction = 64, efSearch = 64,
+          cacheKey = key).count()
+        Hnsw.saveWarmed(key, storeDir)
+      }
+      Hnsw.invalidate(key)
+      Hnsw.warmFromDisk(key, storeDir, mapped = true)
+      val pred = predSidecar("a14_hnsw_store",
+        Hnsw.searchWarm(qs, key, nShards = 8, k = 10, Metric.Dot, m = 8,
+          efConstruction = 64, efSearch = 64,
+          centroids = router.centroids, routeProbe = 4))
+      Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
+    }),
+
     // C3's batch-Q regime: 4-bit FASTSCAN PQ (André et al. VLDB'15 /
     // FAISS IndexPQFastScan re-expressed on the JDK Vector API — vpermb
     // in-register LUT, exact u16 sums, float-ADC re-rank of survivors).
@@ -1785,7 +1820,7 @@ object SparkEntry {
     }
     (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall",
       "a8_lsh_recall", "a9_hnsw_recall", "a11_hnsw_routed",
-      "a12_pq4_fastscan", "a13_pq4_ivf").flatMap(single)
+      "a12_pq4_fastscan", "a13_pq4_ivf", "a14_hnsw_store").flatMap(single)
       ++ a3 ++ d4 ++ d13 ++ d14).toMap
   }
 }

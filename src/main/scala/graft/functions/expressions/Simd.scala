@@ -1595,4 +1595,76 @@ object Simd {
     }
     out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
   }
+
+  /** [[dotI8F]] over a ByteBuffer codes region — bitwise twin (`off` is
+    * a BYTE offset, matching the array twin's element offset). The v2
+    * graph store maps the i8 sidecar in place, so the quantized serve
+    * walk's hot bytes can stay off-heap like the f32 payload.
+    */
+  def dotI8FBB(a: Array[Float], bb: java.nio.ByteBuffer, off: Int,
+               n: Int): Float = {
+    var acc = FloatVector.zero(FS)
+    val bstep = BS.length()
+    val fstep = FS.length()
+    val parts = bstep / fstep
+    var i = 0
+    while (i + bstep <= n) {
+      val bv = ByteVector.fromByteBuffer(BS, bb, off + i, LE)
+      var p = 0
+      while (p < parts) {
+        val vc = bv.convertShape(VectorOperators.B2F, FS, p)
+          .asInstanceOf[FloatVector]
+        val va = FloatVector.fromArray(FS, a, i + p * fstep)
+        acc = va.fma(vc, acc)
+        p += 1
+      }
+      i += bstep
+    }
+    var s = acc.reduceLanes(VectorOperators.ADD)
+    while (i < n) { s += a(i) * bb.get(off + i).toFloat; i += 1 }
+    s
+  }
+
+  /** [[dotI8F4At]] over a ByteBuffer codes region — bitwise twin. */
+  def dotI8F4AtBB(a: Array[Float], bb: java.nio.ByteBuffer,
+                  o0: Int, o1: Int, o2: Int, o3: Int, n: Int,
+                  out: Array[Float]): Unit = {
+    var acc0 = FloatVector.zero(FS); var acc1 = FloatVector.zero(FS)
+    var acc2 = FloatVector.zero(FS); var acc3 = FloatVector.zero(FS)
+    val bstep = BS.length()
+    val fstep = FS.length()
+    val parts = bstep / fstep
+    var i = 0
+    while (i + bstep <= n) {
+      val b0 = ByteVector.fromByteBuffer(BS, bb, o0 + i, LE)
+      val b1 = ByteVector.fromByteBuffer(BS, bb, o1 + i, LE)
+      val b2 = ByteVector.fromByteBuffer(BS, bb, o2 + i, LE)
+      val b3 = ByteVector.fromByteBuffer(BS, bb, o3 + i, LE)
+      var p = 0
+      while (p < parts) {
+        val va = FloatVector.fromArray(FS, a, i + p * fstep)
+        acc0 = va.fma(b0.convertShape(VectorOperators.B2F, FS, p)
+          .asInstanceOf[FloatVector], acc0)
+        acc1 = va.fma(b1.convertShape(VectorOperators.B2F, FS, p)
+          .asInstanceOf[FloatVector], acc1)
+        acc2 = va.fma(b2.convertShape(VectorOperators.B2F, FS, p)
+          .asInstanceOf[FloatVector], acc2)
+        acc3 = va.fma(b3.convertShape(VectorOperators.B2F, FS, p)
+          .asInstanceOf[FloatVector], acc3)
+        p += 1
+      }
+      i += bstep
+    }
+    var s0 = acc0.reduceLanes(VectorOperators.ADD)
+    var s1 = acc1.reduceLanes(VectorOperators.ADD)
+    var s2 = acc2.reduceLanes(VectorOperators.ADD)
+    var s3 = acc3.reduceLanes(VectorOperators.ADD)
+    while (i < n) {
+      val ai = a(i)
+      s0 += ai * bb.get(o0 + i).toFloat; s1 += ai * bb.get(o1 + i).toFloat
+      s2 += ai * bb.get(o2 + i).toFloat; s3 += ai * bb.get(o3 + i).toFloat
+      i += 1
+    }
+    out(0) = s0; out(1) = s1; out(2) = s2; out(3) = s3
+  }
 }

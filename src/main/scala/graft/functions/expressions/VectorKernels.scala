@@ -132,6 +132,18 @@ object VectorKernels {
     acc
   }
 
+  /** [[dotI8FOff]] over a ByteBuffer codes region — bitwise twin (`off`
+    * is a byte offset; the v2 graph store maps the i8 sidecar in place).
+    */
+  def dotI8FOffBB(a: Array[Float], bb: java.nio.ByteBuffer, off: Int,
+                  n: Int): Float = {
+    if (simdEnabled && n >= SimdMinLen) return Simd.dotI8FBB(a, bb, off, n)
+    var acc = 0.0f
+    var i = 0
+    while (i < n) { acc += a(i) * bb.get(off + i).toFloat; i += 1 }
+    acc
+  }
+
   // ---- ByteBuffer twins of the `-Off` family (r14 mmap-store spike):
   // same dispatch (SIMD when linked, scalar twin otherwise), stored side
   // read from a little-endian ByteBuffer at FLOAT offset `off`. Values

@@ -306,15 +306,21 @@ object Hnsw {
     // kernel, so returned scores are exact and only true-neighbor beam
     // misses cost recall.
     private var i8codes: Array[Byte] = null
+    // v2-store mapped sidecar: codes read in place through the bitwise
+    // BB kernel twins, like the f32 payload (scales/cnorm2 stay heap —
+    // 8 bytes/row, not worth a mapping)
+    private var i8codesBB: java.nio.ByteBuffer = null
     private var i8scale: Array[Float] = null
     private var i8cnorm2: Array[Float] = null
 
     private def rowFloat(i: Int): Float =
       if (flatBB != null) flatBB.getFloat(i * 4) else flat(i)
 
-    /** Build the i8 serve sidecar (idempotent; ~n·dim work once). */
+    /** Build the i8 serve sidecar (idempotent; ~n·dim work once; a no-op
+      * when a v2 store already supplied it).
+      */
     def quantizeStore(): Unit = synchronized {
-      if (i8codes != null) return
+      if (i8codes != null || i8codesBB != null) return
       val codes = new Array[Byte](flatLen)
       val scales = new Array[Float](n)
       val cn2 = new Array[Float](n)
@@ -345,7 +351,10 @@ object Hnsw {
     private def distI8(q: Array[Float], x: Int, qn2: Double): Double = {
       evals += 1
       val nn = math.min(q.length, lens(x))
-      val d8 = VectorKernels.dotI8FOff(q, i8codes, offs(x), nn).toDouble
+      val raw =
+        if (i8codesBB != null) VectorKernels.dotI8FOffBB(q, i8codesBB, offs(x), nn)
+        else VectorKernels.dotI8FOff(q, i8codes, offs(x), nn)
+      val d8 = raw.toDouble
       val sc = i8scale(x).toDouble
       metric match {
         case Metric.Dot => -(sc * d8)
@@ -364,7 +373,9 @@ object Hnsw {
       * never hashed. Requires [[quantizeStore]].
       */
     def searchI8(q: Array[Float], k: Int, efSearch: Int): Array[(Long, Double)] = {
-      require(i8codes != null, "searchI8 needs the i8 sidecar — call quantizeStore() first")
+      require(i8codes != null || i8codesBB != null,
+        "searchI8 needs the i8 sidecar — call quantizeStore() first" +
+          " (or load a v2 store that carries it)")
       if (n == 0) return Array.empty
       val s = scratchTL.get()
       var qn2 = 0.0
@@ -441,12 +452,17 @@ object Hnsw {
               i += 1
             }
             var b = 0
+            val cbb = i8codesBB
             while (b + 3 <= gn) { // full or once-padded tile
               val e0 = s.gat(b); val e1 = s.gat(b + 1)
               val e2 = if (b + 2 < gn) s.gat(b + 2) else e1
               val e3 = if (b + 3 < gn) s.gat(b + 3) else e1
-              Simd.dotI8F4At(q, i8codes, offs(e0), offs(e1), offs(e2),
-                offs(e3), tn, s.t8out)
+              if (cbb != null)
+                Simd.dotI8F4AtBB(q, cbb, offs(e0), offs(e1), offs(e2),
+                  offs(e3), tn, s.t8out)
+              else
+                Simd.dotI8F4At(q, i8codes, offs(e0), offs(e1), offs(e2),
+                  offs(e3), tn, s.t8out)
               evals += math.min(4, gn - b)
               admit8(d8Of(s.t8out(0), e0), e0)
               admit8(d8Of(s.t8out(1), e1), e1)
@@ -487,7 +503,10 @@ object Hnsw {
       * structure: ids/offs/lens/levels/links) followed by the packed
       * float payload as raw little-endian bytes at an offset recorded in
       * the 12-byte prefix — so [[Hnsw.readStore]] can either stream the
-      * payload onto the heap or mmap it in place. This is the build-once /
+      * payload onto the heap or mmap it in place. If the i8 serve
+      * sidecar exists ([[quantizeStore]]), it persists too (store v2:
+      * codes, then per-row scale and Σcode² after the f32 payload) and
+      * restores without re-quantizing. This is the build-once /
       * warm-in-seconds artifact: replaying the deterministic build costs
       * the full construction wall (383 s at 500K); loading the store costs
       * I/O only.
@@ -515,6 +534,13 @@ object Hnsw {
         i += 1
       }
       out.writeInt(flatLen)
+      // v2: the i8 serve sidecar persists WITH the graph (codes +
+      // scale + Σcode² per row, after the f32 payload) — a serving JVM
+      // that maps the store gets the quantized flavor without paying
+      // quantizeStore()'s n·dim pass, and the codes region maps
+      // off-heap exactly like the payload
+      val hasI8 = i8codes != null
+      out.writeBoolean(hasI8)
       out.flush()
       val hdr = head.toByteArray
       val ch = java.nio.channels.FileChannel.open(
@@ -525,21 +551,30 @@ object Hnsw {
       try {
         val prefix = java.nio.ByteBuffer.allocate(12)
         prefix.putInt(0x47465448) // "GFTH"
-        prefix.putInt(1)
+        prefix.putInt(2)
         prefix.putInt(hdr.length)
         prefix.flip()
         ch.write(prefix)
         ch.write(java.nio.ByteBuffer.wrap(hdr))
         val chunk = java.nio.ByteBuffer.allocateDirect(1 << 20)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        var p = 0
-        while (p < flatLen) {
-          chunk.clear()
-          val take = math.min(flatLen - p, chunk.capacity / 4)
-          chunk.asFloatBuffer().put(flat, p, take)
-          chunk.limit(take * 4)
-          ch.write(chunk)
-          p += take
+        def writeFloats(src: Array[Float], len: Int): Unit = {
+          var p = 0
+          while (p < len) {
+            chunk.clear()
+            val take = math.min(len - p, chunk.capacity / 4)
+            chunk.asFloatBuffer().put(src, p, take)
+            chunk.limit(take * 4)
+            ch.write(chunk)
+            p += take
+          }
+        }
+        writeFloats(flat, flatLen)
+        if (hasI8) {
+          val cb = java.nio.ByteBuffer.wrap(i8codes, 0, flatLen)
+          while (cb.hasRemaining) ch.write(cb)
+          writeFloats(i8scale, n)
+          writeFloats(i8cnorm2, n)
         }
       } finally ch.close()
     }
@@ -551,7 +586,8 @@ object Hnsw {
       */
     private[Hnsw] def loadFrom(in: java.io.DataInputStream,
                                ch: java.nio.channels.FileChannel,
-                               payloadOff: Long, mapped: Boolean): Unit = {
+                               payloadOff: Long, mapped: Boolean,
+                               version: Int): Unit = {
       n = in.readInt(); entry = in.readInt()
       dimU = in.readInt(); uniform = in.readBoolean()
       cap = math.max(n, 1)
@@ -581,20 +617,15 @@ object Hnsw {
         i += 1
       }
       flatLen = in.readInt()
-      if (mapped) {
-        flat = Array.emptyFloatArray
-        flatBB = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
-          payloadOff, flatLen.toLong * 4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      } else {
-        flat = new Array[Float](flatLen)
-        val chunk = java.nio.ByteBuffer.allocateDirect(1 << 20)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        ch.position(payloadOff)
+      val hasI8 = version >= 2 && in.readBoolean()
+      val chunk = java.nio.ByteBuffer.allocateDirect(1 << 20)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def readFloats(at: Long, dst: Array[Float], len: Int): Unit = {
+        ch.position(at)
         var p = 0
-        while (p < flatLen) {
+        while (p < len) {
           chunk.clear()
-          val want = math.min(flatLen - p, chunk.capacity / 4)
+          val want = math.min(len - p, chunk.capacity / 4)
           chunk.limit(want * 4)
           var got = 0
           while (got < want * 4) {
@@ -603,9 +634,39 @@ object Hnsw {
             got += r
           }
           chunk.flip()
-          chunk.asFloatBuffer().get(flat, p, want)
+          chunk.asFloatBuffer().get(dst, p, want)
           p += want
         }
+      }
+      if (mapped) {
+        flat = Array.emptyFloatArray
+        flatBB = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
+          payloadOff, flatLen.toLong * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      } else {
+        flat = new Array[Float](flatLen)
+        readFloats(payloadOff, flat, flatLen)
+      }
+      if (hasI8) {
+        val codesOff = payloadOff + flatLen.toLong * 4
+        if (mapped) {
+          i8codesBB = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
+            codesOff, flatLen.toLong)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        } else {
+          i8codes = new Array[Byte](flatLen)
+          ch.position(codesOff)
+          val cb = java.nio.ByteBuffer.wrap(i8codes)
+          while (cb.hasRemaining) {
+            val r = ch.read(cb)
+            require(r > 0, "truncated graph store i8 sidecar")
+          }
+        }
+        // scales + Σcode²: 8 bytes/row, always heap
+        i8scale = new Array[Float](n)
+        i8cnorm2 = new Array[Float](n)
+        readFloats(codesOff + flatLen, i8scale, n)
+        readFloats(codesOff + flatLen + n.toLong * 4, i8cnorm2, n)
       }
       freeze() // rebuild the layer-0 CSR for the serve walk
     }
@@ -1142,7 +1203,9 @@ object Hnsw {
       while (prefix.hasRemaining && ch.read(prefix) > 0) {}
       prefix.flip()
       require(prefix.getInt() == 0x47465448, s"$file: not a graft graph store")
-      require(prefix.getInt() == 1, s"$file: unknown graph store version")
+      val version = prefix.getInt()
+      require(version == 1 || version == 2,
+        s"$file: unknown graph store version $version")
       val hdrLen = prefix.getInt()
       val hdrBuf = java.nio.ByteBuffer.allocate(hdrLen)
       while (hdrBuf.hasRemaining && ch.read(hdrBuf) > 0) {}
@@ -1158,7 +1221,7 @@ object Hnsw {
           s"$file: unknown metric '$other'")
       }
       val g = new ShardGraph(m, efC, seed, metric)
-      g.loadFrom(in, ch, 12L + hdrLen, mapped)
+      g.loadFrom(in, ch, 12L + hdrLen, mapped, version)
       g
     } finally ch.close()
   }

@@ -1150,6 +1150,74 @@ object BenchScale {
             "overlap_vs_contract" -> overlap.toDouble / (nServe * k))
           println(f"[scale] ann_hnsw_single_graph_ef64_i8 p50=${pct(0.5)}%8.1f us  p99=${pct(0.99)}%8.1f us  overlap=${overlap.toDouble / (nServe * k)}%.4f")
         }
+        // i8 OVERFETCH matched point (r14): a wider quantized beam buys
+        // back the i8 walk's true-neighbor misses at i8 byte prices —
+        // the exact re-rank still returns k. Overlap is vs the contract
+        // ef=64 walk (the serving point the flavor substitutes for).
+        {
+          val efq = 128
+          serveQs.take(32).foreach { qv =>
+            Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM, hEfc, efq,
+              quantized = true)
+          }
+          var overlap = 0L
+          val lat = serveQs.map { qv =>
+            val t0 = System.nanoTime()
+            val got = Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM,
+              hEfc, efq, quantized = true)
+            val dt = (System.nanoTime() - t0) / 1e3
+            val contract = Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot,
+              hM, hEfc, 64)
+            overlap += got.map(_._1).toSet
+              .intersect(contract.map(_._1).toSet).size
+            dt
+          }
+          java.util.Arrays.sort(lat)
+          val pct = pctOf(lat) _
+          annResults("ann_hnsw_single_graph_i8_ef128") = Map(
+            "p50_us" -> pct(0.50), "p95_us" -> pct(0.95),
+            "p99_us" -> pct(0.99), "avg_us" -> lat.sum / nServe,
+            "ef_search" -> efq.toDouble, "n_vec" -> sgN.toDouble,
+            "overlap_vs_contract_ef64" -> overlap.toDouble / (nServe * k))
+          println(f"[scale] ann_hnsw_single_graph_i8_ef128 p50=${pct(0.5)}%8.1f us  p99=${pct(0.99)}%8.1f us  overlap=${overlap.toDouble / (nServe * k)}%.4f")
+        }
+        // GRAPH-STORE warm + serve (v2, r14): persist the warmed single
+        // graph WITH its i8 sidecar, drop the in-JVM copy, restore
+        // MAPPED (payload + codes off-heap), and serve both flavors from
+        // the store — executor warm-up priced as I/O at the 500K point.
+        {
+          val storeDir = s"target/scale_hnsw_store_$sgN"
+          val fresh = !new java.io.File(s"$storeDir/MANIFEST").isFile
+          val tW = System.nanoTime()
+          if (fresh) Hnsw.saveWarmed(sgKey, storeDir)
+          val writeSec = (System.nanoTime() - tW) / 1e9
+          Hnsw.invalidate(sgKey)
+          val tR = System.nanoTime()
+          Hnsw.warmFromDisk(sgKey, storeDir, mapped = true)
+          val warmSec = (System.nanoTime() - tR) / 1e9
+          for ((quant, name) <- Seq(
+              (false, "ann_hnsw_store_serve"),
+              (true, "ann_hnsw_store_serve_i8"))) {
+            serveQs.take(32).foreach { qv =>
+              Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM, hEfc, 64,
+                quantized = quant)
+            }
+            val lat = serveQs.map { qv =>
+              val t0 = System.nanoTime()
+              Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM, hEfc, 64,
+                quantized = quant)
+              (System.nanoTime() - t0) / 1e3
+            }
+            java.util.Arrays.sort(lat)
+            val pct = pctOf(lat) _
+            annResults(name) = Map(
+              "p50_us" -> pct(0.50), "p95_us" -> pct(0.95),
+              "p99_us" -> pct(0.99), "avg_us" -> lat.sum / nServe,
+              "n_vec" -> sgN.toDouble, "warm_sec" -> warmSec) ++
+              (if (fresh) Map("write_sec" -> writeSec) else Map.empty)
+            println(f"[scale] $name%-28s p50=${pct(0.5)}%8.1f us  p99=${pct(0.99)}%8.1f us  (warm ${warmSec}%.2f s)")
+          }
+        }
         Hnsw.invalidate(sgKey)
       }
       listSizes.unpersist()

@@ -81,6 +81,45 @@ object MmapProbe {
       measure(s"heap#$pass", heap)
       measure(s"mmap#$pass", mapped)
     }
+
+    // v2-store axis: persist the i8 sidecar WITH the graph, restore both
+    // ways, and serve the quantized flavor — warm cost becomes I/O (no
+    // n·dim quantize pass) and the mapped codes stay off-heap
+    val storeI8 = s"target/mmap_probe_${n}_i8.graph"
+    val tQ = System.nanoTime()
+    heap.quantizeStore()
+    println(f"quantizeStore (the non-persisted warm cost): ${(System.nanoTime() - tQ) / 1e9}%.2f s")
+    if (!new java.io.File(storeI8).isFile) heap.writeStore(storeI8)
+    val tH8 = System.nanoTime()
+    val heap8 = Hnsw.readStore(storeI8)
+    println(f"readStore(heap, +i8 sidecar):   ${(System.nanoTime() - tH8) / 1e9}%.2f s")
+    val tM8 = System.nanoTime()
+    val mapped8 = Hnsw.readStore(storeI8, mapped = true)
+    println(f"readStore(mapped, +i8 sidecar): ${(System.nanoTime() - tM8) / 1e9}%.3f s")
+    require(qs.take(64).forall(q =>
+        heap8.searchI8(q, k, ef).toSeq == mapped8.searchI8(q, k, ef).toSeq),
+      "mapped i8 serve diverged from heap i8 serve")
+    println("equality: mapped i8 == heap i8 on 64 queries")
+    def measureI8(label: String, g: graft.ops.Hnsw.ShardGraph): Unit = {
+      qs.take(32).foreach(g.searchI8(_, k, ef))
+      val (gc0, gt0) = gcStats()
+      val t0 = System.nanoTime()
+      val lat = qs.map { q =>
+        val t = System.nanoTime()
+        g.searchI8(q, k, ef)
+        (System.nanoTime() - t) / 1e3
+      }
+      var reps = 0
+      while ((System.nanoTime() - t0) < 4e9) { qs.foreach(g.searchI8(_, k, ef)); reps += 1 }
+      val (gc1, gt1) = gcStats()
+      java.util.Arrays.sort(lat)
+      println(f"$label%-8s p50=${lat(lat.length / 2)}%8.1f us  p95=${lat((lat.length * 0.95).toInt)}%8.1f us" +
+        f"  gc=${gc1 - gc0}%3d collections/${gt1 - gt0}%4d ms over ${reps + 1} sweeps")
+    }
+    for (pass <- 1 to 2) {
+      measureI8(s"heap-i8#$pass", heap8)
+      measureI8(s"mmap-i8#$pass", mapped8)
+    }
     spark.stop()
   }
 }

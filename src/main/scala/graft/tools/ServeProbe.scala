@@ -85,6 +85,29 @@ object ServeProbe {
       ovl += got.intersect(want).size
     }
     println(f"i8 overlap vs contract: ${ovl.toDouble / (qs.length * k)}%.4f")
+
+    // overfetch frontier: walk the quantized beam WIDER (efQ > ef) and
+    // let the exact re-rank pick k — where does the flavor match the
+    // contract walk's ids, and what does the match cost? (The quantized
+    // walk's misses are beam misses; a wider beam buys them back at i8
+    // byte prices.)
+    val want64 = qs.map(g.search(_, k, ef).map(_._1).toSet)
+    for (efq <- Seq(ef, ef * 3 / 2, ef * 2, ef * 3)) {
+      var o = 0L
+      qs.zip(want64).foreach { case (q, want) =>
+        o += g.searchI8(q, k, efq).map(_._1).toSet.intersect(want).size
+      }
+      qs.take(32).foreach(g.searchI8(_, k, efq))
+      val lat = qs.map { q =>
+        val t = System.nanoTime()
+        g.searchI8(q, k, efq)
+        (System.nanoTime() - t) / 1e3
+      }
+      java.util.Arrays.sort(lat)
+      println(f"i8 efq=$efq%-4d overlap=${o.toDouble / (qs.length * k)}%.4f" +
+        f"  p50=${lat(lat.length / 2)}%8.1f us  p95=${lat((lat.length * 0.95).toInt)}%8.1f us")
+    }
+
     for (pass <- 1 to 2) {
       qs.take(32).foreach(g.searchI8(_, k, ef))
       val lat = qs.map { q =>

@@ -320,6 +320,28 @@ class HnswSpec extends AnyFunSuite {
     Hnsw.invalidate(key)
   }
 
+  test("routed serve from a mapped store == direct routed search (a14 composition)") {
+    // the a14 oracle query's exact shape: build the routed group, persist
+    // it, drop the in-JVM graphs, restore MAPPED, serve via searchWarm's
+    // routed static pruning — every row must match the direct plan
+    val router = Ivf.buildOrGet(spark, base, dir, nlist = 8, ntrain = 2000)
+    val key = "hnswspec_store_routed"
+    val direct = Hnsw.searchRouted(base, queries, router.centroids,
+      routeProbe = 4, k = 10, Metric.Dot, m = 8, efConstruction = 64,
+      efSearch = 64, cacheKey = key).collect().map(_.toSeq).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_routed_store").toString
+    Hnsw.saveWarmed(key, tmp)
+    Hnsw.invalidate(key)
+    Hnsw.warmFromDisk(key, tmp, mapped = true)
+    val viaStore = Hnsw.searchWarm(queries, key, nShards = 8, k = 10,
+      Metric.Dot, m = 8, efConstruction = 64, efSearch = 64,
+      centroids = router.centroids, routeProbe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(viaStore == direct,
+      "store-restored routed serve diverged from the direct routed search")
+    Hnsw.invalidate(key)
+  }
+
   test("i8-quantized serve flavor: high overlap, exact returned scores") {
     val rows = SyntheticVectors.lowRankFast(spark, 3000, 96, intrinsic = 24)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -345,14 +367,27 @@ class HnswSpec extends AnyFunSuite {
     // floor well above chance, not identity (recall-gated flavor)
     assert(overlap >= (32 * 10 * 0.9).toInt,
       s"i8 flavor overlap ${overlap / 320.0} below the 0.9 gate")
-    // the flavor works over a mapped store too (rowFloat reads the BB)
+    // v2 store: the sidecar persists WITH the graph — restored graphs
+    // serve the quantized flavor with NO quantizeStore() call, heap
+    // codes or mapped codes (the BB kernel twins are bitwise, so all
+    // three walks must agree exactly)
     val tmp = java.nio.file.Files.createTempDirectory("hnsw_i8").toString
     g.writeStore(s"$tmp/g.graph")
+    val want8 = g.searchI8(qs.head, 10, 64).toSeq
+    val heap = Hnsw.readStore(s"$tmp/g.graph")
+    assert(heap.searchI8(qs.head, 10, 64).toSeq == want8,
+      "heap-restored i8 sidecar diverged from the original walk")
     val mapped = Hnsw.readStore(s"$tmp/g.graph", mapped = true)
-    mapped.quantizeStore()
-    val a = mapped.searchI8(qs.head, 10, 64).toSeq
-    assert(a == g.searchI8(qs.head, 10, 64).toSeq,
+    assert(mapped.searchI8(qs.head, 10, 64).toSeq == want8,
       "mapped i8 walk diverged from heap i8 walk")
+    // and a store written WITHOUT the sidecar still quantizes on demand
+    val bare = Hnsw.probeBuild(rows, m = 8, efC = 64, seed = 42L, Metric.Dot)
+    bare.writeStore(s"$tmp/bare.graph")
+    val bareMapped = Hnsw.readStore(s"$tmp/bare.graph", mapped = true)
+    intercept[IllegalArgumentException](bareMapped.searchI8(qs.head, 10, 64))
+    bareMapped.quantizeStore()
+    assert(bareMapped.searchI8(qs.head, 10, 64).toSeq == want8,
+      "on-demand quantization over a mapped bare store diverged")
   }
 
   test("self-match: a base vector's own id is its rank-1 hit") {

@@ -209,6 +209,21 @@ class SimdSpec extends AnyFunSuite {
       Simd.l2Sq4AtOff(a, flat, offs(1), offs(2), offs(3), offs(4), n, outA)
       Simd.l2Sq4AtOffBB(a, bb, offs(1), offs(2), offs(3), offs(4), n, outB)
       (0 until 4).foreach(j => assert(bits(outA(j)) == bits(outB(j)), "l2Sq4AtOffBB"))
+      // i8 sidecar twins (v2 mapped store): byte offsets, float acc
+      val codes = Array.fill(pad + 5 * n)((rng2.nextInt(255) - 127).toByte)
+      val cbb = java.nio.ByteBuffer.allocateDirect(codes.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      cbb.put(codes.clone()); cbb.clear()
+      def fbits(f: Float) = java.lang.Float.floatToRawIntBits(f)
+      (0 until 5).foreach { j =>
+        assert(fbits(Simd.dotI8FBB(a, cbb, offs(j), n)) ==
+          fbits(Simd.dotI8F(a, codes, offs(j), n)), s"dotI8FBB diverged n=$n")
+      }
+      val out8A = new Array[Float](4); val out8B = new Array[Float](4)
+      Simd.dotI8F4At(a, codes, offs(1), offs(2), offs(3), offs(4), n, out8A)
+      Simd.dotI8F4AtBB(a, cbb, offs(1), offs(2), offs(3), offs(4), n, out8B)
+      (0 until 4).foreach(j =>
+        assert(fbits(out8A(j)) == fbits(out8B(j)), "dotI8F4AtBB"))
     }
     // scalar dispatch twins (below SimdMinLen) including cosine
     val a = Array.fill(13)(rng2.nextFloat())
@@ -224,6 +239,14 @@ class SimdSpec extends AnyFunSuite {
       bits(VectorKernels.l2SqOff(a, flat, 5, 13)))
     assert(bits(VectorKernels.cosineOffBB(a, bb, 5, 13)) ==
       bits(VectorKernels.cosineOff(a, flat, 5, 13)))
+    val codes13 = Array.fill(20)((rng2.nextInt(255) - 127).toByte)
+    val cbb13 = java.nio.ByteBuffer.allocateDirect(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    cbb13.put(codes13.clone()); cbb13.clear()
+    assert(java.lang.Float.floatToRawIntBits(
+      VectorKernels.dotI8FOffBB(a, cbb13, 5, 13)) ==
+      java.lang.Float.floatToRawIntBits(
+        VectorKernels.dotI8FOff(a, codes13, 5, 13)))
   }
 
   test("float-acc serving kernels track the double-lane contract within " +
