@@ -1237,17 +1237,23 @@ object Hnsw {
       throw new IllegalStateException(
         s"no warmed hnsw graphs under '$cacheKey' to save"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val manifest = new StringBuilder
-    var i = 0
-    group.forEach { (key, g) =>
-      val f = s"shard_$i.graph"
-      g.writeStore(s"$dir/$f")
-      manifest.append(key).append('\t').append(f).append('\n')
-      i += 1
+    // shard files write in parallel (a routed group is 100s–1000s of
+    // independent graphs; serial I/O was the wall at the 3M/1024-shard
+    // point); the manifest is a map, its line order carries no meaning
+    val entries = {
+      val b = Vector.newBuilder[(String, ShardGraph)]
+      group.forEach((key, g) => b += ((key, g)))
+      b.result()
+    }
+    val manifest = new java.lang.StringBuilder
+    java.util.stream.IntStream.range(0, entries.length).parallel()
+      .forEach((i: Int) => entries(i)._2.writeStore(s"$dir/shard_$i.graph"))
+    entries.zipWithIndex.foreach { case ((key, _), i) =>
+      manifest.append(key).append('\t').append(s"shard_$i.graph").append('\n')
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/MANIFEST"), manifest.toString)
-    i
+    entries.length
   }
 
   /** Restore a shard group saved by [[saveWarmed]] into this JVM's graph
@@ -1261,10 +1267,15 @@ object Hnsw {
     val lines = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$dir/MANIFEST")).split('\n').filter(_.nonEmpty)
     val group = shardGroup(cacheKey)
-    lines.foreach { line =>
-      val Array(key, f) = line.split('\t')
-      group.computeIfAbsent(key, _ => readStore(s"$dir/$f", mapped))
-    }
+    // restores run in parallel (independent files; header parse + heap
+    // stream dominate) — the warm of a 1000-shard routed group is I/O,
+    // and serial I/O would leave most of the drive idle
+    java.util.stream.IntStream.range(0, lines.length).parallel()
+      .forEach { (i: Int) =>
+        val Array(key, f) = lines(i).split('\t')
+        group.computeIfAbsent(key, _ => readStore(s"$dir/$f", mapped))
+        ()
+      }
     lines.length
   }
 
@@ -1318,9 +1329,15 @@ object Hnsw {
     val group = shardGroupIfPresent(cacheKey).getOrElse(
       throw new IllegalStateException(
         s"no warmed hnsw graphs under '$cacheKey' to quantize"))
-    var n = 0
-    group.forEach { (_, g) => g.quantizeStore(); n += 1 }
-    n
+    val graphs = {
+      val b = Vector.newBuilder[ShardGraph]
+      group.forEach((_, g) => b += g)
+      b.result()
+    }
+    // independent n·dim passes — parallel across shards
+    java.util.stream.IntStream.range(0, graphs.length).parallel()
+      .forEach((i: Int) => graphs(i).quantizeStore())
+    graphs.length
   }
 
   private[graft] def cacheSize: Int = graphCache.synchronized {

@@ -1053,9 +1053,28 @@ object BenchScale {
           cacheKey = sgKey).count()
         val sgBuild = (System.nanoTime() - tSg) / 1e9
         val nServe = 256
-        val serveQs = base.filter(col("id") >= 100000L && col("id") < 100000L + nServe)
-          .orderBy("id").select(col("vec")).collect()
-          .map(_.getSeq[Float](0).toArray)
+        val serveRows = base.filter(col("id") >= 100000L && col("id") < 100000L + nServe)
+          .orderBy("id").select(col("id"), col("vec")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val serveQs = serveRows.map(_._2)
+        // true ground truth for the serve queries (one exact batched
+        // scan at 500K): the recall axis for every serve flavor. NOT
+        // overlap-vs-contract — a wide quantized beam + exact re-rank
+        // finds true neighbors the ef=64 contract walk itself misses,
+        // so overlap against that fallible reference falls as quality
+        // rises; recall against the exact scan is the honest axis.
+        val sgGt = Search.groundTruth(base500,
+            base.filter(col("id") >= 100000L && col("id") < 100000L + nServe)
+              .select(col("id").as("qid"), col("vec").as("qvec")),
+            k, Metric.Dot)
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+        def sgRecall(fn: Array[Float] => Array[(Long, Double)]): Double = {
+          var h = 0L
+          serveRows.foreach { case (qid, qv) =>
+            h += fn(qv).map(_._1).toSet.intersect(sgGt(qid)).size
+          }
+          h.toDouble / (nServe * k)
+        }
         def pctOf(lat: Array[Double])(p: Double): Double = {
           val idx = p * (lat.length - 1)
           val lo = idx.toInt
@@ -1074,12 +1093,14 @@ object BenchScale {
           }
           java.util.Arrays.sort(lat)
           val pct = pctOf(lat) _
+          val rec = sgRecall(qv =>
+            Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM, hEfc, ef))
           annResults(s"ann_hnsw_single_graph_ef$ef") = Map(
             "p50_us" -> pct(0.50), "p95_us" -> pct(0.95),
             "p99_us" -> pct(0.99), "avg_us" -> lat.sum / nServe,
             "ef_search" -> ef.toDouble, "n_vec" -> sgN.toDouble,
-            "build_sec" -> sgBuild)
-          println(f"[scale] ann_hnsw_single_graph_ef$ef%-4d p50=${pct(0.5)}%8.1f us  p99=${pct(0.99)}%8.1f us  (build ${sgBuild}%6.1f s)")
+            "recall" -> rec, "build_sec" -> sgBuild)
+          println(f"[scale] ann_hnsw_single_graph_ef$ef%-4d p50=${pct(0.5)}%8.1f us  p99=${pct(0.99)}%8.1f us  recall=$rec%.4f  (build ${sgBuild}%6.1f s)")
         }
         // FLOAT-ACC serving flavor at the hnswlib comparison point (r13,
         // verdict task #3): the 3.3× kernel margin vs hnswlib's 0.208 ms
@@ -1142,44 +1163,44 @@ object BenchScale {
           }
           java.util.Arrays.sort(lat)
           val pct = pctOf(lat) _
+          val rec8 = sgRecall(qv =>
+            Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM, hEfc, ef,
+              quantized = true))
           annResults("ann_hnsw_single_graph_ef64_i8") = Map(
             "p50_us" -> pct(0.50), "p95_us" -> pct(0.95),
             "p99_us" -> pct(0.99), "avg_us" -> lat.sum / nServe,
             "ef_search" -> ef.toDouble, "n_vec" -> sgN.toDouble,
-            "quantize_sec" -> quantSec,
+            "quantize_sec" -> quantSec, "recall" -> rec8,
             "overlap_vs_contract" -> overlap.toDouble / (nServe * k))
-          println(f"[scale] ann_hnsw_single_graph_ef64_i8 p50=${pct(0.5)}%8.1f us  p99=${pct(0.99)}%8.1f us  overlap=${overlap.toDouble / (nServe * k)}%.4f")
+          println(f"[scale] ann_hnsw_single_graph_ef64_i8 p50=${pct(0.5)}%8.1f us  p99=${pct(0.99)}%8.1f us  recall=$rec8%.4f  overlap=${overlap.toDouble / (nServe * k)}%.4f")
         }
         // i8 OVERFETCH matched point (r14): a wider quantized beam buys
-        // back the i8 walk's true-neighbor misses at i8 byte prices —
-        // the exact re-rank still returns k. Overlap is vs the contract
-        // ef=64 walk (the serving point the flavor substitutes for).
+        // back the i8 walk's true-neighbor beam misses at i8 byte
+        // prices — the exact re-rank still returns k. Measured on the
+        // recall axis (vs sgGt), NOT overlap-vs-contract.
         {
           val efq = 128
           serveQs.take(32).foreach { qv =>
             Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM, hEfc, efq,
               quantized = true)
           }
-          var overlap = 0L
           val lat = serveQs.map { qv =>
             val t0 = System.nanoTime()
-            val got = Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM,
-              hEfc, efq, quantized = true)
-            val dt = (System.nanoTime() - t0) / 1e3
-            val contract = Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot,
-              hM, hEfc, 64)
-            overlap += got.map(_._1).toSet
-              .intersect(contract.map(_._1).toSet).size
-            dt
+            Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM, hEfc, efq,
+              quantized = true)
+            (System.nanoTime() - t0) / 1e3
           }
           java.util.Arrays.sort(lat)
           val pct = pctOf(lat) _
+          val rec = sgRecall(qv =>
+            Hnsw.searchLocal(qv, sgKey, 1, k, Metric.Dot, hM, hEfc, efq,
+              quantized = true))
           annResults("ann_hnsw_single_graph_i8_ef128") = Map(
             "p50_us" -> pct(0.50), "p95_us" -> pct(0.95),
             "p99_us" -> pct(0.99), "avg_us" -> lat.sum / nServe,
             "ef_search" -> efq.toDouble, "n_vec" -> sgN.toDouble,
-            "overlap_vs_contract_ef64" -> overlap.toDouble / (nServe * k))
-          println(f"[scale] ann_hnsw_single_graph_i8_ef128 p50=${pct(0.5)}%8.1f us  p99=${pct(0.99)}%8.1f us  overlap=${overlap.toDouble / (nServe * k)}%.4f")
+            "recall" -> rec)
+          println(f"[scale] ann_hnsw_single_graph_i8_ef128 p50=${pct(0.5)}%8.1f us  p99=${pct(0.99)}%8.1f us  recall=$rec%.4f")
         }
         // GRAPH-STORE warm + serve (v2, r14): persist the warmed single
         // graph WITH its i8 sidecar, drop the in-JVM copy, restore
@@ -1403,6 +1424,71 @@ object BenchScale {
           "route_probe" -> 32.0, "n_shards" -> nlist.toDouble,
           "n_vec" -> n3.toDouble)
         println(f"[scale] ann3m_hnsw_local_routed p50=${pct3(latR3)(0.5)}%8.1f us  p99=${pct3(latR3)(0.99)}%8.1f us")
+        // (a') routed i8 serve at 3M (r14 late): quantize all shard
+        // graphs once (sidecar = codes + scale + Σcode² per row) and
+        // walk the routed beams over i8 bytes — the 3M point of the
+        // quantized flavor, overlap vs the contract walk beside it
+        val tQ3 = System.nanoTime()
+        Hnsw.quantizeWarmed(routed3Key)
+        val quantSec3 = (System.nanoTime() - tQ3) / 1e9
+        serveQs3.take(32).foreach { qv =>
+          Hnsw.searchLocal(qv, routed3Key, nlist, k, Metric.Dot, hM, hEfc,
+            efSearch = 64, centroids = idx3.centroids, routeProbe = 32,
+            quantized = true)
+        }
+        var ovl3 = 0L
+        val latQ3 = serveQs3.map { qv =>
+          val t0 = System.nanoTime()
+          val got = Hnsw.searchLocal(qv, routed3Key, nlist, k, Metric.Dot,
+            hM, hEfc, efSearch = 64, centroids = idx3.centroids,
+            routeProbe = 32, quantized = true)
+          val dt = (System.nanoTime() - t0) / 1e3
+          val contract = Hnsw.searchLocal(qv, routed3Key, nlist, k,
+            Metric.Dot, hM, hEfc, efSearch = 64,
+            centroids = idx3.centroids, routeProbe = 32)
+          ovl3 += got.map(_._1).toSet.intersect(contract.map(_._1).toSet).size
+          dt
+        }
+        java.util.Arrays.sort(latQ3)
+        annResults("ann3m_hnsw_local_routed_i8") = Map(
+          "p50_us" -> pct3(latQ3)(0.50), "p95_us" -> pct3(latQ3)(0.95),
+          "p99_us" -> pct3(latQ3)(0.99), "avg_us" -> latQ3.sum / nServe3,
+          "route_probe" -> 32.0, "n_shards" -> nlist.toDouble,
+          "n_vec" -> n3.toDouble, "quantize_sec" -> quantSec3,
+          "overlap_vs_contract" -> ovl3.toDouble / (nServe3 * k))
+        println(f"[scale] ann3m_hnsw_local_routed_i8 p50=${pct3(latQ3)(0.5)}%8.1f us  p99=${pct3(latQ3)(0.99)}%8.1f us  overlap=${ovl3.toDouble / (nServe3 * k)}%.4f")
+        // (a'') the graph STORE at the 3M/1024-shard point: persist the
+        // routed group (v2 — i8 sidecars ride along), drop it, restore
+        // MAPPED — executor warm-up priced as I/O at the multi-GB scale
+        // point — and re-measure the routed serve from the mapped store
+        val storeDir3 = s"target/scale3m_hnsw_store_$nlist"
+        val fresh3 = !new java.io.File(s"$storeDir3/MANIFEST").isFile
+        val tW3 = System.nanoTime()
+        if (fresh3) Hnsw.saveWarmed(routed3Key, storeDir3)
+        val writeSec3 = (System.nanoTime() - tW3) / 1e9
+        Hnsw.invalidate(routed3Key)
+        val tWm3 = System.nanoTime()
+        Hnsw.warmFromDisk(routed3Key, storeDir3, mapped = true)
+        val warmSec3 = (System.nanoTime() - tWm3) / 1e9
+        serveQs3.take(32).foreach { qv =>
+          Hnsw.searchLocal(qv, routed3Key, nlist, k, Metric.Dot, hM, hEfc,
+            efSearch = 64, centroids = idx3.centroids, routeProbe = 32)
+        }
+        val latS3 = serveQs3.map { qv =>
+          val t0 = System.nanoTime()
+          Hnsw.searchLocal(qv, routed3Key, nlist, k, Metric.Dot, hM, hEfc,
+            efSearch = 64, centroids = idx3.centroids, routeProbe = 32)
+          (System.nanoTime() - t0) / 1e3
+        }
+        java.util.Arrays.sort(latS3)
+        annResults("ann3m_hnsw_store_serve") = Map(
+          "p50_us" -> pct3(latS3)(0.50), "p95_us" -> pct3(latS3)(0.95),
+          "p99_us" -> pct3(latS3)(0.99), "avg_us" -> latS3.sum / nServe3,
+          "route_probe" -> 32.0, "n_shards" -> nlist.toDouble,
+          "n_vec" -> n3.toDouble, "warm_sec" -> warmSec3,
+          "store_mb" -> dirBytes(storeDir3) / 1e6) ++
+          (if (fresh3) Map("write_sec" -> writeSec3) else Map.empty)
+        println(f"[scale] ann3m_hnsw_store_serve p50=${pct3(latS3)(0.5)}%8.1f us  p99=${pct3(latS3)(0.99)}%8.1f us  (warm ${warmSec3}%.2f s, ${dirBytes(storeDir3) / 1e9}%.1f GB)")
         Hnsw.invalidate(routed3Key)
         // (b) pq4 in-process serve on the nlist=4096 index — the r13
         // recipe (nlist ∝ corpus) carried into the serving tier; the

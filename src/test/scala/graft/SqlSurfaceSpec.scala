@@ -169,6 +169,43 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .count() > 0)
   }
 
+  test("graft_ann_search_hnsw serves from a disk-restored (mapped) graph group") {
+    // the store composition from SQL: build the routed group, persist,
+    // drop, warmFromDisk(mapped) under the SAME cacheKey, then register
+    // the TVF with that key — the TVF's plan reuses the mapped graphs
+    // (computeIfAbsent hits; a deterministic rebuild would return the
+    // same rows, but the mapped group is the one serving) and must match
+    // the direct routed search row-for-row
+    import graft.functions.AnnSql
+    import graft.ops.{Hnsw, Ivf, Metric}
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val router = Ivf.buildOrGet(spark, base, s"$dir|sqlhnsw", nlist = 4,
+      ntrain = 500)
+    val key = s"$dir|sqlhnsw|store"
+    val qs = base.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val direct = Hnsw.searchRouted(base, qs, router.centroids,
+      routeProbe = 2, k = 10, Metric.Dot, m = 8, efConstruction = 64,
+      efSearch = 64, cacheKey = key).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("sql_hnsw_store").toString
+    Hnsw.saveWarmed(key, tmp)
+    Hnsw.invalidate(key)
+    Hnsw.warmFromDisk(key, tmp, mapped = true)
+    AnnSql.registerHnsw(spark, "emb_hnsw_store", base, router.centroids,
+      routeProbe = 2, m = 8, efConstruction = 64, cacheKey = key)
+    qs.createOrReplaceTempView("hnsw_store_queries")
+    val sql = spark.sql(
+      "SELECT * FROM graft_ann_search_hnsw('emb_hnsw_store', 'hnsw_store_queries', 10, 64)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(sql == direct,
+      "HNSW TVF over a disk-restored mapped group diverged from the direct path")
+    AnnSql.unregister(spark, "emb_hnsw_store")
+    Hnsw.invalidate(key)
+  }
+
   test("SQL top-k with graft_dot matches the DataFrame path") {
     val sql = spark.sql(
       """SELECT b.vec_id AS id,
