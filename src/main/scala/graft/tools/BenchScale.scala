@@ -1214,7 +1214,7 @@ object BenchScale {
           val writeSec = (System.nanoTime() - tW) / 1e9
           Hnsw.invalidate(sgKey)
           val tR = System.nanoTime()
-          Hnsw.warmFromDisk(sgKey, storeDir, mapped = true)
+          Hnsw.warmFromDisk(sgKey, storeDir, mapped = true, prefault = true)
           val warmSec = (System.nanoTime() - tR) / 1e9
           for ((quant, name) <- Seq(
               (false, "ann_hnsw_store_serve"),
@@ -1468,7 +1468,8 @@ object BenchScale {
         val writeSec3 = (System.nanoTime() - tW3) / 1e9
         Hnsw.invalidate(routed3Key)
         val tWm3 = System.nanoTime()
-        Hnsw.warmFromDisk(routed3Key, storeDir3, mapped = true)
+        Hnsw.warmFromDisk(routed3Key, storeDir3, mapped = true,
+          prefault = true)
         val warmSec3 = (System.nanoTime() - tWm3) / 1e9
         serveQs3.take(32).foreach { qv =>
           Hnsw.searchLocal(qv, routed3Key, nlist, k, Metric.Dot, hM, hEfc,

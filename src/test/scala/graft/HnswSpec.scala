@@ -332,7 +332,9 @@ class HnswSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("hnsw_routed_store").toString
     Hnsw.saveWarmed(key, tmp)
     Hnsw.invalidate(key)
-    Hnsw.warmFromDisk(key, tmp, mapped = true)
+    // prefault faults mapped pages at warm time — results must be
+    // untouched (it only moves page faults, never bytes)
+    Hnsw.warmFromDisk(key, tmp, mapped = true, prefault = true)
     val viaStore = Hnsw.searchWarm(queries, key, nShards = 8, k = 10,
       Metric.Dot, m = 8, efConstruction = 64, efSearch = 64,
       centroids = router.centroids, routeProbe = 4)
