@@ -461,6 +461,34 @@ object SparkEntry {
       Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),
 
+    // C3's in-process serving TIER, oracle-pinned: `Pq.searchLocalIvf4`
+    // answers per-query from a JVM-warmed image of the nibble table +
+    // full-precision store (Pq4Spec pins the tier identical to the batch
+    // probe; the p50 ~1 ms latency numbers live in BENCH_SCALE). This
+    // query routes every oracle query THROUGH the tier and hash-gates
+    // the recall of the tier's own predictions — with a14, BOTH
+    // in-process tiers (pq4 image, HNSW store) now sit under the DuckDB
+    // gate, so a tier serving anything but the batch plan's results
+    // fails the round, not a latency footnote.
+    "a15_pq4_serve" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val qs = recallQueries(s, dir)
+      val m4 = base.select(size(col("vec")).as("d")).head().getInt(0) / 4
+      val idx = Pq.buildOrGetIvf4(s, base, s"$dir|pq4ivf", nlist = 16,
+        m4 = m4, ntrain = 100000)
+      Pq.warmLocalIvf4(s, idx, s"$dir|pq4serve", base)
+      val qRows = qs.select(col("qid").cast("long"), col("qvec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val rows = qRows.toIndexedSeq.flatMap { case (qid, qv) =>
+        Pq.searchLocalIvf4(qv, idx, s"$dir|pq4serve", nprobe = 8, k = 10,
+          refineK = 100).map { case (id, score) => (qid, id, score) }
+      }
+      val pred = predSidecar("a15_pq4_serve",
+        s.createDataFrame(rows).toDF("qid", "id", "score"))
+      Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
+    }),
+
     // C3's batch-Q regime: 4-bit FASTSCAN PQ (André et al. VLDB'15 /
     // FAISS IndexPQFastScan re-expressed on the JDK Vector API — vpermb
     // in-register LUT, exact u16 sums, float-ADC re-rank of survivors).
@@ -1820,7 +1848,8 @@ object SparkEntry {
     }
     (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall",
       "a8_lsh_recall", "a9_hnsw_recall", "a11_hnsw_routed",
-      "a12_pq4_fastscan", "a13_pq4_ivf", "a14_hnsw_store").flatMap(single)
+      "a12_pq4_fastscan", "a13_pq4_ivf", "a14_hnsw_store",
+      "a15_pq4_serve").flatMap(single)
       ++ a3 ++ d4 ++ d13 ++ d14).toMap
   }
 }
