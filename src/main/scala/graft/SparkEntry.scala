@@ -451,13 +451,21 @@ object SparkEntry {
           k = 10, Metric.Dot, m = 8, efConstruction = 64, efSearch = 64,
           cacheKey = key).count()
         Hnsw.saveWarmed(key, storeDir)
+        // drop the build-time heap graphs: the group serving below must
+        // be the store-restored one
+        Hnsw.invalidate(key)
       }
-      Hnsw.invalidate(key)
-      Hnsw.warmFromDisk(key, storeDir, mapped = true)
+      // warm ONCE per JVM (re-mapping per execution churns address
+      // space: old MappedByteBuffers linger until GC unmaps them)
+      if (!Hnsw.warmed(key)) Hnsw.warmFromDisk(key, storeDir, mapped = true)
+      // allowMissing: an empty router cell has no graph anywhere — a
+      // probed empty shard must contribute nothing, not crash (the a11
+      // direct path has the same semantics implicitly)
       val pred = predSidecar("a14_hnsw_store",
         Hnsw.searchWarm(qs, key, nShards = 8, k = 10, Metric.Dot, m = 8,
           efConstruction = 64, efSearch = 64,
-          centroids = router.centroids, routeProbe = 4))
+          centroids = router.centroids, routeProbe = 4,
+          allowMissing = true))
       Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),
 

@@ -583,7 +583,10 @@ object Hnsw {
             val take = math.min(len - p, chunk.capacity / 4)
             chunk.asFloatBuffer().put(src, p, take)
             chunk.limit(take * 4)
-            ch.write(chunk)
+            // FileChannel.write may write SHORT (interrupted thread,
+            // some filesystems) — advancing past a short write would
+            // shift every later byte and corrupt the store silently
+            while (chunk.hasRemaining) ch.write(chunk)
             p += take
           }
         }
@@ -636,9 +639,16 @@ object Hnsw {
       }
       flatLen = in.readInt()
       val hasI8 = version >= 2 && in.readBoolean()
-      val chunk = java.nio.ByteBuffer.allocateDirect(1 << 20)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // lazily sized: a mapped restore reads at most the small
+      // scale/cnorm2 regions (or nothing, v1) — an unconditional 1 MB
+      // direct buffer × a 1024-shard parallel warm is ~1 GB of direct
+      // memory churn for ~KB of reads
+      var chunk: java.nio.ByteBuffer = null
       def readFloats(at: Long, dst: Array[Float], len: Int): Unit = {
+        if (chunk == null)
+          chunk = java.nio.ByteBuffer
+            .allocateDirect(math.min(1 << 20, math.max(len * 4, 4096)))
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         ch.position(at)
         var p = 0
         while (p < len) {
@@ -1338,6 +1348,12 @@ object Hnsw {
   private def shardGroupIfPresent(cacheKey: String) =
     graphCache.synchronized(Option(graphCache.get(cacheKey)))
 
+  /** Whether any shard graphs are warmed under `cacheKey` — lets a
+    * serve-from-store caller warm once instead of re-mapping per call.
+    */
+  def warmed(cacheKey: String): Boolean =
+    shardGroupIfPresent(cacheKey).exists(!_.isEmpty)
+
   /** Drop every shard graph built under `cacheKey` (explicit eviction for
     * long-lived serving JVMs retiring an index generation).
     */
@@ -1441,7 +1457,8 @@ object Hnsw {
                  efConstruction: Int = 100, efSearch: Int = 64,
                  seed: Long = 42L,
                  centroids: Array[Array[Float]] = null, routeProbe: Int = 0,
-                 evalCounter: Option[LongAccumulator] = None): DataFrame = {
+                 evalCounter: Option[LongAccumulator] = None,
+                 allowMissing: Boolean = false): DataFrame = {
     require(cacheKey.nonEmpty, "searchWarm needs the cacheKey the graphs were built under")
     val spark = queries.sparkSession
     import spark.implicits._
@@ -1478,18 +1495,26 @@ object Hnsw {
         it.foreach { shard =>
           val key = s"$cacheKey|$shard|$dim|$m|$efConstruction|$seed|$metric"
           val g = shardGroupIfPresent(cacheKey).map(_.get(key)).orNull
-          require(g != null,
+          // allowMissing: an EMPTY router cell legitimately has no graph
+          // anywhere (the build only materializes shards with base
+          // rows); the store/route compositions opt in so a probed
+          // empty shard contributes nothing instead of crashing. The
+          // default stays the loud-miss contract — a missing graph
+          // usually means the warm step never ran.
+          require(g != null || allowMissing,
             s"no warmed hnsw graph for shard $shard under '$cacheKey' — " +
               "run Hnsw.search(base, ..., cacheKey) once to build")
-          val before = g.evals
-          qBc.value.foreach { case (qid, qvec) =>
-            if (probeBc.value.forall(_(qid).contains(shard))) {
-              g.search(qvec, k, efSearch).foreach { case (id, s) =>
-                out += ((qid, id, s))
+          if (g != null) {
+            val before = g.evals
+            qBc.value.foreach { case (qid, qvec) =>
+              if (probeBc.value.forall(_(qid).contains(shard))) {
+                g.search(qvec, k, efSearch).foreach { case (id, s) =>
+                  out += ((qid, id, s))
+                }
               }
             }
+            searched += g.evals - before
           }
-          searched += g.evals - before
         }
         evalCounter.foreach(_.add(searched))
         out.iterator

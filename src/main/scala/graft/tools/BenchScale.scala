@@ -1207,7 +1207,11 @@ object BenchScale {
         // MAPPED (payload + codes off-heap), and serve both flavors from
         // the store — executor warm-up priced as I/O at the 500K point.
         {
-          val storeDir = s"target/scale_hnsw_store_$sgN"
+          // keyed on graph params + store generation: a stale store built
+          // under different hM/hEfc/seed would restore under the OLD
+          // inner keys and crash the serve lookup (manifest keys embed
+          // the params)
+          val storeDir = s"target/scale_hnsw_store_${sgN}_${hM}_${hEfc}_42_g2"
           val fresh = !new java.io.File(s"$storeDir/MANIFEST").isFile
           val tW = System.nanoTime()
           if (fresh) Hnsw.saveWarmed(sgKey, storeDir)
@@ -1461,7 +1465,7 @@ object BenchScale {
         // routed group (v2 — i8 sidecars ride along), drop it, restore
         // MAPPED — executor warm-up priced as I/O at the multi-GB scale
         // point — and re-measure the routed serve from the mapped store
-        val storeDir3 = s"target/scale3m_hnsw_store_$nlist"
+        val storeDir3 = s"target/scale3m_hnsw_store_${nlist}_${hM}_${hEfc}_42_g2"
         val fresh3 = !new java.io.File(s"$storeDir3/MANIFEST").isFile
         val tW3 = System.nanoTime()
         if (fresh3) Hnsw.saveWarmed(routed3Key, storeDir3)
