@@ -127,7 +127,16 @@ object Bench {
     val cal0 = calibrate(cpus.toInt)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, q) =>
+    // Mid-sweep calibration (r15): endpoint snapshots missed mid-sweep
+    // box excursions twice (r13's 0.194→0.2511 pair caught one by luck;
+    // an r14 session run read norm 42.40 with near-healthy ENDPOINT
+    // calibs while the middle of the sweep was slow). Sampling the same
+    // fixed work every `calibEvery` queries puts the excursion in the
+    // artifact; each sample costs ~0.2 s of untimed dead time.
+    val calibEvery = 12
+    val calMid = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results = selected.zipWithIndex.map { case ((name, q), qi) =>
+      if (qi > 0 && qi % calibEvery == 0) calMid += calibrate(cpus.toInt)
       val samples =
         try {
           val action = () => q(spark, sfDir).write
@@ -194,17 +203,19 @@ object Bench {
     val total = medians.map(_._2).filter(_ >= 0).sum
     // Box-speed factor and its normalization: divide the box multiplier
     // out of the totals so cross-round comparison is mechanical. The
-    // factor is the sweep-mean calibration over the healthy-band
-    // reference; a sweep that DEGRADES mid-run (r13: 0.194 → 0.2511)
-    // still shows in the calib pair itself.
-    val calibFactor = (cal0 + cal1) / 2.0 / calibRef
+    // factor is now the mean over ALL samples — endpoints plus the
+    // mid-sweep series — so an excursion confined to the middle of the
+    // sweep moves the factor instead of hiding between healthy
+    // endpoints; the full sample series ships in the artifact.
+    val allCal = (cal0 +: calMid.toSeq) :+ cal1
+    val calibFactor = allCal.sum / allCal.length / calibRef
     val normTotal = total / calibFactor
     // Compact machine line: total + per-query medians (+ the two-point
     // box calibration, its factor over the healthy-band reference, the
     // factor-normalized total, and the non-v1 workload tags). Must stay
     // well under the driver's ~2000-byte tail window (with sbt's trailing
     // "[success]" line inside the same window).
-    val calJ = s""""calib":[${j4(cal0)},${j4(cal1)}],"calib_ref":${j4(calibRef)},""" +
+    val calJ = s""""calib":[${allCal.map(j4).mkString(",")}],"calib_ref":${j4(calibRef)},""" +
       s""""calib_factor":${j4(calibFactor)},"norm_total":${j4(normTotal)}"""
     val wlCompact = selected.map(_._1).filter(workloadVersion(_) != 1)
       .map(n => s""""$n":${workloadVersion(n)}""").mkString("{", ",", "}")

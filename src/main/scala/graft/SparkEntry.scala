@@ -456,8 +456,21 @@ object SparkEntry {
         Hnsw.invalidate(key)
       }
       // warm ONCE per JVM (re-mapping per execution churns address
-      // space: old MappedByteBuffers linger until GC unmaps them)
-      if (!Hnsw.warmed(key)) Hnsw.warmFromDisk(key, storeDir, mapped = true)
+      // space: old MappedByteBuffers linger until GC unmaps them).
+      // The restore must be COMPLETE before serving with allowMissing:
+      // a partial restore (or an LRU-evicted group) would silently drop
+      // shards and the sidecar oracle — which recomputes recall from the
+      // same degraded predictions — would still agree. Requiring the
+      // restored count to equal the manifest keeps the loud-miss
+      // contract allowMissing's comment promises.
+      if (!Hnsw.warmed(key)) {
+        val manifestShards = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$storeDir/MANIFEST"))
+          .split('\n').count(_.nonEmpty)
+        val restored = Hnsw.warmFromDisk(key, storeDir, mapped = true)
+        require(restored == manifestShards,
+          s"partial store restore: $restored of $manifestShards shards")
+      }
       // allowMissing: an empty router cell has no graph anywhere — a
       // probed empty shard must contribute nothing, not crash (the a11
       // direct path has the same semantics implicitly)

@@ -246,22 +246,51 @@ object AnnSql {
       .queryExecution.logical
   }
 
+  /** `graft_ann_search_hnsw(index_name, queries_view | query_array, k
+    * [, ef_search[, flavor]])`. `flavor` (r15, the SQL reach for the
+    * store's serving flavors): `'contract'` (default) resolves to the
+    * routed [[Hnsw.searchRouted]] plan — builds on a cold cache exactly
+    * like the Scala call; `'i8'` walks the beam over the quantized
+    * sidecar with exact re-rank, `'auto'` picks per graph by the
+    * measured payload-size crossover ([[graft.ops.Hnsw]]'s
+    * `autoI8Bytes`). The non-contract flavors serve the WARMED graph
+    * cache only (a disk-restored store group, or a prior built run
+    * under the registered cacheKey) — a cold cache fails loudly at
+    * analysis time instead of silently paying a rebuild.
+    */
   private def buildHnsw(spark: SparkSession, es: Seq[Expression]): LogicalPlan = {
-    require(es.length >= 3 && es.length <= 4,
-      "graft_ann_search_hnsw(index_name, queries_view | query_array, k[, ef_search])")
-    val name = strArg(es.head, "graft_ann_search_hnsw", "index_name")
-    val k = intArg(es(2), "graft_ann_search_hnsw", "k")
-    val efSearch = if (es.length >= 4) intArg(es(3), "graft_ann_search_hnsw", "ef_search") else 64
+    val fn = "graft_ann_search_hnsw"
+    require(es.length >= 3 && es.length <= 5,
+      s"$fn(index_name, queries_view | query_array, k[, ef_search[, flavor]])")
+    val name = strArg(es.head, fn, "index_name")
+    val k = intArg(es(2), fn, "k")
+    val efSearch = if (es.length >= 4) intArg(es(3), fn, "ef_search") else 64
+    val flavor = if (es.length >= 5) strArg(es(4), fn, "flavor") else "contract"
+    require(Set("contract", "i8", "auto")(flavor),
+      s"$fn: flavor must be 'contract', 'i8' or 'auto', got '$flavor'")
     val e = hnswIndexes.get(key(spark, name))
     if (e == null) {
       throw new IllegalArgumentException(
-        s"graft_ann_search_hnsw: no hnsw index '$name' registered in this " +
+        s"$fn: no hnsw index '$name' registered in this " +
           s"session (registered: ${knownNames(hnswIndexes, spark)}) — call " +
           "AnnSql.registerHnsw(spark, name, base, centroids, ...) first")
     }
-    val qs = queriesArg(spark, es(1), "graft_ann_search_hnsw")
-    Hnsw.searchRouted(e.base, qs, e.centroids, e.routeProbe, k, e.metric,
-      e.m, e.efConstruction, efSearch, e.seed, e.cacheKey)
-      .queryExecution.logical
+    val qs = queriesArg(spark, es(1), fn)
+    if (flavor == "contract")
+      Hnsw.searchRouted(e.base, qs, e.centroids, e.routeProbe, k, e.metric,
+        e.m, e.efConstruction, efSearch, e.seed, e.cacheKey)
+        .queryExecution.logical
+    else {
+      require(e.cacheKey.nonEmpty && Hnsw.warmed(e.cacheKey),
+        s"$fn: flavor '$flavor' serves the warmed graph cache — register " +
+          "with a cacheKey and warm it first (Hnsw.warmFromDisk over a " +
+          "saved store, or one built run; then Hnsw.quantizeWarmed for " +
+          "'i8' unless the store is v2)")
+      Hnsw.searchWarm(qs, e.cacheKey, e.centroids.length, k, e.metric,
+        e.m, e.efConstruction, efSearch, e.seed, e.centroids, e.routeProbe,
+        allowMissing = true, quantized = flavor == "i8",
+        autoFlavor = flavor == "auto")
+        .queryExecution.logical
+    }
   }
 }

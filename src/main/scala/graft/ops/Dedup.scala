@@ -432,19 +432,141 @@ object Dedup {
   /** [[semanticCandidates]] over a PRE-ASSIGNED corpus — (idCol, vecCol,
     * cluster_id) rows, e.g. an IVF index's clustered table
     * ([[Ivf.Index.clustered]]), where the assignment is a stored column
-    * and the candidate stage pays ZERO argmin kernel passes. The only
-    * shuffle is the self-join on cluster_id.
+    * and the candidate stage pays ZERO argmin kernel passes. With every
+    * cell under `maxCellSize` the only shuffle is the self-join on
+    * cluster_id and the pairs are the paper's exact within-cluster
+    * all-pairs; cells past the cap switch to sign-LSH blocks with salted
+    * splits (see [[saltedBlocks]]) — per-join-key work stays bounded at
+    * any skew, at the cost of LSH-approximate candidates INSIDE the
+    * oversized cells only (duplicate floods, the case that triggers the
+    * guard, stay one component via the per-table salt mix +
+    * [[connectedComponents]]).
     */
   def semanticCandidatesAssigned(assigned: DataFrame,
                                  idCol: String = "vec_id",
-                                 vecCol: String = "embedding"): DataFrame = {
-    val l = assigned.select(col("cluster_id"), col(idCol).as("a"),
-      col(vecCol).as("vec_a"))
-    val r = assigned.select(col("cluster_id"), col(idCol).as("b"),
-      col(vecCol).as("vec_b"))
-    l.join(r, Seq("cluster_id")).filter(col("a") < col("b"))
+                                 vecCol: String = "embedding",
+                                 maxCellSize: Int = defaultMaxCellSize,
+                                 nBlockPlanes: Int = 8,
+                                 nBlockTables: Int = 2,
+                                 blockSeed: Long = 2026L): DataFrame = {
+    def allPairs(rows: DataFrame): DataFrame = {
+      val l = rows.select(col("cluster_id"), col(idCol).as("a"),
+        col(vecCol).as("vec_a"))
+      val r = rows.select(col("cluster_id"), col(idCol).as("b"),
+        col(vecCol).as("vec_b"))
+      l.join(r, Seq("cluster_id")).filter(col("a") < col("b"))
+        .select(col("cluster_id"), col("a"), col("b"),
+          VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cos"))
+    }
+    // Skewed-cell guard (r15): cell sizes are data-dependent and the
+    // corpora this operator targets are exactly the duplicate-flooded
+    // ones — one cell holding 1 % of a 100 TB corpus makes the
+    // within-cell all-pairs quadratic AND lands it on ONE reducer (a
+    // single join key). The guard is driver-decided: cell counts are an
+    // nlist-bounded aggregate (only oversized rows ever reach the
+    // driver, like every centroid collect), and when NO cell exceeds
+    // the cap the returned plan is bit-identical to the unguarded one —
+    // the paper's exact all-pairs, PlanSpec's single-shuffle gate, and
+    // the d13/d14 oracles all ride on that path.
+    val oversized: Seq[Long] = assigned.groupBy("cluster_id").count()
+      .filter(col("count") > maxCellSize)
+      .select(col("cluster_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    if (oversized.isEmpty) return allPairs(assigned)
+    val isBig = col("cluster_id").cast("long").isInCollection(oversized)
+    val smallPairs = allPairs(assigned.filter(!isBig))
+    val bigPairs = saltedBlocks(assigned.filter(isBig), idCol, vecCol,
+      maxCellSize, nBlockPlanes, nBlockTables, blockSeed)
+    allPairsUnionShape(smallPairs, bigPairs, assigned, idCol, vecCol)
+  }
+
+  /** Default within-cluster all-pairs cap for the semantic-dedup skew
+    * guard: 8192² / 2 ≈ 33 M cosine pairs per join block — seconds of
+    * kernel work per reducer, the same order as the MinHash path's gated
+    * bucket tail cost. `-Dgraft.semantic.maxCell=N` overrides.
+    */
+  private[graft] def defaultMaxCellSize: Int =
+    java.lang.Integer.getInteger("graft.semantic.maxCell", 8192)
+
+  /** The oversized-cell arm of [[semanticCandidatesAssigned]]: sign-LSH
+    * blocks ([[LshAnn.signBuckets]] — similarity-preserving, so genuine
+    * near-dups still collide) with an id-hash SALT split of any block
+    * still past the cap (the exact-duplicate flood case, where every
+    * LSH table maps the whole flood to one key). The salt partition is
+    * PER-TABLE independent (`xxhash64(id, t)`), so a flood split into
+    * salt groups in table 0 re-mixes across groups in table 1 — the
+    * union of the per-group cliques is connected w.h.p. and
+    * [[connectedComponents]] recovers the flood as ONE component even
+    * though no single block saw all its pairs. Returns the salted
+    * (cluster_id, t, key, salt, id) frame; every downstream join key is
+    * ≤ ~cap rows, which is the whole point.
+    */
+  private def saltedBlocks(big: DataFrame, idCol: String, vecCol: String,
+                           cap: Int, nPlanes: Int, nTables: Int,
+                           seed: Long): DataFrame = {
+    val dim = big.select(size(col(vecCol))).head().getInt(0)
+    val blocked = LshAnn
+      .signBuckets(big.select(col(idCol), col(vecCol)), idCol, vecCol,
+        dim, nPlanes, nTables, seed)
+      .join(big.select(col(idCol), col("cluster_id")), Seq(idCol))
+    val counts = blocked.groupBy("cluster_id", "t", "key")
+      .agg(count(lit(1)).as("_bn"))
+    blocked.join(counts, Seq("cluster_id", "t", "key"))
+      .withColumn("salt",
+        when(col("_bn") <= cap, lit(0L))
+          .otherwise(pmod(xxhash64(col(idCol), col("t")),
+            ceil(col("_bn") / cap).cast("long"))))
+      .select(col("cluster_id"), col("t"), col("key"), col("salt"),
+        col(idCol))
+  }
+
+  /** Pair + cosine the salted blocks and union with the exact small-cell
+    * arm — output schema identical to the unguarded candidates
+    * (cluster_id, a, b, cos); pairs seen by multiple tables dedup before
+    * the vector fetch so each survives ONE cosine.
+    */
+  private def allPairsUnionShape(smallPairs: DataFrame, salted: DataFrame,
+                                 assigned: DataFrame, idCol: String,
+                                 vecCol: String): DataFrame = {
+    val l = salted.withColumnRenamed(idCol, "a")
+    val r = salted.withColumnRenamed(idCol, "b")
+    val cand = l.join(r, Seq("cluster_id", "t", "key", "salt"))
+      .filter(col("a") < col("b"))
+      .select(col("cluster_id"), col("a"), col("b")).distinct()
+    val va = assigned.select(col(idCol).as("a"), col(vecCol).as("vec_a"))
+    val vb = assigned.select(col(idCol).as("b"), col(vecCol).as("vec_b"))
+    val bigPairs = cand.join(va, Seq("a")).join(vb, Seq("b"))
       .select(col("cluster_id"), col("a"), col("b"),
         VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cos"))
+    smallPairs.unionByName(bigPairs)
+  }
+
+  /** Diagnostic for the skew guard, gated at scale like d9's bucket
+    * tail: the LARGEST join-block row count the candidate stage will
+    * pair within, AFTER guarding — small cells report their cell size,
+    * oversized cells their largest (t, key, salt) block. Bounded ≈ cap
+    * (salt groups are an id-hash partition, so binomial spread around
+    * cap, not multiples of it).
+    */
+  def semanticBlockTail(assigned: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        maxCellSize: Int = defaultMaxCellSize,
+                        nBlockPlanes: Int = 8,
+                        nBlockTables: Int = 2,
+                        blockSeed: Long = 2026L): Long = {
+    val cells = assigned.groupBy("cluster_id").count()
+    val oversized: Seq[Long] = cells.filter(col("count") > maxCellSize)
+      .select(col("cluster_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    val smallMax = cells.filter(!col("cluster_id").cast("long")
+        .isInCollection(oversized :+ -1L))
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    if (oversized.isEmpty) return smallMax
+    val bigMax = saltedBlocks(
+      assigned.filter(col("cluster_id").cast("long").isInCollection(oversized)),
+      idCol, vecCol, maxCellSize, nBlockPlanes, nBlockTables, blockSeed)
+      .groupBy("cluster_id", "t", "key", "salt").count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    math.max(smallMax, bigMax)
   }
 
   /** Enrich an assigned corpus with each row's distance to its own
@@ -518,14 +640,15 @@ object Dedup {
   def semanticDedupAssigned(assigned: DataFrame, tau: Double,
                             keepRule: String = "min_id",
                             idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
+                            vecCol: String = "embedding",
+                            maxCellSize: Int = defaultMaxCellSize): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keepRule == "min_id" || keepRule == "far_from_centroid",
       s"unknown keepRule '$keepRule'")
     require(keepRule != "far_from_centroid" || assigned.columns.contains("cdist"),
       "far_from_centroid needs a 'cdist' column — enrich the assigned " +
         "frame with Dedup.withCentroidDist first")
-    val pairs = semanticCandidatesAssigned(assigned, idCol, vecCol)
+    val pairs = semanticCandidatesAssigned(assigned, idCol, vecCol, maxCellSize)
       .filter(col("cos") >= tau).select("a", "b")
     val comp = connectedComponents(pairs)
       .withColumnRenamed("node", idCol)

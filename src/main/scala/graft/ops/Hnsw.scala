@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
 
@@ -49,6 +49,17 @@ object Hnsw {
     */
   @volatile private[graft] var touchLines: Int =
     java.lang.Integer.getInteger("graft.hnsw.touchLines", 24)
+
+  /** Walk-working-set crossover for [[ShardGraph.autoI8]] in bytes:
+    * above it the auto flavor serves the i8 walk, below it the contract
+    * walk. Set from the r15 AutoFlavorProbe ef-ladder on the 500K store
+    * graph (see COVERAGE.md §"Serving posture"); override with
+    * `-Dgraft.hnsw.i8.autoBytes=N`.
+    */
+  @volatile private[graft] var autoI8Bytes: Long = {
+    val v = java.lang.Long.getLong("graft.hnsw.i8.autoBytes")
+    if (v == null) 4000000L else v.longValue()
+  }
 
   /** splitmix64 finalizer — the repo-standard seeded hash (same shape as
     * `SyntheticVectors.uLocal`).
@@ -334,6 +345,34 @@ object Hnsw {
     private def rowFloat(i: Int): Float =
       if (flatBB != null) flatBB.getFloat(i * 4) else flat(i)
 
+    /** Whether the i8 serve sidecar exists ([[quantizeStore]] ran, or a
+      * v2 store carried it).
+      */
+    def i8Available: Boolean = i8codes != null || i8codesBB != null
+
+    /** Warm-time serve-flavor auto-pick (r15, VERDICT r14 #6): the i8
+      * walk wins only when the beam is DRAM-bound — its 4×-fewer
+      * gathered bytes then beat the quantize+re-rank overhead — and
+      * loses on walks whose working set caches (the measured 500K easy
+      * point: contract 522 µs vs i8 662 at ef64; the r14 GT frontier
+      * put the i8 curve 1.4–1.5× LEFT of contract on hard walks, which
+      * run at high ef). The regime is knowable per (graph, ef): the
+      * walk's touched set ≈ ef·m gathered rows of dim·4 bytes, capped
+      * by the payload itself — when that exceeds the cache-size
+      * crossover the gathers miss LLC and byte count is the wall. The
+      * default crossover comes from the r15 AutoFlavorProbe sweep on
+      * the 500K store graph; `-Dgraft.hnsw.i8.autoBytes=N` overrides,
+      * and the explicit `quantized`/contract flags always win over auto.
+      */
+    def autoI8(efSearch: Int): Boolean =
+      i8Available && math.min(flatLen.toLong * 4,
+        efSearch.toLong * m * dimU * 4) > Hnsw.autoI8Bytes
+
+    /** Payload size in bytes (diagnostic; the auto-flavor probe prints
+      * it beside the walk estimate).
+      */
+    def flatBytes: Long = flatLen.toLong * 4
+
     /** Build the i8 serve sidecar (idempotent; ~n·dim work once; a no-op
       * when a v2 store already supplied it).
       */
@@ -572,8 +611,13 @@ object Hnsw {
         prefix.putInt(2)
         prefix.putInt(hdr.length)
         prefix.flip()
-        ch.write(prefix)
-        ch.write(java.nio.ByteBuffer.wrap(hdr))
+        // the header is NOT small — at 500K nodes the ids/offs/lens/levels
+        // block plus every link list is tens of MB, exactly the size
+        // regime where FileChannel.write may return short; a short header
+        // write shifts every later byte just like a short payload write
+        while (prefix.hasRemaining) ch.write(prefix)
+        val hdrBuf = java.nio.ByteBuffer.wrap(hdr)
+        while (hdrBuf.hasRemaining) ch.write(hdrBuf)
         val chunk = java.nio.ByteBuffer.allocateDirect(1 << 20)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         def writeFloats(src: Array[Float], len: Int): Unit = {
@@ -646,8 +690,12 @@ object Hnsw {
       var chunk: java.nio.ByteBuffer = null
       def readFloats(at: Long, dst: Array[Float], len: Int): Unit = {
         if (chunk == null)
+          // size in Long: len * 4 in Int overflows negative past 512M
+          // floats, and math.max would silently pick 4096 — a correct
+          // but pathologically slow 4 KB-read restore of a large shard
           chunk = java.nio.ByteBuffer
-            .allocateDirect(math.min(1 << 20, math.max(len * 4, 4096)))
+            .allocateDirect(
+              math.min(1L << 20, math.max(len.toLong * 4, 4096L)).toInt)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         ch.position(at)
         var p = 0
@@ -1274,13 +1322,27 @@ object Hnsw {
       b.result()
     }
     val manifest = new java.lang.StringBuilder
+    // generation-atomic re-save: shards write under .tmp names and move
+    // into place, and the MANIFEST itself moves in ATOMIC_MOVE last — a
+    // crash mid-save over an existing store leaves the OLD manifest
+    // pointing at complete old-generation files (tmp leftovers are
+    // ignored by warmFromDisk), never a mix of half-rewritten shards
     java.util.stream.IntStream.range(0, entries.length).parallel()
-      .forEach((i: Int) => entries(i)._2.writeStore(s"$dir/shard_$i.graph"))
+      .forEach { (i: Int) =>
+        entries(i)._2.writeStore(s"$dir/shard_$i.graph.tmp")
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(s"$dir/shard_$i.graph.tmp"),
+          java.nio.file.Paths.get(s"$dir/shard_$i.graph"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     entries.zipWithIndex.foreach { case ((key, _), i) =>
       manifest.append(key).append('\t').append(s"shard_$i.graph").append('\n')
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/MANIFEST"), manifest.toString)
+    val mTmp = java.nio.file.Paths.get(s"$dir/MANIFEST.tmp")
+    java.nio.file.Files.writeString(mTmp, manifest.toString)
+    java.nio.file.Files.move(mTmp, java.nio.file.Paths.get(s"$dir/MANIFEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     entries.length
   }
 
@@ -1309,7 +1371,12 @@ object Hnsw {
         if (prefault) g.prefault()
         ()
       }
-    lines.length
+    // the return value is the number of manifest entries RESIDENT after
+    // the restore — not lines.length: a group LRU-evicted mid-warm (other
+    // threads cycling cacheKeys past maxKeys) would otherwise report a
+    // full restore it didn't deliver, and an allowMissing serve over it
+    // would silently drop shards (the a14 check rides on this count)
+    lines.count(l => group.containsKey(l.split('\t')(0)))
   }
 
   /** Executor-level graph cache: shards are immutable once built, so a
@@ -1452,13 +1519,30 @@ object Hnsw {
     * routeProbe nearest shards search each query (shard ids ==
     * centroid indices, matching [[searchRouted]]'s router).
     */
+  /** Collision-free shard→task dispatch for [[searchWarm]]: exactly one
+    * probed shard per task, by POSITION (`parallelize`'s equal slicing),
+    * not by hash — a hash `repartition(n, col("shard"))` can land two
+    * probed shards in one task while another sits empty, and at
+    * nShards ≫ routeProbe the routed tail then pays up to 2× on the
+    * critical path for nothing. HnswSpec gates the one-shard-per-task
+    * invariant via glom.
+    */
+  private[graft] def dispatchShards(spark: SparkSession,
+                                    shards: Seq[Int]): Dataset[Int] = {
+    import spark.implicits._
+    spark.createDataset(
+      spark.sparkContext.parallelize(shards, math.max(shards.size, 1)))
+  }
+
   def searchWarm(queries: DataFrame, cacheKey: String, nShards: Int, k: Int,
                  metric: Metric = Metric.Dot, m: Int = 16,
                  efConstruction: Int = 100, efSearch: Int = 64,
                  seed: Long = 42L,
                  centroids: Array[Array[Float]] = null, routeProbe: Int = 0,
                  evalCounter: Option[LongAccumulator] = None,
-                 allowMissing: Boolean = false): DataFrame = {
+                 allowMissing: Boolean = false,
+                 quantized: Boolean = false,
+                 autoFlavor: Boolean = false): DataFrame = {
     require(cacheKey.nonEmpty, "searchWarm needs the cacheKey the graphs were built under")
     val spark = queries.sparkSession
     import spark.implicits._
@@ -1480,15 +1564,9 @@ object Hnsw {
     // before any task launches, so non-probed shards never even get a
     // task — at nShards ≫ routeProbe×Q this is most of them
     val probedUnion = probeSets.map(_.values.flatten.toSet)
-    val stub0 = spark.range(nShards).select(col("id").cast("int").as("shard"))
-    val stub = probedUnion match {
-      case Some(u) => stub0.filter(col("shard").isInCollection(u.toSeq))
-      case None    => stub0
-    }
-    val nTasks = probedUnion.map(_.size.max(1)).getOrElse(nShards)
-    val scored = stub
-      .repartition(nTasks, col("shard"))
-      .as[Int]
+    val shardList: Seq[Int] =
+      probedUnion.map(_.toSeq.sorted).getOrElse(0 until nShards)
+    val scored = dispatchShards(spark, shardList)
       .mapPartitions { it =>
         val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
         var searched = 0L
@@ -1506,11 +1584,18 @@ object Hnsw {
               "run Hnsw.search(base, ..., cacheKey) once to build")
           if (g != null) {
             val before = g.evals
+            // serve-flavor pick, mirroring searchLocal's: explicit i8
+            // (loud if the sidecar is absent — quantizeWarmed first, or
+            // a v2 store), or the per-graph auto crossover
+            val useI8 =
+              if (autoFlavor) g.i8Available && g.autoI8(efSearch)
+              else quantized
             qBc.value.foreach { case (qid, qvec) =>
               if (probeBc.value.forall(_(qid).contains(shard))) {
-                g.search(qvec, k, efSearch).foreach { case (id, s) =>
-                  out += ((qid, id, s))
-                }
+                val hits =
+                  if (useI8) g.searchI8(qvec, k, efSearch)
+                  else g.search(qvec, k, efSearch)
+                hits.foreach { case (id, s) => out += ((qid, id, s)) }
               }
             }
             searched += g.evals - before
@@ -1557,7 +1642,9 @@ object Hnsw {
                   centroids: Array[Array[Float]] = null,
                   routeProbe: Int = 0,
                   floatAcc: Boolean = false,
-                  quantized: Boolean = false): Array[(Long, Double)] = {
+                  quantized: Boolean = false,
+                  allowMissing: Boolean = false,
+                  autoFlavor: Boolean = false): Array[(Long, Double)] = {
     val dim = qvec.length
     val group = shardGroupIfPresent(cacheKey).getOrElse(
       throw new IllegalStateException(
@@ -1577,12 +1664,21 @@ object Hnsw {
     probed.toArray.sorted.foreach { shard =>
       val key = s"$cacheKey|$shard|$dim|$m|$efConstruction|$seed|$metric"
       val g = group.get(key)
-      require(g != null,
+      // allowMissing mirrors searchWarm's empty-router-cell semantics:
+      // a probed but legitimately empty cell (the build only
+      // materializes shards with base rows) contributes nothing; the
+      // default stays the loud-miss contract
+      require(g != null || allowMissing,
         s"no warmed hnsw graph for shard $shard under '$cacheKey'")
-      val hits =
-        if (quantized) g.searchI8(qvec, k, efSearch)
-        else g.search(qvec, k, efSearch, floatAcc)
-      hits.foreach { case (id, s) => agg.consider(buf, id, s) }
+      if (g != null) {
+        val useI8 =
+          if (autoFlavor) g.i8Available && g.autoI8(efSearch)
+          else quantized
+        val hits =
+          if (useI8) g.searchI8(qvec, k, efSearch)
+          else g.search(qvec, k, efSearch, floatAcc)
+        hits.foreach { case (id, s) => agg.consider(buf, id, s) }
+      }
     }
     (0 until buf.n).map(i => (buf.ids(i), buf.scores(i))).toArray
       .sortBy { case (id, s) => (if (metric.larger) -s else s, id) }

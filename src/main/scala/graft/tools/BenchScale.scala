@@ -971,6 +971,36 @@ object BenchScale {
           "all_pairs_ratio" -> nCand / (200000.0 * 199999 / 2),
           "nlist" -> nlist.toDouble)
       }
+      // the SKEW-GUARDED regime (r15, verdict task #1): plant a dense
+      // duplicate flood — 20k near-identical rows in ONE cell of a 200k
+      // corpus — the data SemDeDup exists for and the shape that made the
+      // unguarded all-pairs 100×-fatal (quadratic pairs on one reducer).
+      // The guard's LSH+salt blocks bound every join key near the cap
+      // (recorded as block_tail; pairs grow ∝ flood×cap, not flood²), and
+      // the flood must still resolve to ONE keeper via the component pass
+      runAnn("ann_semantic_dedup_skew") {
+        val nSk = 200000L
+        val floodN = 20000L
+        val capSk = 1024
+        val floodRows = spark.range(floodN).select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, ${annDim - 1}), j -> " +
+            "cast(0.5 + 0.05*j + 1e-3*(pmod(hash(id*31 + j), 7) - 3) as float))")
+            .as("embedding"),
+          lit(0).as("cluster_id"))
+        val rest = base.filter(col("id") >= floodN && col("id") < nSk)
+          .select(col("id").as("vec_id"), col("vec").as("embedding"),
+            (lit(1) + pmod(col("id"), lit(1023))).cast("int").as("cluster_id"))
+        val assigned = floodRows.unionByName(rest).localCheckpoint()
+        val tail = Dedup.semanticBlockTail(assigned, maxCellSize = capSk)
+        val out = Dedup.semanticDedupAssigned(assigned, tau = 0.99,
+          maxCellSize = capSk)
+        val floodKeep = out.filter(col("cluster_id") === 0 && col("keep"))
+          .count().toDouble
+        val dropped = out.filter(!col("keep")).count().toDouble
+        Map("n" -> nSk.toDouble, "flood" -> floodN.toDouble,
+          "cap" -> capSk.toDouble, "block_tail" -> tail.toDouble,
+          "flood_keepers" -> floodKeep, "n_dropped" -> dropped)
+      }
 
       // routed shards: the IVF centroids double as the shard router —
       // probing 32/nlist shards must hold recall while cutting evals

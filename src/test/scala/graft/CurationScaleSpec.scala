@@ -99,6 +99,65 @@ class CurationScaleSpec extends AnyFunSuite {
     perLang.foreach { case (l, c) => assert(c == 1000, s"$l: $c") }
   }
 
+  test("semantic dedup skew guard: a 25%-flood cell stays bounded per task, " +
+       "flood resolves to one keeper (r15)") {
+    // the 100×-fatal shape from the r14 verdict: one k-means cell holding
+    // a dense duplicate flood — within-cluster all-pairs is quadratic in
+    // the flood AND lands on one reducer. Plant it deliberately: 5k
+    // near-identical vectors in cluster 0 (25 % of a 20k corpus), the
+    // rest spread thin. dim 16, deterministic bit-mix fixture.
+    val dim = 16
+    val nAll = 20000
+    val flood = 5000
+    def mix(x: Long): Long = { // splitmix-style
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val rows = (0 until nAll).map { i =>
+      val vec =
+        if (i < flood) Array.tabulate(dim) { j =>
+          (0.5f + 0.05f * j) + 1e-3f * ((mix(i.toLong * 31 + j) % 7) - 3)
+        }
+        else Array.tabulate(dim) { j =>
+          (mix(i.toLong * 131 + j) % 1000) / 500f - 1f
+        }
+      (i.toLong, vec, if (i < flood) 0 else 1 + (i % 100))
+    }
+    val assigned = spark.createDataFrame(rows)
+      .toDF("vec_id", "embedding", "cluster_id").cache()
+    assert(assigned.count() == nAll)
+    val cap = 512
+    // unguarded, the candidate join would pair a 5000-row key (~12.5M
+    // pairs on ONE reducer); the tail diagnostic shows the hazard…
+    assert(Dedup.semanticBlockTail(assigned, maxCellSize = Int.MaxValue)
+      == flood)
+    // …and the guard bounds every join block near the cap (id-hash salt
+    // groups have binomial spread around cap, never multiples of it)
+    val tail = Dedup.semanticBlockTail(assigned, maxCellSize = cap)
+    assert(tail <= (cap * 3) / 2, s"guarded block tail $tail > 1.5×cap=$cap")
+    // transitive recovery: no single block saw all flood pairs, but the
+    // per-table-independent salt mix + connected components must still
+    // resolve the flood to ONE component keeping ONE representative
+    val res = Dedup.semanticDedupAssigned(assigned, tau = 0.95,
+      maxCellSize = cap).cache()
+    val floodKeep = res.filter(col("cluster_id") === 0)
+      .agg(sum(when(col("keep"), 1L).otherwise(0L))).head().getLong(0)
+    val floodComponents = res.filter(col("cluster_id") === 0)
+      .select("component").distinct().count()
+    assert(floodComponents == 1, s"flood split into $floodComponents components")
+    assert(floodKeep == 1L, s"flood kept $floodKeep representatives")
+    // thin cells ride the exact unguarded arm: random dim-16 vectors at
+    // tau 0.95 are non-duplicates, so nearly everything keeps itself (a
+    // handful of chance cosine crossings among ~1.5M thin-cell pairs are
+    // expected — the first run measured exactly one)
+    val keepAll = res.agg(sum(when(col("keep"), 1L).otherwise(0L)))
+      .head().getLong(0)
+    assert(keepAll >= nAll - flood - 10, s"kept $keepAll of $nAll")
+    res.unpersist(); assigned.unpersist()
+  }
+
   test("cc: d9 pair graph converges fast into family-shaped components") {
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)

@@ -392,6 +392,113 @@ class HnswSpec extends AnyFunSuite {
       "on-demand quantization over a mapped bare store diverged")
   }
 
+  test("truncated store files fail loudly, never misparse (r15)") {
+    val rows = SyntheticVectors.lowRankFast(spark, 500, 32, intrinsic = 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val g = Hnsw.probeBuild(rows, m = 8, efC = 64, seed = 42L, Metric.Dot)
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_trunc").toString
+    val full = java.nio.file.Paths.get(s"$tmp/g.graph")
+    g.writeStore(full.toString)
+    val bytes = java.nio.file.Files.readAllBytes(full)
+    // the 12-byte prefix records the header length — cut mid-header and
+    // mid-payload (the two regions the short-write fix hardened)
+    val hdrLen = java.nio.ByteBuffer.wrap(bytes, 8, 4).getInt
+    def truncated(to: Int): String = {
+      val p = java.nio.file.Paths.get(s"$tmp/t$to.graph")
+      java.nio.file.Files.write(p, java.util.Arrays.copyOf(bytes, to))
+      p.toString
+    }
+    val midHeader = truncated(12 + hdrLen / 2)
+    val ex1 = intercept[IllegalArgumentException](Hnsw.readStore(midHeader))
+    assert(ex1.getMessage.contains("truncated"), ex1.getMessage)
+    val midPayload = truncated(12 + hdrLen + (bytes.length - 12 - hdrLen) / 2)
+    val ex2 = intercept[IllegalArgumentException](Hnsw.readStore(midPayload))
+    assert(ex2.getMessage.contains("truncated"), ex2.getMessage)
+    // mapped load of a truncated payload must also fail loudly (the
+    // READ_ONLY map cannot extend the file to the recorded length)
+    intercept[Exception](Hnsw.readStore(midPayload, mapped = true))
+  }
+
+  test("searchWarm dispatch is collision-free: one probed shard per task (r15)") {
+    // the hash-repartition dispatch could put two probed shards in one
+    // task; the positional dispatch may not — gate the invariant directly
+    val shards = Seq(3, 17, 42, 511, 1023, 7, 99)
+    val slices = Hnsw.dispatchShards(spark, shards.sorted).rdd.glom().collect()
+    assert(slices.length == shards.size)
+    assert(slices.forall(_.length == 1),
+      s"collided tasks: ${slices.map(_.toSeq).mkString(";")}")
+    assert(slices.flatten.toSet == shards.toSet)
+    // and the serving path over it still matches the direct plan
+    val key = "dispatch_spec"
+    val want = Hnsw.search(base, queries, k = 10, Metric.Dot, m = 8,
+      efConstruction = 64, nShards = 4, cacheKey = key).collect()
+      .map(_.toSeq).toSet
+    val got = Hnsw.searchWarm(queries, key, nShards = 4, k = 10,
+      Metric.Dot, m = 8, efConstruction = 64).collect().map(_.toSeq).toSet
+    assert(got == want)
+    Hnsw.invalidate(key)
+  }
+
+  test("searchLocal allowMissing mirrors searchWarm's empty-cell semantics (r15)") {
+    val key = "local_missing_spec"
+    Hnsw.search(base, queries, k = 5, Metric.Dot, m = 8,
+      efConstruction = 64, nShards = 2, cacheKey = key).count()
+    val q = queries.select("qvec").head().getSeq[Float](0).toArray
+    // nShards=3 probes shard 2, which was never built: loud by default…
+    intercept[IllegalArgumentException] {
+      Hnsw.searchLocal(q, key, nShards = 3, k = 5, Metric.Dot, m = 8,
+        efConstruction = 64)
+    }
+    // …and a no-op contribution with allowMissing, matching the warm result
+    val want = Hnsw.searchLocal(q, key, nShards = 2, k = 5, Metric.Dot,
+      m = 8, efConstruction = 64).toSeq
+    val got = Hnsw.searchLocal(q, key, nShards = 3, k = 5, Metric.Dot,
+      m = 8, efConstruction = 64, allowMissing = true).toSeq
+    assert(got == want)
+    Hnsw.invalidate(key)
+  }
+
+  test("auto serve flavor picks per graph size and honors the override (r15)") {
+    val key = "auto_flavor_spec"
+    Hnsw.search(base, queries, k = 5, Metric.Dot, m = 8,
+      efConstruction = 64, nShards = 2, cacheKey = key).count()
+    Hnsw.quantizeWarmed(key)
+    val q = queries.select("qvec").head().getSeq[Float](0).toArray
+    def serve(auto: Boolean, quantized: Boolean) =
+      Hnsw.searchLocal(q, key, nShards = 2, k = 5, Metric.Dot, m = 8,
+        efConstruction = 64, quantized = quantized, autoFlavor = auto).toSeq
+    val saved = Hnsw.autoI8Bytes
+    try {
+      // tiny fixture graphs sit far below any sane threshold → contract
+      Hnsw.autoI8Bytes = Long.MaxValue
+      assert(serve(auto = true, quantized = false) ==
+        serve(auto = false, quantized = false))
+      // force the crossover to zero → the auto pick serves the i8 walk
+      Hnsw.autoI8Bytes = 0L
+      assert(serve(auto = true, quantized = false) ==
+        serve(auto = false, quantized = true))
+    } finally Hnsw.autoI8Bytes = saved
+    Hnsw.invalidate(key)
+  }
+
+  test("saveWarmed re-save is generation-atomic: no tmp leftovers, old stores replaced (r15)") {
+    val key = "atomic_save_spec"
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_atomic").toString
+    Hnsw.search(base, queries, k = 5, Metric.Dot, m = 8,
+      efConstruction = 64, nShards = 2, cacheKey = key).count()
+    assert(Hnsw.saveWarmed(key, tmp) == 2)
+    // unconditional re-save over the existing dir (the ADVICE hazard)
+    assert(Hnsw.saveWarmed(key, tmp) == 2)
+    val names = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      .map(_.getFileName.toString).toArray.map(_.toString).toSet
+    assert(!names.exists(_.endsWith(".tmp")), s"tmp leftovers: $names")
+    assert(names.contains("MANIFEST"))
+    Hnsw.invalidate(key)
+    assert(Hnsw.warmFromDisk(key, tmp) == 2)
+    Hnsw.invalidate(key)
+  }
+
   test("self-match: a base vector's own id is its rank-1 hit") {
     // L2 metric: the self pair is distance 0, the unconditional minimum —
     // any miss is a graph reachability bug, not a metric artifact

@@ -206,6 +206,63 @@ class SqlSurfaceSpec extends AnyFunSuite {
     Hnsw.invalidate(key)
   }
 
+  test("graft_ann_search_hnsw flavor arg reaches the i8/auto store walks (r15)") {
+    // the Scala-only gap from the r14 verdict: quantized + mapped serving
+    // had no SQL reach. Compose the full store path (build → quantize →
+    // save v2 → drop → mapped restore), then pin each TVF flavor to its
+    // Scala twin over the SAME warmed group.
+    import graft.functions.AnnSql
+    import graft.ops.{Hnsw, Ivf, Metric}
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val router = Ivf.buildOrGet(spark, base, s"$dir|sqlhnsw", nlist = 4,
+      ntrain = 500)
+    val key = s"$dir|sqlhnsw|flavors"
+    val qs = base.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    Hnsw.searchRouted(base, qs, router.centroids, routeProbe = 2, k = 10,
+      Metric.Dot, m = 8, efConstruction = 64, efSearch = 64,
+      cacheKey = key).count()
+    Hnsw.quantizeWarmed(key) // v2 store: the i8 sidecar persists
+    val tmp = java.nio.file.Files.createTempDirectory("sql_hnsw_flavors").toString
+    Hnsw.saveWarmed(key, tmp)
+    Hnsw.invalidate(key)
+    Hnsw.warmFromDisk(key, tmp, mapped = true)
+    AnnSql.registerHnsw(spark, "emb_hnsw_fl", base, router.centroids,
+      routeProbe = 2, m = 8, efConstruction = 64, cacheKey = key)
+    qs.createOrReplaceTempView("hnsw_flavor_queries")
+    def tvf(flavor: String) = spark.sql(
+      s"SELECT * FROM graft_ann_search_hnsw('emb_hnsw_fl', 'hnsw_flavor_queries', 10, 64, '$flavor')")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    def warm(quantized: Boolean, auto: Boolean) =
+      Hnsw.searchWarm(qs, key, nShards = 4, k = 10, Metric.Dot, m = 8,
+        efConstruction = 64, efSearch = 64, centroids = router.centroids,
+        routeProbe = 2, allowMissing = true, quantized = quantized,
+        autoFlavor = auto).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(tvf("i8") == warm(quantized = true, auto = false),
+      "TVF i8 flavor diverged from searchWarm(quantized)")
+    assert(tvf("contract") == warm(quantized = false, auto = false),
+      "TVF contract flavor diverged from the contract walk")
+    val saved = Hnsw.autoI8Bytes
+    try {
+      Hnsw.autoI8Bytes = 0L // force the crossover: auto must serve i8
+      assert(tvf("auto") == warm(quantized = true, auto = false))
+      Hnsw.autoI8Bytes = Long.MaxValue // and back to contract
+      assert(tvf("auto") == warm(quantized = false, auto = false))
+    } finally Hnsw.autoI8Bytes = saved
+    // malformed flavor and cold-cache serving both fail loudly
+    val bad = intercept[Exception](tvf("f16"))
+    assert(bad.getMessage.contains("flavor") ||
+      Option(bad.getCause).exists(_.getMessage.contains("flavor")))
+    Hnsw.invalidate(key)
+    val cold = intercept[Exception](tvf("i8"))
+    assert(cold.getMessage.contains("warm") ||
+      Option(cold.getCause).exists(_.getMessage.contains("warm")))
+    AnnSql.unregister(spark, "emb_hnsw_fl")
+  }
+
   test("SQL top-k with graft_dot matches the DataFrame path") {
     val sql = spark.sql(
       """SELECT b.vec_id AS id,
