@@ -770,6 +770,29 @@ object SparkEntry {
         keepRule = "far_from_centroid")
         .orderBy(col("vec_id"))
     }),
+    // r15: the skew-GUARDED SemDeDup path under the full DuckDB gate.
+    // The guard's LSH+salt candidate generation isn't SQL-expressible
+    // (Gaussian planes, like d4's), so the CANDIDATE PAIRS persist to
+    // the sidecar and DuckDB re-derives everything downstream — cosine
+    // verify (the v9-pinned formulation), components (recursive CTE),
+    // min-id keeper — over exactly the pairs the guarded stage emitted.
+    // The planted assignment (a 40 % flood cell + thin 5-row cells) is a
+    // pure vec_id expression, so the oracle recomputes it in SQL instead
+    // of riding a second sidecar; cap 8 with 4-plane blocks forces BOTH
+    // guard arms AND the salt split at fixture scale (flood blocks ~12
+    // rows > cap → 2 salt groups per table).
+    "d15_semantic_skew" -> ((s, dir) => {
+      val assigned = Tables.embeddings(s, dir).select(
+        col("vec_id"), col("embedding"),
+        when(col("vec_id") < 200, lit(0))
+          .otherwise((col("vec_id") % 60 + 1).cast("int")).as("cluster_id"))
+      predSidecar("d15_semantic_skew",
+        Dedup.semanticCandidatesAssigned(assigned, maxCellSize = 8,
+          nBlockPlanes = 4, nBlockTables = 2), "a", "b")
+      Dedup.semanticDedupAssigned(assigned, tau = 0.95, maxCellSize = 8,
+        nBlockPlanes = 4, nBlockTables = 2)
+        .orderBy(col("vec_id"))
+    }),
     // Keeper selection over exact-dup groups via the REAL operator
     // (Dedup.exact → explode group members → keep flag) — the per-document
     // canonical-copy decision a dedup pipeline ships downstream, hash-gated
@@ -1867,10 +1890,48 @@ object SparkEntry {
            |  (rn = 1) AS keep
            |FROM ranked ORDER BY vec_id""".stripMargin
     }
+    // d15: d13's oracle shape over the skew-GUARDED candidate set — the
+    // pairs come from the sidecar (the LSH+salt stage DuckDB cannot
+    // express) instead of a SQL self-join, the planted assignment is
+    // recomputed as a pure vec_id expression, and components + min-id
+    // keeper re-derive exactly as in d13. A pair the guard wrongly
+    // dropped shows up as a component DuckDB also can't form — the gate
+    // pins that Spark's dedup DECISIONS are exactly the closure of the
+    // candidates the guard declared.
+    val d15 = sidecarPairs("d15_semantic_skew").filter(_.nonEmpty).map { cand =>
+      "d15_semantic_skew" ->
+        s"""WITH RECURSIVE cand(a, b) AS (VALUES ${cand.mkString(",")}),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |pairs AS (
+           |  SELECT cand.a, cand.b
+           |  FROM cand JOIN e ea ON cand.a = ea.vec_id
+           |            JOIN e eb ON cand.b = eb.vec_id
+           |  WHERE list_dot_product(ea.v, eb.v) /
+           |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.95),
+           |edges AS (SELECT a AS x, b AS y FROM pairs
+           |          UNION SELECT b AS x, a AS y FROM pairs),
+           |reach(node, r) AS (
+           |  SELECT x, y FROM edges
+           |  UNION
+           |  SELECT reach.node, edges.y FROM reach JOIN edges ON reach.r = edges.x),
+           |comp AS (
+           |  SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node),
+           |assign AS (
+           |  SELECT vec_id AS id,
+           |    CASE WHEN vec_id < 200 THEN 0
+           |         ELSE CAST(vec_id % 60 + 1 AS INT) END AS cluster_id
+           |  FROM embeddings)
+           |SELECT CAST(a.id AS BIGINT) AS vec_id,
+           |  CAST(a.cluster_id AS INT) AS cluster_id,
+           |  CAST(coalesce(c.component, a.id) AS BIGINT) AS component,
+           |  (a.id = coalesce(c.component, a.id)) AS keep
+           |FROM assign a LEFT JOIN comp c ON a.id = c.node
+           |ORDER BY vec_id""".stripMargin
+    }
     (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall",
       "a8_lsh_recall", "a9_hnsw_recall", "a11_hnsw_routed",
       "a12_pq4_fastscan", "a13_pq4_ivf", "a14_hnsw_store",
       "a15_pq4_serve").flatMap(single)
-      ++ a3 ++ d4 ++ d13 ++ d14).toMap
+      ++ a3 ++ d4 ++ d13 ++ d14 ++ d15).toMap
   }
 }

@@ -641,14 +641,18 @@ object Dedup {
                             keepRule: String = "min_id",
                             idCol: String = "vec_id",
                             vecCol: String = "embedding",
-                            maxCellSize: Int = defaultMaxCellSize): DataFrame = {
+                            maxCellSize: Int = defaultMaxCellSize,
+                            nBlockPlanes: Int = 8,
+                            nBlockTables: Int = 2,
+                            blockSeed: Long = 2026L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keepRule == "min_id" || keepRule == "far_from_centroid",
       s"unknown keepRule '$keepRule'")
     require(keepRule != "far_from_centroid" || assigned.columns.contains("cdist"),
       "far_from_centroid needs a 'cdist' column — enrich the assigned " +
         "frame with Dedup.withCentroidDist first")
-    val pairs = semanticCandidatesAssigned(assigned, idCol, vecCol, maxCellSize)
+    val pairs = semanticCandidatesAssigned(assigned, idCol, vecCol,
+      maxCellSize, nBlockPlanes, nBlockTables, blockSeed)
       .filter(col("cos") >= tau).select("a", "b")
     val comp = connectedComponents(pairs)
       .withColumnRenamed("node", idCol)

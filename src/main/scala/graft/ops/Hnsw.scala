@@ -58,7 +58,13 @@ object Hnsw {
     */
   @volatile private[graft] var autoI8Bytes: Long = {
     val v = java.lang.Long.getLong("graft.hnsw.i8.autoBytes")
-    if (v == null) 4000000L else v.longValue()
+    // 3 MB: below the ef=128 walk estimate at the reference geometry
+    // (128·16·384·4 ≈ 3.1 MB) — the first rung where every r15
+    // measurement (AutoFlavorProbe both regimes; the artifact's
+    // i8_ef128 row) agrees the i8 walk wins; at ef ≤ 64 the two walks
+    // measured parity-to-contract-ahead across rounds, so the
+    // conservative side of the crossover keeps the contract kernel
+    if (v == null) 3000000L else v.longValue()
   }
 
   /** splitmix64 finalizer — the repo-standard seeded hash (same shape as

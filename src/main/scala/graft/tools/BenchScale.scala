@@ -1077,11 +1077,23 @@ object BenchScale {
         val sgN = 500000L
         val sgKey = s"$annKey|hnsw|single$sgN"
         val base500 = base.filter(col("id") < sgN)
+        // build-once across runs (r15): the graph is deterministic and its
+        // v2 store persists under target/ — warm from it in I/O time
+        // instead of replaying the ~650 s build; `cached` rides on the
+        // rows so a cross-round build_sec read can't mistake a warm for a
+        // build (legacy pre-g2 dir name accepted — manifest keys embed
+        // the params either way, so a stale-param store simply MISSES)
+        val sgStoreHit = Seq(
+            s"target/scale_hnsw_store_${sgN}_${hM}_${hEfc}_42_g2",
+            s"target/scale_hnsw_store_$sgN")
+          .find(d => new java.io.File(s"$d/MANIFEST").isFile)
         val tSg = System.nanoTime()
-        Hnsw.search(base500, queries, k, Metric.Dot, m = hM,
+        if (sgStoreHit.isDefined) Hnsw.warmFromDisk(sgKey, sgStoreHit.get)
+        else Hnsw.search(base500, queries, k, Metric.Dot, m = hM,
           efConstruction = hEfc, efSearch = 64, nShards = 1,
           cacheKey = sgKey).count()
         val sgBuild = (System.nanoTime() - tSg) / 1e9
+        val sgCached = if (sgStoreHit.isDefined) 1.0 else 0.0
         val nServe = 256
         val serveRows = base.filter(col("id") >= 100000L && col("id") < 100000L + nServe)
           .orderBy("id").select(col("id"), col("vec")).collect()
@@ -1129,7 +1141,7 @@ object BenchScale {
             "p50_us" -> pct(0.50), "p95_us" -> pct(0.95),
             "p99_us" -> pct(0.99), "avg_us" -> lat.sum / nServe,
             "ef_search" -> ef.toDouble, "n_vec" -> sgN.toDouble,
-            "recall" -> rec, "build_sec" -> sgBuild)
+            "recall" -> rec, "build_sec" -> sgBuild, "cached" -> sgCached)
           println(f"[scale] ann_hnsw_single_graph_ef$ef%-4d p50=${pct(0.5)}%8.1f us  p99=${pct(0.99)}%8.1f us  recall=$rec%.4f  (build ${sgBuild}%6.1f s)")
         }
         // FLOAT-ACC serving flavor at the hnswlib comparison point (r13,
@@ -1241,8 +1253,9 @@ object BenchScale {
           // under different hM/hEfc/seed would restore under the OLD
           // inner keys and crash the serve lookup (manifest keys embed
           // the params)
-          val storeDir = s"target/scale_hnsw_store_${sgN}_${hM}_${hEfc}_42_g2"
-          val fresh = !new java.io.File(s"$storeDir/MANIFEST").isFile
+          val storeDir = sgStoreHit.getOrElse(
+            s"target/scale_hnsw_store_${sgN}_${hM}_${hEfc}_42_g2")
+          val fresh = sgStoreHit.isEmpty
           val tW = System.nanoTime()
           if (fresh) Hnsw.saveWarmed(sgKey, storeDir)
           val writeSec = (System.nanoTime() - tW) / 1e9
@@ -1407,12 +1420,21 @@ object BenchScale {
         // 32/nlist per query — per-query cost tracks routeProbe × shard
         // size (3× the 1M point's shard rows), not the shard count
         val routed3Key = s"$key3|hnsw|routed"
+        // build-once across runs (r15), like the 500K single graph: the
+        // 1024-shard routed group's v2 store warms in I/O time instead of
+        // replaying the ~74 s build + 3M-row base shuffle
+        val store3Hit = Seq(
+            s"target/scale3m_hnsw_store_${nlist}_${hM}_${hEfc}_42_g2",
+            s"target/scale3m_hnsw_store_$nlist")
+          .find(d => new java.io.File(s"$d/MANIFEST").isFile)
         val tR3 = System.nanoTime()
-        Hnsw.searchRouted(base3, q3, idx3.centroids, routeProbe = 32, k,
+        if (store3Hit.isDefined) Hnsw.warmFromDisk(routed3Key, store3Hit.get)
+        else Hnsw.searchRouted(base3, q3, idx3.centroids, routeProbe = 32, k,
           Metric.Dot, hM, hEfc, efSearch = 64, cacheKey = routed3Key).count()
         annResults("ann3m_hnsw_routed_build") = Map(
           "sec" -> (System.nanoTime() - tR3) / 1e9,
-          "n_vec" -> n3.toDouble, "shards" -> nlist.toDouble)
+          "n_vec" -> n3.toDouble, "shards" -> nlist.toDouble,
+          "cached" -> (if (store3Hit.isDefined) 1.0 else 0.0))
         println(f"[scale] ann3m_hnsw_routed_build ${annResults("ann3m_hnsw_routed_build")("sec")}%8.2f s")
         runAnn("ann3m_hnsw_routed") {
           val pred = Hnsw.searchWarm(q3, routed3Key, nShards = nlist, k,
@@ -1495,8 +1517,9 @@ object BenchScale {
         // routed group (v2 — i8 sidecars ride along), drop it, restore
         // MAPPED — executor warm-up priced as I/O at the multi-GB scale
         // point — and re-measure the routed serve from the mapped store
-        val storeDir3 = s"target/scale3m_hnsw_store_${nlist}_${hM}_${hEfc}_42_g2"
-        val fresh3 = !new java.io.File(s"$storeDir3/MANIFEST").isFile
+        val storeDir3 = store3Hit.getOrElse(
+          s"target/scale3m_hnsw_store_${nlist}_${hM}_${hEfc}_42_g2")
+        val fresh3 = store3Hit.isEmpty
         val tW3 = System.nanoTime()
         if (fresh3) Hnsw.saveWarmed(routed3Key, storeDir3)
         val writeSec3 = (System.nanoTime() - tW3) / 1e9

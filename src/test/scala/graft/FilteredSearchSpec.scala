@@ -125,8 +125,10 @@ class FilteredSearchSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // …then the warm flavor must serve the IDENTICAL fetch from the
     // cached graphs without touching the base table: its fetch stage is
-    // driven off a Range(nShards) stub, so the only base access left in
-    // the plan is the allowed-id predicate scan.
+    // driven off a driver-side shard-list stub (r15: a positional
+    // parallelize — one shard per task, collision-free — where it used
+    // to be a hash-repartitioned Range), so the only base access left
+    // in the plan is the allowed-id predicate scan.
     val warm = FilteredSearch.hnswPostFilter(base, halfPred, queries,
       k = 10, oversample = 4, nShards = 4,
       cacheKey = "filteredspec_warm_gate", warm = true)
@@ -134,7 +136,8 @@ class FilteredSearchSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(w == c, s"warm != cold: ${(w diff c).take(3)} / ${(c diff w).take(3)}")
     val plan = warm.queryExecution.executedPlan.toString
-    assert(plan.contains("Range"),
+    // ExternalRDDScanExec prints as "Scan[obj#…]" in the physical plan
+    assert(plan.contains("Scan[obj") || plan.contains("Range"),
       s"warm fetch is not stub-driven:\n${plan.take(2000)}")
     // exactly ONE scan of the embeddings parquet (the pred filter side);
     // the cold plan has a second one feeding the shard build/fetch
