@@ -215,7 +215,10 @@ object Bench {
     // factor-normalized total, and the non-v1 workload tags). Must stay
     // well under the driver's ~2000-byte tail window (with sbt's trailing
     // "[success]" line inside the same window).
-    val calJ = s""""calib":[${allCal.map(j4).mkString(",")}],"calib_ref":${j4(calibRef)},""" +
+    // calib series at 3 decimals (1 ms resolution is plenty for a
+    // ~0.15 s sample) — the 68-key machine line must stay inside the
+    // driver's ~2000-byte tail window
+    val calJ = s""""calib":[${allCal.map(j3).mkString(",")}],"calib_ref":${j4(calibRef)},""" +
       s""""calib_factor":${j4(calibFactor)},"norm_total":${j4(normTotal)}"""
     val wlCompact = selected.map(_._1).filter(workloadVersion(_) != 1)
       .map(n => s""""$n":${workloadVersion(n)}""").mkString("{", ",", "}")

@@ -473,10 +473,14 @@ object Dedup {
       .select(col("cluster_id").cast("long")).collect().map(_.getLong(0)).toSeq
     if (oversized.isEmpty) return allPairs(assigned)
     val isBig = col("cluster_id").cast("long").isInCollection(oversized)
+    val big = assigned.filter(isBig)
     val smallPairs = allPairs(assigned.filter(!isBig))
-    val bigPairs = saltedBlocks(assigned.filter(isBig), idCol, vecCol,
+    val bigPairs = saltedBlocks(big, idCol, vecCol,
       maxCellSize, nBlockPlanes, nBlockTables, blockSeed)
-    allPairsUnionShape(smallPairs, bigPairs, assigned, idCol, vecCol)
+    // vector fetch joins against the OVERSIZED rows only — every pair id
+    // is a big-cell member, and fetching from the full corpus would
+    // shuffle corpus-sized vector columns for a flood-sized join
+    allPairsUnionShape(smallPairs, bigPairs, big, idCol, vecCol)
   }
 
   /** Default within-cluster all-pairs cap for the semantic-dedup skew
@@ -525,15 +529,15 @@ object Dedup {
     * the vector fetch so each survives ONE cosine.
     */
   private def allPairsUnionShape(smallPairs: DataFrame, salted: DataFrame,
-                                 assigned: DataFrame, idCol: String,
+                                 big: DataFrame, idCol: String,
                                  vecCol: String): DataFrame = {
     val l = salted.withColumnRenamed(idCol, "a")
     val r = salted.withColumnRenamed(idCol, "b")
     val cand = l.join(r, Seq("cluster_id", "t", "key", "salt"))
       .filter(col("a") < col("b"))
       .select(col("cluster_id"), col("a"), col("b")).distinct()
-    val va = assigned.select(col(idCol).as("a"), col(vecCol).as("vec_a"))
-    val vb = assigned.select(col(idCol).as("b"), col(vecCol).as("vec_b"))
+    val va = big.select(col(idCol).as("a"), col(vecCol).as("vec_a"))
+    val vb = big.select(col(idCol).as("b"), col(vecCol).as("vec_b"))
     val bigPairs = cand.join(va, Seq("a")).join(vb, Seq("b"))
       .select(col("cluster_id"), col("a"), col("b"),
         VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cos"))
