@@ -786,11 +786,14 @@ object SparkEntry {
         col("vec_id"), col("embedding"),
         when(col("vec_id") < 200, lit(0))
           .otherwise((col("vec_id") % 60 + 1).cast("int")).as("cluster_id"))
-      predSidecar("d15_semantic_skew",
-        Dedup.semanticCandidatesAssigned(assigned, maxCellSize = 8,
-          nBlockPlanes = 4, nBlockTables = 2), "a", "b")
-      Dedup.semanticDedupAssigned(assigned, tau = 0.95, maxCellSize = 8,
-        nBlockPlanes = 4, nBlockTables = 2)
+      // ONE materialized candidate frame feeds both the sidecar and the
+      // decision pass — the oracle's pair set and the dedup's are the
+      // same image by construction, and the guarded stage runs once
+      val cand = Dedup.semanticCandidatesAssigned(assigned,
+        maxCellSize = 8, nBlockPlanes = 4, nBlockTables = 2)
+        .localCheckpoint()
+      predSidecar("d15_semantic_skew", cand, "a", "b")
+      Dedup.semanticDedupFromCandidates(assigned, cand, tau = 0.95)
         .orderBy(col("vec_id"))
     }),
     // Keeper selection over exact-dup groups via the REAL operator

@@ -648,16 +648,31 @@ object Dedup {
                             maxCellSize: Int = defaultMaxCellSize,
                             nBlockPlanes: Int = 8,
                             nBlockTables: Int = 2,
-                            blockSeed: Long = 2026L): DataFrame = {
+                            blockSeed: Long = 2026L): DataFrame =
+    semanticDedupFromCandidates(assigned,
+      semanticCandidatesAssigned(assigned, idCol, vecCol,
+        maxCellSize, nBlockPlanes, nBlockTables, blockSeed),
+      tau, keepRule, idCol)
+
+  /** The DECISION pass of [[semanticDedupAssigned]] over PRE-COMPUTED
+    * candidates — (a, b, cos) rows, e.g. a persisted or checkpointed
+    * [[semanticCandidatesAssigned]] output (the d15 oracle rides this:
+    * the sidecar'd candidate set and the dedup decisions come from ONE
+    * materialized frame, identical by construction, not by replay).
+    * Threshold, components, and the keeper rule only; the candidate
+    * stage — and its skew guard — is the caller's.
+    */
+  def semanticDedupFromCandidates(assigned: DataFrame,
+                                  candidates: DataFrame, tau: Double,
+                                  keepRule: String = "min_id",
+                                  idCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keepRule == "min_id" || keepRule == "far_from_centroid",
       s"unknown keepRule '$keepRule'")
     require(keepRule != "far_from_centroid" || assigned.columns.contains("cdist"),
       "far_from_centroid needs a 'cdist' column — enrich the assigned " +
         "frame with Dedup.withCentroidDist first")
-    val pairs = semanticCandidatesAssigned(assigned, idCol, vecCol,
-      maxCellSize, nBlockPlanes, nBlockTables, blockSeed)
-      .filter(col("cos") >= tau).select("a", "b")
+    val pairs = candidates.filter(col("cos") >= tau).select("a", "b")
     val comp = connectedComponents(pairs)
       .withColumnRenamed("node", idCol)
     val narrow =
