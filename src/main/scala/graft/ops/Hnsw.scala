@@ -369,10 +369,17 @@ object Hnsw {
       * default crossover comes from the r15 AutoFlavorProbe sweep on
       * the 500K store graph; `-Dgraft.hnsw.i8.autoBytes=N` overrides,
       * and the explicit `quantized`/contract flags always win over auto.
+      *
+      * MAPPED graphs pick i8 whenever the sidecar exists: the contract
+      * walk on a mapped payload prices bounds-checked ByteBuffer float
+      * gathers (r15 artifact, 500K store: contract 894 µs vs i8 503 at
+      * ef64 — i8 ahead at EVERY measured mapped point, r14 MmapProbe
+      * included), so the heap crossover doesn't apply there.
       */
     def autoI8(efSearch: Int): Boolean =
-      i8Available && math.min(flatLen.toLong * 4,
-        efSearch.toLong * m * dimU * 4) > Hnsw.autoI8Bytes
+      i8Available && (flatBB != null ||
+        math.min(flatLen.toLong * 4,
+          efSearch.toLong * m * dimU * 4) > Hnsw.autoI8Bytes)
 
     /** Payload size in bytes (diagnostic; the auto-flavor probe prints
       * it beside the walk estimate).

@@ -245,12 +245,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "TVF i8 flavor diverged from searchWarm(quantized)")
     assert(tvf("contract") == warm(quantized = false, auto = false),
       "TVF contract flavor diverged from the contract walk")
+    // this group is MAPPED: the auto pick serves i8 regardless of the
+    // heap crossover threshold (the mapped contract walk prices BB
+    // float gathers — see ShardGraph.autoI8) — pin it on both settings
     val saved = Hnsw.autoI8Bytes
     try {
-      Hnsw.autoI8Bytes = 0L // force the crossover: auto must serve i8
+      Hnsw.autoI8Bytes = 0L
       assert(tvf("auto") == warm(quantized = true, auto = false))
-      Hnsw.autoI8Bytes = Long.MaxValue // and back to contract
-      assert(tvf("auto") == warm(quantized = false, auto = false))
+      Hnsw.autoI8Bytes = Long.MaxValue
+      assert(tvf("auto") == warm(quantized = true, auto = false),
+        "auto on a mapped group must serve the i8 walk")
     } finally Hnsw.autoI8Bytes = saved
     // malformed flavor and cold-cache serving both fail loudly
     val bad = intercept[Exception](tvf("f16"))
