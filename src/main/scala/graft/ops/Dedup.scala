@@ -561,9 +561,11 @@ object Dedup {
     val cells = assigned.groupBy("cluster_id").count()
     val oversized: Seq[Long] = cells.filter(col("count") > maxCellSize)
       .select(col("cluster_id").cast("long")).collect().map(_.getLong(0)).toSeq
-    val smallMax = cells.filter(!col("cluster_id").cast("long")
-        .isInCollection(oversized :+ -1L))
-      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+    val small =
+      if (oversized.isEmpty) cells
+      else cells.filter(!col("cluster_id").cast("long").isInCollection(oversized))
+    val smallMax = small.agg(coalesce(max(col("count")), lit(0L)))
+      .head().getLong(0)
     if (oversized.isEmpty) return smallMax
     val bigMax = saltedBlocks(
       assigned.filter(col("cluster_id").cast("long").isInCollection(oversized)),
