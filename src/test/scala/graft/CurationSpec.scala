@@ -232,6 +232,40 @@ class CurationSpec extends AnyFunSuite {
     assert(byComp.forall(_._2.count(_._2._2) == 1))
   }
 
+  test("skew guard: guarded candidates are a subset of exact all-pairs, " +
+       "cosines identical on the common pairs (r15)") {
+    val s = spark
+    import s.implicits._
+    // one 60-row cell (oversized at cap 8) + two thin cells; vectors
+    // random-ish so LSH blocks split the big cell non-trivially
+    val rows = (0 until 100).map { i =>
+      val vec = Array.tabulate(8)(j => (((i * 31 + j * 17) % 19) - 9) / 9f)
+      (i.toLong, vec, if (i < 60) 0 else 1 + (i % 10)) // thin cells: 4 rows
+    }
+    val assigned = rows.toDF("vec_id", "embedding", "cluster_id")
+    val exact = Dedup.semanticCandidatesAssigned(assigned,
+      maxCellSize = Int.MaxValue).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val guarded = Dedup.semanticCandidatesAssigned(assigned,
+      maxCellSize = 8, nBlockPlanes = 3, nBlockTables = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    // the guard may DROP pairs (LSH blocking inside oversized cells),
+    // never invent or cross clusters; shared pairs carry the exact
+    // same cosine (same kernel over the same vectors)
+    val extra = guarded.keySet.diff(exact.keySet)
+    assert(extra.isEmpty, s"guard invented pairs: ${extra.take(5)}")
+    guarded.foreach { case (k, c) =>
+      assert(c == exact(k), s"cosine diverged on $k: $c vs ${exact(k)}")
+    }
+    // thin cells ride the exact arm: every thin-cell pair survives
+    val thinExact = exact.keySet.filter { case (a, b) => a >= 60 && b >= 60 }
+    assert(thinExact.subsetOf(guarded.keySet),
+      "guard dropped pairs from a cell under the cap")
+    // and the oversized cell still produces candidate structure
+    assert(guarded.keySet.exists { case (a, b) => a < 60 && b < 60 },
+      "guard produced zero big-cell candidates")
+  }
+
   test("semanticDedup far_from_centroid: paper keep rule — least prototypical kept") {
     val emb = semFixture
     val cents = graft.ops.Ivf.train(
