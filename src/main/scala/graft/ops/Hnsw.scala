@@ -377,9 +377,89 @@ object Hnsw {
       * included), so the heap crossover doesn't apply there.
       */
     def autoI8(efSearch: Int): Boolean =
-      i8Available && (flatBB != null ||
-        math.min(flatLen.toLong * 4,
-          efSearch.toLong * m * dimU * 4) > Hnsw.autoI8Bytes)
+      i8Available && {
+        if (i8EfCrossover >= 0) efSearch >= i8EfCrossover
+        else flatBB != null ||
+          math.min(flatLen.toLong * 4,
+            efSearch.toLong * m * dimU * 4) > Hnsw.autoI8Bytes
+      }
+
+    /** Measured serve-flavor crossover (r16, VERDICT r15 #4): the
+      * smallest efSearch at which the i8 walk TIMED faster than the
+      * contract walk on this graph's own rows ([[calibrateFlavor]]);
+      * Int.MaxValue = contract won at every measured rung; -1 = not
+      * calibrated, the byte heuristic decides. The byte heuristic is
+      * geometry-only and hardness-blind — the r14 GT-frontier data
+      * showed corpus hardness moves the i8 win into lower ef, and
+      * hardness is not knowable from (graph, ef) alone. It IS
+      * measurable on the graph itself, which is what calibration does.
+      */
+    @volatile private var i8EfCrossover: Int = -1
+
+    /** Diagnostic view of the measured crossover (AutoFlavorProbe
+      * prints it beside the byte-heuristic estimate).
+      */
+    def measuredCrossover: Int = i8EfCrossover
+
+    /** Measure the serve-flavor crossover on this graph: time the
+      * contract and i8 walks over a small deterministic sample of the
+      * graph's OWN rows (no ground truth needed — this is a latency
+      * pick; both flavors' RESULTS stay recall-gated elsewhere) at each
+      * rung of `efLadder`, and record the lowest rung of the contiguous
+      * i8-winning suffix as the crossover [[autoI8]] keys on. Walking
+      * the ladder top-down exploits that the i8 win is monotone in walk
+      * size (bigger walks are more DRAM-bound — the r14/r15 probe
+      * shape). Rep 0 per (flavor, rung) is an untimed JIT/cache warm
+      * pass; the timed reps take the best (latency floors compare more
+      * stably than means under scheduler noise). Returns the crossover.
+      */
+    def calibrateFlavor(efLadder: Array[Int] = Array(16, 32, 64, 128),
+                        sampleQ: Int = 32, reps: Int = 3): Int = {
+      require(i8Available,
+        "calibrateFlavor needs the i8 sidecar — quantizeStore() first" +
+          " (or a v2+ store that carries it)")
+      if (n == 0) { i8EfCrossover = Int.MaxValue; return Int.MaxValue }
+      val nq = math.min(sampleQ, n)
+      val qs = new Array[Array[Float]](nq)
+      var i = 0
+      while (i < nq) {
+        val x = (i.toLong * n / nq).toInt // evenly-spaced stored rows
+        val v = new Array[Float](lens(x))
+        var j = 0
+        while (j < v.length) { v(j) = rowFloat(offs(x) + j); j += 1 }
+        qs(i) = v
+        i += 1
+      }
+      def timeWalk(i8: Boolean, ef: Int): Long = {
+        var best = Long.MaxValue
+        var r = 0
+        while (r <= reps) {
+          val t0 = System.nanoTime()
+          var q = 0
+          while (q < nq) {
+            if (i8) searchI8(qs(q), 10, ef) else search(qs(q), 10, ef)
+            q += 1
+          }
+          val dt = System.nanoTime() - t0
+          if (r > 0 && dt < best) best = dt
+          r += 1
+        }
+        best
+      }
+      val ladder = efLadder.sorted
+      var crossover = Int.MaxValue
+      var k = ladder.length - 1
+      var go = true
+      while (go && k >= 0) {
+        val ef = ladder(k)
+        if (timeWalk(i8 = true, ef) < timeWalk(i8 = false, ef))
+          crossover = ef
+        else go = false
+        k -= 1
+      }
+      i8EfCrossover = crossover
+      crossover
+    }
 
     /** Payload size in bytes (diagnostic; the auto-flavor probe prints
       * it beside the walk estimate).
@@ -572,14 +652,22 @@ object Hnsw {
     /** Serialize this graph to `file`: a header (construction params +
       * structure: ids/offs/lens/levels/links) followed by the packed
       * float payload as raw little-endian bytes at an offset recorded in
-      * the 12-byte prefix — so [[Hnsw.readStore]] can either stream the
+      * the prefix — so [[Hnsw.readStore]] can either stream the
       * payload onto the heap or mmap it in place. If the i8 serve
-      * sidecar exists ([[quantizeStore]]), it persists too (store v2:
-      * codes, then per-row scale and Σcode² after the f32 payload) and
-      * restores without re-quantizing. This is the build-once /
-      * warm-in-seconds artifact: replaying the deterministic build costs
-      * the full construction wall (383 s at 500K); loading the store costs
-      * I/O only.
+      * sidecar exists ([[quantizeStore]]), it persists too (codes, then
+      * per-row scale and Σcode² after the f32 payload) and restores
+      * without re-quantizing. This is the build-once / warm-in-seconds
+      * artifact: replaying the deterministic build costs the full
+      * construction wall (383 s at 500K); loading the store costs I/O
+      * only.
+      *
+      * Store v3 (r16): the 20-byte prefix carries CRC32C checksums of
+      * the header and payload regions. Truncation already failed loudly
+      * (r15's looped reads); the checksums close the remaining hole — a
+      * bit-flip INSIDE a region deserialized silently, and the store is
+      * the one artifact read without any oracle behind it now that the
+      * mapped posture is the serving default. v1/v2 stores stay
+      * readable (no checksum to verify).
       */
     def writeStore(file: String): Unit = {
       require(flatBB == null, "writeStore from a mapped graph is redundant" +
@@ -604,7 +692,7 @@ object Hnsw {
         i += 1
       }
       out.writeInt(flatLen)
-      // v2: the i8 serve sidecar persists WITH the graph (codes +
+      // v2+: the i8 serve sidecar persists WITH the graph (codes +
       // scale + Σcode² per row, after the f32 payload) — a serving JVM
       // that maps the store gets the quantized flavor without paying
       // quantizeStore()'s n·dim pass, and the codes region maps
@@ -613,23 +701,26 @@ object Hnsw {
       out.writeBoolean(hasI8)
       out.flush()
       val hdr = head.toByteArray
+      val hdrCrc = new java.util.zip.CRC32C
+      hdrCrc.update(hdr)
+      val payCrc = new java.util.zip.CRC32C
       val ch = java.nio.channels.FileChannel.open(
         java.nio.file.Paths.get(file),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE,
         java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
       try {
-        val prefix = java.nio.ByteBuffer.allocate(12)
-        prefix.putInt(0x47465448) // "GFTH"
-        prefix.putInt(2)
-        prefix.putInt(hdr.length)
-        prefix.flip()
+        // the payload CRC covers bytes the prefix can't know until
+        // they're produced, so the prefix writes LAST into a hole left
+        // at position 0 — the write order (header+payload first, prefix
+        // last) also means a crash mid-save leaves a file with a ZERO
+        // magic, loudly unreadable rather than plausibly truncated
+        ch.position(20L)
+        val hdrBuf = java.nio.ByteBuffer.wrap(hdr)
         // the header is NOT small — at 500K nodes the ids/offs/lens/levels
         // block plus every link list is tens of MB, exactly the size
         // regime where FileChannel.write may return short; a short header
         // write shifts every later byte just like a short payload write
-        while (prefix.hasRemaining) ch.write(prefix)
-        val hdrBuf = java.nio.ByteBuffer.wrap(hdr)
         while (hdrBuf.hasRemaining) ch.write(hdrBuf)
         val chunk = java.nio.ByteBuffer.allocateDirect(1 << 20)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -640,6 +731,7 @@ object Hnsw {
             val take = math.min(len - p, chunk.capacity / 4)
             chunk.asFloatBuffer().put(src, p, take)
             chunk.limit(take * 4)
+            payCrc.update(chunk.duplicate())
             // FileChannel.write may write SHORT (interrupted thread,
             // some filesystems) — advancing past a short write would
             // shift every later byte and corrupt the store silently
@@ -649,11 +741,21 @@ object Hnsw {
         }
         writeFloats(flat, flatLen)
         if (hasI8) {
+          payCrc.update(i8codes, 0, flatLen)
           val cb = java.nio.ByteBuffer.wrap(i8codes, 0, flatLen)
           while (cb.hasRemaining) ch.write(cb)
           writeFloats(i8scale, n)
           writeFloats(i8cnorm2, n)
         }
+        val prefix = java.nio.ByteBuffer.allocate(20)
+        prefix.putInt(0x47465448) // "GFTH"
+        prefix.putInt(3)
+        prefix.putInt(hdr.length)
+        prefix.putInt(hdrCrc.getValue.toInt)
+        prefix.putInt(payCrc.getValue.toInt)
+        prefix.flip()
+        ch.position(0L)
+        while (prefix.hasRemaining) ch.write(prefix)
       } finally ch.close()
     }
 
@@ -1293,12 +1395,50 @@ object Hnsw {
       prefix.flip()
       require(prefix.getInt() == 0x47465448, s"$file: not a graft graph store")
       val version = prefix.getInt()
-      require(version == 1 || version == 2,
+      require(version >= 1 && version <= 3,
         s"$file: unknown graph store version $version")
       val hdrLen = prefix.getInt()
+      // v3: the prefix carries CRC32C over the header and payload regions
+      var hdrCrcStored = 0
+      var payCrcStored = 0
+      if (version >= 3) {
+        val crcs = java.nio.ByteBuffer.allocate(8)
+        while (crcs.hasRemaining && ch.read(crcs) > 0) {}
+        require(!crcs.hasRemaining, s"$file: truncated graph store prefix")
+        crcs.flip()
+        hdrCrcStored = crcs.getInt()
+        payCrcStored = crcs.getInt()
+      }
+      val prefixLen = if (version >= 3) 20L else 12L
       val hdrBuf = java.nio.ByteBuffer.allocate(hdrLen)
       while (hdrBuf.hasRemaining && ch.read(hdrBuf) > 0) {}
       require(!hdrBuf.hasRemaining, s"$file: truncated graph store header")
+      if (version >= 3) {
+        val c = new java.util.zip.CRC32C
+        c.update(hdrBuf.array())
+        require(c.getValue.toInt == hdrCrcStored,
+          s"$file: graph store header CRC mismatch — the file is corrupt")
+        // payload verification is ONE sequential streaming pass over
+        // [payloadOff, EOF) — cheap at restore (and for a mapped warm it
+        // doubles as the prefault). `-Dgraft.hnsw.store.verify=false`
+        // skips it when the fault-time cost matters more than the check
+        // (the header CRC above always verifies).
+        if (!"false".equalsIgnoreCase(
+            System.getProperty("graft.hnsw.store.verify", "true"))) {
+          val c2 = new java.util.zip.CRC32C
+          ch.position(prefixLen + hdrLen)
+          val buf = java.nio.ByteBuffer.allocateDirect(1 << 20)
+          var r = ch.read(buf)
+          while (r >= 0) {
+            buf.flip()
+            c2.update(buf)
+            buf.clear()
+            r = ch.read(buf)
+          }
+          require(c2.getValue.toInt == payCrcStored,
+            s"$file: graph store payload CRC mismatch — the file is corrupt")
+        }
+      }
       val in = new java.io.DataInputStream(
         new java.io.ByteArrayInputStream(hdrBuf.array()))
       val m = in.readInt(); val efC = in.readInt(); val seed = in.readLong()
@@ -1310,7 +1450,8 @@ object Hnsw {
           s"$file: unknown metric '$other'")
       }
       val g = new ShardGraph(m, efC, seed, metric)
-      g.loadFrom(in, ch, 12L + hdrLen, mapped, version)
+      g.loadFrom(in, ch,
+        (if (version >= 3) 20L else 12L) + hdrLen, mapped, version)
       g
     } finally ch.close()
   }
@@ -1335,27 +1476,60 @@ object Hnsw {
       b.result()
     }
     val manifest = new java.lang.StringBuilder
-    // generation-atomic re-save: shards write under .tmp names and move
-    // into place, and the MANIFEST itself moves in ATOMIC_MOVE last — a
-    // crash mid-save over an existing store leaves the OLD manifest
-    // pointing at complete old-generation files (tmp leftovers are
-    // ignored by warmFromDisk), never a mix of half-rewritten shards
+    // Generation-atomic re-save (r16, closing the r15 ADVICE finding):
+    // shard files write under GENERATION-UNIQUE names (shard_i.gG.graph,
+    // G = one past the largest generation any existing file in the dir
+    // carries), the new MANIFEST references them and moves in
+    // ATOMIC_MOVE last, and only then do prior-generation files delete.
+    // The r15 scheme moved new shards into the SAME final names the old
+    // manifest referenced, so a crash mid-save over a store whose graphs
+    // CHANGED left the old manifest pointing at a silent mix of old- and
+    // new-generation files (each internally complete and param-
+    // compatible). With unique names a crash at ANY point leaves the old
+    // manifest referencing only untouched old-generation files; the new
+    // generation becomes visible in the single atomic MANIFEST move.
+    val dirPath = java.nio.file.Paths.get(dir)
+    val genPat = java.util.regex.Pattern.compile("shard_\\d+\\.g(\\d+)\\.graph")
+    val gen = {
+      var maxGen = -1L
+      val ls = java.nio.file.Files.list(dirPath)
+      try ls.forEach { p =>
+        val m0 = genPat.matcher(p.getFileName.toString)
+        if (m0.matches()) maxGen = math.max(maxGen, m0.group(1).toLong)
+        else if (p.getFileName.toString.matches("shard_\\d+\\.graph"))
+          maxGen = math.max(maxGen, 0L) // legacy un-suffixed files = gen 0
+      } finally ls.close()
+      maxGen + 1
+    }
+    val fileOf = (i: Int) => s"shard_$i.g$gen.graph"
     java.util.stream.IntStream.range(0, entries.length).parallel()
       .forEach { (i: Int) =>
-        entries(i)._2.writeStore(s"$dir/shard_$i.graph.tmp")
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(s"$dir/shard_$i.graph.tmp"),
-          java.nio.file.Paths.get(s"$dir/shard_$i.graph"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // no tmp+move needed: nothing references the unique name until
+        // the new MANIFEST lands, so a partial file is unreachable (and
+        // swept as an unreferenced leftover by the next save's cleanup)
+        entries(i)._2.writeStore(s"$dir/${fileOf(i)}")
       }
     entries.zipWithIndex.foreach { case ((key, _), i) =>
-      manifest.append(key).append('\t').append(s"shard_$i.graph").append('\n')
+      manifest.append(key).append('\t').append(fileOf(i)).append('\n')
     }
     val mTmp = java.nio.file.Paths.get(s"$dir/MANIFEST.tmp")
     java.nio.file.Files.writeString(mTmp, manifest.toString)
     java.nio.file.Files.move(mTmp, java.nio.file.Paths.get(s"$dir/MANIFEST"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // best-effort sweep of prior generations + stray tmp files: the new
+    // manifest is already durable, so a failed delete only wastes disk
+    val referenced = (0 until entries.length).map(fileOf).toSet
+    val sweep = java.nio.file.Files.list(dirPath)
+    try sweep.forEach { p =>
+      val f = p.getFileName.toString
+      val isStoreFile = genPat.matcher(f).matches() ||
+        f.matches("shard_\\d+\\.graph") || f.endsWith(".graph.tmp")
+      if (isStoreFile && !referenced.contains(f)) {
+        try { java.nio.file.Files.delete(p); () }
+        catch { case _: java.io.IOException => () }
+      }
+    } finally sweep.close()
     entries.length
   }
 
@@ -1458,6 +1632,38 @@ object Hnsw {
       .forEach((i: Int) => graphs(i).quantizeStore())
     graphs.length
   }
+
+  /** Measure the serve-flavor crossover on every warmed shard under
+    * `cacheKey` that has the i8 sidecar (see
+    * [[ShardGraph.calibrateFlavor]]) — after this, `autoFlavor = true`
+    * serving picks per (graph, ef) by MEASUREMENT instead of the
+    * geometry-only byte heuristic. Call after [[quantizeWarmed]] (or a
+    * v2+ store warm); graphs without the sidecar are skipped. Returns
+    * the number of graphs calibrated. Shards calibrate SERIALLY: the
+    * measurement times single-threaded walks, and parallel calibration
+    * would contend for the memory bandwidth whose saturation is exactly
+    * the signal being measured.
+    */
+  def calibrateWarmed(cacheKey: String,
+                      efLadder: Array[Int] = Array(16, 32, 64, 128),
+                      sampleQ: Int = 32): Int = {
+    val group = shardGroupIfPresent(cacheKey).getOrElse(
+      throw new IllegalStateException(
+        s"no warmed hnsw graphs under '$cacheKey' to calibrate"))
+    var done = 0
+    group.forEach { (_, g) =>
+      if (g.i8Available) { g.calibrateFlavor(efLadder, sampleQ); done += 1 }
+    }
+    done
+  }
+
+  /** Number of shard graphs warmed under `cacheKey` (0 if none) — the
+    * completeness signal the SQL serving path checks before
+    * allowMissing serving (a PARTIAL group would silently drop probed
+    * shards; see AnnSql's non-contract flavors).
+    */
+  def warmedCount(cacheKey: String): Int =
+    shardGroupIfPresent(cacheKey).map(_.size).getOrElse(0)
 
   private[graft] def cacheSize: Int = graphCache.synchronized {
     var n = 0

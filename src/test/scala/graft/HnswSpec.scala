@@ -401,23 +401,163 @@ class HnswSpec extends AnyFunSuite {
     val full = java.nio.file.Paths.get(s"$tmp/g.graph")
     g.writeStore(full.toString)
     val bytes = java.nio.file.Files.readAllBytes(full)
-    // the 12-byte prefix records the header length — cut mid-header and
-    // mid-payload (the two regions the short-write fix hardened)
+    // the v3 prefix is 20 bytes (magic, version, hdrLen, hdrCrc, payCrc);
+    // hdrLen still sits at offset 8 — cut mid-header and mid-payload
+    // (the two regions the short-write fix hardened)
     val hdrLen = java.nio.ByteBuffer.wrap(bytes, 8, 4).getInt
     def truncated(to: Int): String = {
       val p = java.nio.file.Paths.get(s"$tmp/t$to.graph")
       java.nio.file.Files.write(p, java.util.Arrays.copyOf(bytes, to))
       p.toString
     }
-    val midHeader = truncated(12 + hdrLen / 2)
+    val midHeader = truncated(20 + hdrLen / 2)
     val ex1 = intercept[IllegalArgumentException](Hnsw.readStore(midHeader))
     assert(ex1.getMessage.contains("truncated"), ex1.getMessage)
-    val midPayload = truncated(12 + hdrLen + (bytes.length - 12 - hdrLen) / 2)
+    // mid-payload truncation trips the v3 payload CRC first (same
+    // loud-failure contract; the r15 "truncated payload" require still
+    // backstops verification-skipped restores)
+    val midPayload = truncated(20 + hdrLen + (bytes.length - 20 - hdrLen) / 2)
     val ex2 = intercept[IllegalArgumentException](Hnsw.readStore(midPayload))
-    assert(ex2.getMessage.contains("truncated"), ex2.getMessage)
+    assert(ex2.getMessage.contains("truncated") || ex2.getMessage.contains("CRC"),
+      ex2.getMessage)
     // mapped load of a truncated payload must also fail loudly (the
     // READ_ONLY map cannot extend the file to the recorded length)
     intercept[Exception](Hnsw.readStore(midPayload, mapped = true))
+  }
+
+  test("store v3 checksums: corruption fails loudly, v2 stays readable (r16)") {
+    val rows = SyntheticVectors.lowRankFast(spark, 500, 32, intrinsic = 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val g = Hnsw.probeBuild(rows, m = 8, efC = 64, seed = 42L, Metric.Dot)
+    g.quantizeStore() // i8 sidecar in the payload region too
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_crc").toString
+    g.writeStore(s"$tmp/g.graph")
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/g.graph"))
+    val hdrLen = java.nio.ByteBuffer.wrap(bytes, 8, 4).getInt
+    val want = g.search(rows.head._2, 10, 64).toSeq
+    def flipped(at: Int, name: String): String = {
+      val b = bytes.clone()
+      b(at) = (b(at) ^ 0x40).toByte
+      val p = s"$tmp/$name.graph"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), b)
+      p
+    }
+    // a bit-flip mid-payload deserialized SILENTLY in v2 (the r15
+    // verdict's store-integrity note) — v3 fails loudly, heap and mapped
+    val midPay = flipped(20 + hdrLen + (bytes.length - 20 - hdrLen) / 2, "pay")
+    val e1 = intercept[IllegalArgumentException](Hnsw.readStore(midPay))
+    assert(e1.getMessage.contains("CRC"), e1.getMessage)
+    intercept[IllegalArgumentException](Hnsw.readStore(midPay, mapped = true))
+    // a bit-flip mid-header fails on the (always-verified) header CRC
+    val midHdr = flipped(20 + hdrLen / 2, "hdr")
+    val e2 = intercept[IllegalArgumentException](Hnsw.readStore(midHdr))
+    assert(e2.getMessage.contains("CRC"), e2.getMessage)
+    // -Dgraft.hnsw.store.verify=false skips the payload pass (the mapped
+    // fault-cost knob); the header CRC still verifies
+    System.setProperty("graft.hnsw.store.verify", "false")
+    try {
+      assert(Hnsw.readStore(s"$tmp/g.graph").search(rows.head._2, 10, 64)
+        .toSeq == want)
+      intercept[IllegalArgumentException](Hnsw.readStore(midHdr))
+    } finally System.clearProperty("graft.hnsw.store.verify")
+    // v2 compatibility: a v2 file is the same header+payload behind a
+    // 12-byte prefix with no CRCs — synthesize one from the v3 bytes and
+    // require identical serving (old stores keep working, unchecked)
+    val v2 = java.nio.ByteBuffer.allocate(bytes.length - 8)
+    v2.putInt(0x47465448); v2.putInt(2); v2.putInt(hdrLen)
+    v2.put(bytes, 20, bytes.length - 20)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/v2.graph"),
+      v2.array())
+    val g2 = Hnsw.readStore(s"$tmp/v2.graph")
+    assert(g2.search(rows.head._2, 10, 64).toSeq == want,
+      "v2-format store diverged from the v3 original")
+    assert(g2.searchI8(rows.head._2, 10, 64).toSeq ==
+      g.searchI8(rows.head._2, 10, 64).toSeq)
+  }
+
+  test("generation-unique shard files: crash-safe re-save, old gen swept (r16)") {
+    val key = "gen_save_spec"
+    val tmpP = java.nio.file.Files.createTempDirectory("hnsw_gen")
+    val tmp = tmpP.toString
+    val want = Hnsw.search(base, queries, k = 5, Metric.Dot, m = 8,
+      efConstruction = 64, nShards = 2, cacheKey = key).collect()
+      .map(_.toSeq).toSet
+    def files(): Set[String] = {
+      val ls = java.nio.file.Files.list(tmpP)
+      try {
+        val b = Set.newBuilder[String]
+        ls.forEach(p => b += p.getFileName.toString)
+        b.result()
+      } finally ls.close()
+    }
+    assert(Hnsw.saveWarmed(key, tmp) == 2)
+    assert(files().count(_.matches("shard_\\d+\\.g0\\.graph")) == 2)
+    // simulated crash mid-RE-save: a new-generation shard file lands but
+    // the MANIFEST never moved — the old manifest references only
+    // untouched gen-0 files, so the restore is the complete old
+    // generation, never a silent mix (the r15 ADVICE hazard: same-name
+    // overwrites made exactly that mix possible)
+    java.nio.file.Files.write(tmpP.resolve("shard_0.g1.graph"),
+      Array[Byte](1, 2, 3))
+    Hnsw.invalidate(key)
+    assert(Hnsw.warmFromDisk(key, tmp) == 2)
+    val viaOld = Hnsw.searchWarm(queries, key, nShards = 2, k = 5,
+      Metric.Dot, m = 8, efConstruction = 64).collect().map(_.toSeq).toSet
+    assert(viaOld == want, "post-crash restore diverged from the old generation")
+    // a completed re-save: new generation (PAST the stray g1), manifest
+    // atomically swapped, prior generation + stray partials swept
+    assert(Hnsw.saveWarmed(key, tmp) == 2)
+    val after = files()
+    assert(after.count(_.matches("shard_\\d+\\.g2\\.graph")) == 2, after)
+    assert(!after.exists(_.matches("shard_\\d+\\.g[01]\\.graph")),
+      s"prior generation not swept: $after")
+    Hnsw.invalidate(key)
+    assert(Hnsw.warmFromDisk(key, tmp, mapped = true) == 2)
+    val viaNew = Hnsw.searchWarm(queries, key, nShards = 2, k = 5,
+      Metric.Dot, m = 8, efConstruction = 64).collect().map(_.toSeq).toSet
+    assert(viaNew == want)
+    Hnsw.invalidate(key)
+  }
+
+  test("measured flavor crossover: calibration drives the auto pick (r16)") {
+    val rows = SyntheticVectors.lowRankFast(spark, 2000, 64, intrinsic = 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val g = Hnsw.probeBuild(rows, m = 8, efC = 64, seed = 42L, Metric.Dot)
+    // uncalibrated: the byte heuristic decides (r15 behavior)
+    assert(g.measuredCrossover == -1)
+    intercept[IllegalArgumentException](g.calibrateFlavor()) // needs sidecar
+    g.quantizeStore()
+    val cross = g.calibrateFlavor(Array(8, 32, 128), sampleQ = 8, reps = 1)
+    assert(cross == g.measuredCrossover)
+    // the measured crossover REPLACES the byte heuristic: autoI8 is now
+    // a pure threshold on ef — monotone, and immune to the -D override
+    val saved = Hnsw.autoI8Bytes
+    try {
+      Hnsw.autoI8Bytes = 0L // would force i8 under the heuristic
+      for (ef <- Seq(8, 32, 128))
+        assert(g.autoI8(ef) == (ef >= cross), s"ef=$ef cross=$cross")
+    } finally Hnsw.autoI8Bytes = saved
+    // group-level: calibrateWarmed touches every sidecar'd graph, and
+    // the auto serve still answers (with whichever flavor won)
+    val key = "calib_spec"
+    Hnsw.search(base, queries, k = 5, Metric.Dot, m = 8,
+      efConstruction = 64, nShards = 2, cacheKey = key).count()
+    intercept[IllegalStateException](Hnsw.calibrateWarmed("no_such_key"))
+    Hnsw.quantizeWarmed(key)
+    assert(Hnsw.calibrateWarmed(key, Array(16, 64), sampleQ = 4) == 2)
+    val q = queries.select("qvec").head().getSeq[Float](0).toArray
+    val auto = Hnsw.searchLocal(q, key, nShards = 2, k = 5, Metric.Dot,
+      m = 8, efConstruction = 64, autoFlavor = true).toSeq
+    val contract = Hnsw.searchLocal(q, key, nShards = 2, k = 5, Metric.Dot,
+      m = 8, efConstruction = 64).toSeq
+    val i8 = Hnsw.searchLocal(q, key, nShards = 2, k = 5, Metric.Dot,
+      m = 8, efConstruction = 64, quantized = true).toSeq
+    assert(auto == contract || auto == i8,
+      "auto pick served neither measured flavor")
+    Hnsw.invalidate(key)
   }
 
   test("searchWarm dispatch is collision-free: one probed shard per task (r15)") {
