@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.ops.{Hnsw, Metric, Pq}
+import graft.ops.{Hnsw, Ivf, Metric, Pq}
 
 /** The SQL half of the ANN surface (SURVEY §1.5's Dataset-vs-ad-hoc-SQL
   * mapping): table-valued functions over REGISTERED indexes, so an
@@ -61,9 +61,15 @@ object AnnSql {
                                      seed: Long, cacheKey: String)
 
   private val indexes =
-    new java.util.concurrent.ConcurrentHashMap[String, (Pq.Index, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Pq.Index, DataFrame, String)]()
   private val hnswIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, HnswEntry]()
+  // memoized non-empty router-cell counts for the warm-completeness gate
+  // (see buildHnsw's non-contract branch): one corpus aggregate per
+  // registered index, paid on the FIRST non-contract serve, not at
+  // registration (registration stays lazy/cheap at any corpus size)
+  private val routerCells =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Drop entries whose owning SparkContext has stopped — the slow-leak
     * guard for JVMs that cycle many sessions (each entry pins a
@@ -74,6 +80,7 @@ object AnnSql {
       e.getValue._2.sparkSession.sparkContext.isStopped)
     hnswIndexes.entrySet().removeIf(e =>
       e.getValue.base.sparkSession.sparkContext.isStopped)
+    routerCells.keySet().removeIf(k => !hnswIndexes.containsKey(k))
   }
 
   private def key(spark: SparkSession, name: String): String =
@@ -81,12 +88,15 @@ object AnnSql {
 
   /** Register `idx` (with its full-precision base table for the refine
     * stage) under `name` for SQL use, and ensure the TVFs are registered
-    * in this session.
+    * in this session. `localKey`, when non-empty, names the warmed
+    * in-process ivf4 serving image ([[Pq.warmLocalIvf4]]'s cacheKey)
+    * that `graft_ann_search_pq4` serves from — the a15-pinned latency
+    * tier; without it only the Spark-plan TVFs resolve.
     */
   def registerIndex(spark: SparkSession, name: String, idx: Pq.Index,
-                    base: DataFrame): Unit = {
+                    base: DataFrame, localKey: String = ""): Unit = {
     purgeStopped()
-    indexes.put(key(spark, name), (idx, base))
+    indexes.put(key(spark, name), (idx, base, localKey))
     register(spark)
   }
 
@@ -115,6 +125,7 @@ object AnnSql {
     val k = key(spark, name)
     val a = indexes.remove(k) != null
     val b = hnswIndexes.remove(k) != null
+    routerCells.remove(k)
     a || b
   }
 
@@ -123,10 +134,12 @@ object AnnSql {
     val prefix = s"${graft.core.GraftSession.uuid(spark)}|"
     indexes.keySet().removeIf(_.startsWith(prefix))
     hnswIndexes.keySet().removeIf(_.startsWith(prefix))
+    routerCells.keySet().removeIf(_.startsWith(prefix))
   }
 
   /** Register the `graft_ann_search` / `graft_ann_search_hnsw` /
-    * `graft_ann_search_filtered` table functions in this session.
+    * `graft_ann_search_filtered` / `graft_ann_search_pq4` table
+    * functions in this session.
     */
   def register(spark: SparkSession): Unit = {
     Bridge.tableFunctionRegistry(spark).createOrReplaceTempFunction(
@@ -135,6 +148,8 @@ object AnnSql {
       "graft_ann_search_hnsw", es => buildHnsw(spark, es), "built-in")
     Bridge.tableFunctionRegistry(spark).createOrReplaceTempFunction(
       "graft_ann_search_filtered", es => buildFiltered(spark, es), "built-in")
+    Bridge.tableFunctionRegistry(spark).createOrReplaceTempFunction(
+      "graft_ann_search_pq4", es => buildPq4(spark, es), "built-in")
   }
 
   private def lit(e: Expression, fn: String, what: String): Any = {
@@ -201,10 +216,79 @@ object AnnSql {
           s"(registered: ${knownNames(indexes, spark)}) — call " +
           "AnnSql.registerIndex(spark, name, idx, base) first")
     }
-    val (idx, base) = entry
+    val (idx, base, _) = entry
     val qs = queriesArg(spark, es(1), "graft_ann_search")
     Pq.searchFastScanIvfRefined(base, idx, qs, nprobe, k, refineK)
       .queryExecution.logical
+  }
+
+  /** `graft_ann_search_pq4(index_name, queries_view | query_array, k
+    * [, nprobe, refine_k])` — the SQL reach for the IN-PROCESS
+    * IVF-fastscan serving tier ([[Pq.searchLocalIvf4]], the a15-pinned
+    * measured-best latency path: p50 ~1 ms @ 1M, 8–10× below routed
+    * HNSW at comparable recall). Serves the WARMED image only: the
+    * index must be registered with a `localKey` and
+    * [[Pq.warmLocalIvf4]]'d under it — a cold cache fails loudly at
+    * analysis time instead of silently paying the warm. Like the
+    * sibling TVFs the query batch is bounded-by-contract and collected
+    * while BUILDING the plan; unlike them the search itself also runs
+    * at plan-build time (it is in-process and microsecond-scale per
+    * query — the tier's whole point), so the returned plan is a local
+    * relation of the finished (qid, id, score, rank) rows.
+    * `refine_k` must exceed `k` ([[Pq.searchLocalIvf4]]'s contract —
+    * the local tier always refines).
+    */
+  private def buildPq4(spark: SparkSession, es: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ann_search_pq4"
+    require(es.length >= 3 && es.length <= 5,
+      s"$fn(index_name, queries_view | query_array, k[, nprobe, refine_k])")
+    val name = strArg(es.head, fn, "index_name")
+    val k = intArg(es(2), fn, "k")
+    val nprobe = if (es.length >= 4) intArg(es(3), fn, "nprobe") else 8
+    val refineK = if (es.length >= 5) intArg(es(4), fn, "refine_k") else 100
+    val entry = indexes.get(key(spark, name))
+    if (entry == null) {
+      throw new IllegalArgumentException(
+        s"$fn: no index '$name' registered in this session " +
+          s"(registered: ${knownNames(indexes, spark)}) — call " +
+          "AnnSql.registerIndex(spark, name, idx, base, localKey) first")
+    }
+    val (idx, _, localKey) = entry
+    require(localKey.nonEmpty,
+      s"$fn: index '$name' was registered without a localKey — re-register " +
+        "with registerIndex(spark, name, idx, base, localKey) and warm the " +
+        "serving image with Pq.warmLocalIvf4")
+    require(Pq.warmedLocal(localKey),
+      s"$fn: no warmed ivf4 serving image under '$localKey' — call " +
+        "Pq.warmLocalIvf4(spark, idx, localKey, base) first (cold serving " +
+        "fails loudly rather than silently paying the warm)")
+    val qs = queriesArg(spark, es(1), fn)
+    val qRows = qs.select(
+      org.apache.spark.sql.functions.col("qid").cast("long"),
+      org.apache.spark.sql.functions.col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val rows: java.util.List[org.apache.spark.sql.Row] = {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      qRows.foreach { case (qid, qvec) =>
+        Pq.searchLocalIvf4(qvec, idx, localKey, nprobe, k, refineK)
+          .zipWithIndex.foreach { case ((id, sc), r) =>
+            l.add(org.apache.spark.sql.Row(qid, id, sc, r + 1))
+          }
+      }
+      l
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    spark.createDataFrame(rows, schema).queryExecution.logical
   }
 
   /** `graft_ann_search_filtered(index_name, queries_view | query_array,
@@ -237,7 +321,7 @@ object AnnSql {
           s"(registered: ${knownNames(indexes, spark)}) — call " +
           "AnnSql.registerIndex(spark, name, idx, base) first")
     }
-    val (idx, base) = entry
+    val (idx, base, _) = entry
     val qs = queriesArg(spark, es(1), fn)
     graft.ops.FilteredSearch.auto(base,
       org.apache.spark.sql.functions.expr(predSql), qs, k,
@@ -286,6 +370,26 @@ object AnnSql {
           "with a cacheKey and warm it first (Hnsw.warmFromDisk over a " +
           "saved store, or one built run; then Hnsw.quantizeWarmed for " +
           "'i8' unless the store is v2)")
+      // completeness gate (r16, ADVICE r15): warmed() only says the group
+      // is NON-EMPTY, and allowMissing=true over a PARTIAL group (an
+      // interrupted restore, an LRU eviction mid-warm) would silently
+      // drop probed shards — degraded recall instead of the loud-miss
+      // contract SparkEntry's a14 path enforces with its
+      // restored==manifest require. Expected = the number of NON-EMPTY
+      // router cells (the build only materializes those); one narrow
+      // corpus aggregate, memoized per registered index, paid on the
+      // first non-contract serve.
+      val expected = routerCells.computeIfAbsent(key(spark, name), _ =>
+        Integer.valueOf(e.base.select(
+          Ivf.nearestCentroid(
+            org.apache.spark.sql.functions.col("vec"), e.centroids))
+          .distinct().count().toInt))
+      val have = Hnsw.warmedCount(e.cacheKey)
+      require(have >= expected.intValue(),
+        s"$fn: warmed group '${e.cacheKey}' is INCOMPLETE — $have of " +
+          s"$expected non-empty router cells resident (partial restore or " +
+          "mid-warm eviction); re-warm before serving (a partial group " +
+          "would silently drop probed shards)")
       Hnsw.searchWarm(qs, e.cacheKey, e.centroids.length, k, e.metric,
         e.m, e.efConstruction, efSearch, e.seed, e.centroids, e.routeProbe,
         allowMissing = true, quantized = flavor == "i8",

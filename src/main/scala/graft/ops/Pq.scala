@@ -832,6 +832,12 @@ object Pq {
   /** Drop a warmed serving image (index-generation retirement). */
   def invalidateLocal(cacheKey: String): Unit = { localCache.remove(cacheKey); () }
 
+  /** Whether a warmed ivf4 serving image exists under `cacheKey` — the
+    * loud-on-cold check the SQL serving surface makes before resolving
+    * to [[searchLocalIvf4]].
+    */
+  def warmedLocal(cacheKey: String): Boolean = localCache.containsKey(cacheKey)
+
   /** In-process IVF-fastscan + exact-refine serve for a JVM holding the
     * warmed image — the per-query latency tier of [[searchFastScanIvf]],
     * the PQ analogue of [[Hnsw.searchLocal]]. No Spark job: the coarse

@@ -267,6 +267,119 @@ class SqlSurfaceSpec extends AnyFunSuite {
     AnnSql.unregister(spark, "emb_hnsw_fl")
   }
 
+  test("graft_ann_search_pq4 TVF == searchLocalIvf4 == the Spark plan (r16)") {
+    // the a15-pinned in-process serving tier gets SQL reach: the TVF
+    // serves the warmed ivf4 image and must match BOTH the direct
+    // searchLocalIvf4 loop and (for refineK > k) the distributed
+    // searchFastScanIvfRefined plan — the Pq4Spec-pinned identity
+    import graft.functions.AnnSql
+    import graft.ops.Pq
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val m4 = base.select(size(col("vec")).as("d")).head().getInt(0) / 4
+    val idx = Pq.buildOrGetIvf4(spark, base, s"$dir|sqlpq4", nlist = 8,
+      m4 = m4, ntrain = 500)
+    val localKey = s"$dir|sqlpq4|local"
+    // registered without a localKey: the pq4 TVF fails loudly
+    AnnSql.registerIndex(spark, "emb_pq4", idx, base)
+    base.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .createOrReplaceTempView("pq4_queries")
+    def tvf() = spark.sql(
+      "SELECT * FROM graft_ann_search_pq4('emb_pq4', 'pq4_queries', 10, 4, 50)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val noKey = intercept[Exception](tvf())
+    assert(noKey.getMessage.contains("localKey") ||
+      Option(noKey.getCause).exists(_.getMessage.contains("localKey")))
+    // registered with the key but COLD: loud at analysis time
+    AnnSql.registerIndex(spark, "emb_pq4", idx, base, localKey)
+    val cold = intercept[Exception](tvf())
+    assert(cold.getMessage.contains("warm") ||
+      Option(cold.getCause).exists(_.getMessage.contains("warm")))
+    Pq.warmLocalIvf4(spark, idx, localKey, base)
+    val sql = tvf()
+    val qRows = base.filter(col("id") < 8)
+      .select(col("id").cast("long"), col("vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val direct = qRows.flatMap { case (qid, qvec) =>
+      Pq.searchLocalIvf4(qvec, idx, localKey, nprobe = 4, k = 10, refineK = 50)
+        .zipWithIndex.map { case ((id, sc), r) => (qid, id, sc, r + 1) }
+    }.toSeq
+    assert(sql == direct, "pq4 TVF diverged from searchLocalIvf4")
+    val sparkPlan = Pq.searchFastScanIvfRefined(base, idx,
+      base.filter(col("id") < 8)
+        .select(col("id").as("qid"), col("vec").as("qvec")),
+      nprobe = 4, k = 10, refineK = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(sql.toSet == sparkPlan,
+      "pq4 TVF diverged from the distributed fastscan+refine plan")
+    // composes like any table expression; rank is per-query
+    val n = spark.sql(
+      """SELECT count(*) AS c
+        |FROM graft_ann_search_pq4('emb_pq4', 'pq4_queries', 10, 4, 50)
+        |WHERE rank <= 3""".stripMargin).head().getLong(0)
+    assert(n == 8 * 3)
+    // refine_k <= k violates the local tier's always-refine contract
+    val badK = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_ann_search_pq4('emb_pq4', 'pq4_queries', 10, 4, 10)")
+        .collect()
+    }
+    assert(badK.getMessage.contains("refine") ||
+      Option(badK.getCause).exists(_.getMessage.contains("refine")))
+    AnnSql.unregister(spark, "emb_pq4")
+    Pq.invalidateLocal(localKey)
+  }
+
+  test("hnsw TVF non-contract flavors refuse a PARTIAL warmed group (r16)") {
+    // ADVICE r15: warmed() checks non-empty, not complete — a partial
+    // restore under allowMissing=true silently dropped probed shards.
+    // Build the full group, register, serve once (green), then evict and
+    // warm only a SUBSET: the TVF must fail loudly instead of serving.
+    import graft.functions.AnnSql
+    import graft.ops.{Hnsw, Ivf}
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val router = Ivf.buildOrGet(spark, base, s"$dir|sqlhnsw", nlist = 4,
+      ntrain = 500)
+    val key = s"$dir|sqlhnsw|partial"
+    val qs = base.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    Hnsw.searchRouted(base, qs, router.centroids, routeProbe = 2, k = 10,
+      graft.ops.Metric.Dot, m = 8, efConstruction = 64, efSearch = 64,
+      cacheKey = key).count()
+    Hnsw.quantizeWarmed(key)
+    val tmp = java.nio.file.Files.createTempDirectory("sql_hnsw_partial").toString
+    Hnsw.saveWarmed(key, tmp)
+    AnnSql.registerHnsw(spark, "emb_hnsw_part", base, router.centroids,
+      routeProbe = 2, m = 8, efConstruction = 64, cacheKey = key)
+    qs.createOrReplaceTempView("hnsw_partial_queries")
+    def tvf() = spark.sql(
+      "SELECT * FROM graft_ann_search_hnsw('emb_hnsw_part', 'hnsw_partial_queries', 10, 64, 'i8')")
+    assert(tvf().count() > 0) // complete group serves
+    // partial group: drop everything, restore ONE shard's store file by
+    // truncating the manifest to its first line
+    Hnsw.invalidate(key)
+    val mf = java.nio.file.Paths.get(s"$tmp/MANIFEST")
+    val full = java.nio.file.Files.readString(mf)
+    java.nio.file.Files.writeString(mf, full.split('\n').head + "\n")
+    assert(Hnsw.warmFromDisk(key, tmp) == 1)
+    val err = intercept[Exception](tvf().collect())
+    assert(err.getMessage.contains("INCOMPLETE") ||
+      Option(err.getCause).exists(_.getMessage.contains("INCOMPLETE")),
+      s"partial group must refuse to serve: ${err.getMessage}")
+    // full restore serves again
+    java.nio.file.Files.writeString(mf, full)
+    Hnsw.invalidate(key)
+    val nShards = full.split('\n').count(_.nonEmpty)
+    assert(Hnsw.warmFromDisk(key, tmp) == nShards)
+    assert(tvf().count() > 0)
+    AnnSql.unregister(spark, "emb_hnsw_part")
+    Hnsw.invalidate(key)
+  }
+
   test("SQL top-k with graft_dot matches the DataFrame path") {
     val sql = spark.sql(
       """SELECT b.vec_id AS id,
