@@ -796,6 +796,35 @@ object SparkEntry {
       Dedup.semanticDedupFromCandidates(assigned, cand, tau = 0.95)
         .orderBy(col("vec_id"))
     }),
+    // r16 (VERDICT r15 #2): d15's skew-guarded candidates under the
+    // PAPER's far-from-centroid keeper — the exact composition a 100 TB
+    // duplicate-flood run uses: the flood component's candidates come
+    // through the salt blocks, and the keeper is argmax(cdist) over that
+    // component. The fixture's cdist is each member's distance to the
+    // ORIGIN (a shared degenerate centroid — `norm2(embedding)`): the
+    // rule's semantics (rank a per-member scalar, ties on smaller id)
+    // are exercised identically to d14's real centroid distances, and
+    // the exact Spark-ranked doubles ride the d14-style triple sidecar
+    // so DuckDB re-applies the argmax over bit-equal scalars (recomputed
+    // norms could flip near-ties — the flood's members are all
+    // unit-norm-ish, which makes this fixture the adversarial case for
+    // exactly that). Candidates ride a second (pairs) sidecar, d15-style.
+    "d16_semantic_skew_far" -> ((s, dir) => {
+      val assigned = Tables.embeddings(s, dir).select(
+        col("vec_id"), col("embedding"),
+        when(col("vec_id") < 200, lit(0))
+          .otherwise((col("vec_id") % 60 + 1).cast("int")).as("cluster_id"),
+        VectorFunctions.norm2(col("embedding")).as("cdist"))
+      val cand = Dedup.semanticCandidatesAssigned(assigned,
+        maxCellSize = 8, nBlockPlanes = 4, nBlockTables = 2)
+        .localCheckpoint()
+      predSidecar("d16_semantic_skew_far_pairs", cand, "a", "b")
+      predSidecar3("d16_semantic_skew_far", assigned,
+        "vec_id", "cluster_id", "cdist")
+      Dedup.semanticDedupFromCandidates(assigned, cand, tau = 0.95,
+        keepRule = "far_from_centroid")
+        .orderBy(col("vec_id"))
+    }),
     // Keeper selection over exact-dup groups via the REAL operator
     // (Dedup.exact → explode group members → keep flag) — the per-document
     // canonical-copy decision a dedup pipeline ships downstream, hash-gated
@@ -1931,10 +1960,50 @@ object SparkEntry {
            |FROM assign a LEFT JOIN comp c ON a.id = c.node
            |ORDER BY vec_id""".stripMargin
     }
+    // d16: the guard + far-keeper composition — candidate pairs from the
+    // d15-style pairs sidecar (the LSH+salt stage SQL can't express),
+    // per-member cdist from the d14-style triple sidecar (exact Spark
+    // doubles, so the argmax ranks bit-equal scalars), components and
+    // the argmax(cdist)-ties-min(id) keeper re-derived in DuckDB.
+    val d16 = for {
+      assigns <- sidecarTriples("d16_semantic_skew_far").filter(_.nonEmpty)
+      cand <- sidecarPairs("d16_semantic_skew_far_pairs").filter(_.nonEmpty)
+    } yield "d16_semantic_skew_far" ->
+      s"""WITH RECURSIVE assign(id, cluster_id, cdist) AS (VALUES ${assigns.mkString(",")}),
+         |cand(a, b) AS (VALUES ${cand.mkString(",")}),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pairs AS (
+         |  SELECT cand.a, cand.b
+         |  FROM cand JOIN e ea ON cand.a = ea.vec_id
+         |            JOIN e eb ON cand.b = eb.vec_id
+         |  WHERE list_dot_product(ea.v, eb.v) /
+         |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.95),
+         |edges AS (SELECT a AS x, b AS y FROM pairs
+         |          UNION SELECT b AS x, a AS y FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT reach.node, edges.y FROM reach JOIN edges ON reach.r = edges.x),
+         |comp AS (
+         |  SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node),
+         |member AS (
+         |  SELECT a.id, a.cluster_id, a.cdist,
+         |    coalesce(c.component, a.id) AS component
+         |  FROM assign a LEFT JOIN comp c ON a.id = c.node),
+         |ranked AS (
+         |  SELECT id, cluster_id, component,
+         |    row_number() OVER (PARTITION BY component
+         |                       ORDER BY cdist DESC, id ASC) AS rn
+         |  FROM member)
+         |SELECT CAST(id AS BIGINT) AS vec_id,
+         |  CAST(cluster_id AS INT) AS cluster_id,
+         |  CAST(component AS BIGINT) AS component,
+         |  (rn = 1) AS keep
+         |FROM ranked ORDER BY vec_id""".stripMargin
     (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall",
       "a8_lsh_recall", "a9_hnsw_recall", "a11_hnsw_routed",
       "a12_pq4_fastscan", "a13_pq4_ivf", "a14_hnsw_store",
       "a15_pq4_serve").flatMap(single)
-      ++ a3 ++ d4 ++ d13 ++ d14 ++ d15).toMap
+      ++ a3 ++ d4 ++ d13 ++ d14 ++ d15 ++ d16).toMap
   }
 }

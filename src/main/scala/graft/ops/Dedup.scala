@@ -447,7 +447,7 @@ object Dedup {
                                  vecCol: String = "embedding",
                                  maxCellSize: Int = defaultMaxCellSize,
                                  nBlockPlanes: Int = 8,
-                                 nBlockTables: Int = 2,
+                                 nBlockTables: Int = defaultBlockTables,
                                  blockSeed: Long = 2026L): DataFrame = {
     def allPairs(rows: DataFrame): DataFrame = {
       val l = rows.select(col("cluster_id"), col(idCol).as("a"),
@@ -491,6 +491,24 @@ object Dedup {
   private[graft] def defaultMaxCellSize: Int =
     java.lang.Integer.getInteger("graft.semantic.maxCell", 8192)
 
+  /** Default sign-LSH table count for the guard's oversized-cell arm
+    * (r16, raised from 2 per the r15 ADVICE recall analysis): inside an
+    * oversized cell, an ISOLATED genuine pair at cosine τ collides in at
+    * least one block with probability 1 − (1 − p^P)^T where
+    * p = 1 − acos(τ)/π is the per-plane sign-agreement probability
+    * (Goemans–Williamson). At the default P = 8 planes and τ = 0.95
+    * (p ≈ 0.899, p^8 ≈ 0.426): T=2 → 0.67, T=3 → 0.81, T=4 → 0.89.
+    * Duplicate FLOODS recover missed pairs via transitivity (the salt
+    * mix + [[connectedComponents]]), so the probability only bounds
+    * standalone near-dup pairs in skewed cells; T=3 puts those above
+    * 0.8 for ~1.5× table 2's candidate cost, paid inside oversized
+    * cells only. `-Dgraft.semantic.blockTables=N` overrides per corpus
+    * (use 4 when τ is lower or isolated-pair recall matters more than
+    * guard cost).
+    */
+  private[graft] def defaultBlockTables: Int =
+    java.lang.Integer.getInteger("graft.semantic.blockTables", 3)
+
   /** The oversized-cell arm of [[semanticCandidatesAssigned]]: sign-LSH
     * blocks ([[LshAnn.signBuckets]] — similarity-preserving, so genuine
     * near-dups still collide) with an id-hash SALT split of any block
@@ -525,22 +543,35 @@ object Dedup {
 
   /** Pair + cosine the salted blocks and union with the exact small-cell
     * arm — output schema identical to the unguarded candidates
-    * (cluster_id, a, b, cos); pairs seen by multiple tables dedup before
-    * the vector fetch so each survives ONE cosine.
+    * (cluster_id, a, b, cos).
+    *
+    * Shuffle shape (r16, replacing the r15 pair-then-fetch): vectors
+    * join onto the salted BLOCK rows (Θ(|big| · nTables) vector-carrying
+    * rows — the light side) and the pairing + cosine happen INSIDE the
+    * block self-join's generated stage, so no shuffle ever carries a
+    * vector per candidate PAIR. The r15 shape deduped pairs before a
+    * vector-fetch join to save duplicate cosines, but its second fetch
+    * join shuffled `vec_a` per pair — Θ(flood · cap · nTables) rows ×
+    * 1.5 KB at 384d, measured 50+ GB of spill (disk-full abort) on a
+    * 30k-row multi-flood fixture. A pair seen by several tables now
+    * computes its cosine up to nTables times — bit-identical values
+    * (same kernel, same vectors), deduped by one DISTINCT on the skinny
+    * (cluster_id, a, b, cos) output; duplicate cosines are map-side
+    * kernel work, the cheaper currency at every scale.
     */
   private def allPairsUnionShape(smallPairs: DataFrame, salted: DataFrame,
                                  big: DataFrame, idCol: String,
                                  vecCol: String): DataFrame = {
-    val l = salted.withColumnRenamed(idCol, "a")
-    val r = salted.withColumnRenamed(idCol, "b")
-    val cand = l.join(r, Seq("cluster_id", "t", "key", "salt"))
+    val withVec = salted.join(big.select(col(idCol), col(vecCol)), Seq(idCol))
+    val l = withVec.select(col("cluster_id"), col("t"), col("key"),
+      col("salt"), col(idCol).as("a"), col(vecCol).as("vec_a"))
+    val r = withVec.select(col("cluster_id"), col("t"), col("key"),
+      col("salt"), col(idCol).as("b"), col(vecCol).as("vec_b"))
+    val bigPairs = l.join(r, Seq("cluster_id", "t", "key", "salt"))
       .filter(col("a") < col("b"))
-      .select(col("cluster_id"), col("a"), col("b")).distinct()
-    val va = big.select(col(idCol).as("a"), col(vecCol).as("vec_a"))
-    val vb = big.select(col(idCol).as("b"), col(vecCol).as("vec_b"))
-    val bigPairs = cand.join(va, Seq("a")).join(vb, Seq("b"))
       .select(col("cluster_id"), col("a"), col("b"),
         VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .distinct()
     smallPairs.unionByName(bigPairs)
   }
 
@@ -556,7 +587,7 @@ object Dedup {
                         vecCol: String = "embedding",
                         maxCellSize: Int = defaultMaxCellSize,
                         nBlockPlanes: Int = 8,
-                        nBlockTables: Int = 2,
+                        nBlockTables: Int = defaultBlockTables,
                         blockSeed: Long = 2026L): Long = {
     val cells = assigned.groupBy("cluster_id").count()
     val oversized: Seq[Long] = cells.filter(col("count") > maxCellSize)
@@ -649,7 +680,7 @@ object Dedup {
                             vecCol: String = "embedding",
                             maxCellSize: Int = defaultMaxCellSize,
                             nBlockPlanes: Int = 8,
-                            nBlockTables: Int = 2,
+                            nBlockTables: Int = defaultBlockTables,
                             blockSeed: Long = 2026L): DataFrame =
     semanticDedupFromCandidates(assigned,
       semanticCandidatesAssigned(assigned, idCol, vecCol,

@@ -158,6 +158,64 @@ class CurationScaleSpec extends AnyFunSuite {
     res.unpersist(); assigned.unpersist()
   }
 
+  test("semantic dedup multi-flood: several oversized cells of different " +
+       "sizes stay bounded per task, each flood one keeper (r16)") {
+    // a realistic skewed corpus has SEVERAL oversized cells of different
+    // sizes (the r15 gate planted exactly one); the guard must bound
+    // every one's join blocks near the cap and each flood must still
+    // resolve to one component/keeper through its own salt mix — sizes
+    // chosen to straddle the cap from 1.5× to 12×.
+    val dim = 16
+    val nAll = 20000
+    val floods = Seq((0, 0, 6000), (1, 6000, 8000), (2, 8000, 8800))
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val rows = (0 until nAll).map { i =>
+      val f = floods.find(t => i >= t._2 && i < t._3)
+      val vec = f match {
+        case Some((cell, _, _)) => Array.tabulate(dim) { j =>
+          (0.5f + 0.05f * j + 0.3f * cell) +
+            1e-3f * ((mix(i.toLong * 31 + j) % 7) - 3)
+        }
+        case None => Array.tabulate(dim) { j =>
+          (mix(i.toLong * 131 + j) % 1000) / 500f - 1f
+        }
+      }
+      (i.toLong, vec, f.map(_._1).getOrElse(3 + (i % 100)))
+    }
+    val assigned = spark.createDataFrame(rows)
+      .toDF("vec_id", "embedding", "cluster_id").cache()
+    assert(assigned.count() == nAll)
+    val cap = 512
+    // unguarded tail = the largest flood; guarded tail ≈ cap across ALL
+    // three floods' salt blocks simultaneously
+    assert(Dedup.semanticBlockTail(assigned, maxCellSize = Int.MaxValue)
+      == 6000)
+    val tail = Dedup.semanticBlockTail(assigned, maxCellSize = cap)
+    assert(tail <= (cap * 3) / 2, s"guarded block tail $tail > 1.5×cap=$cap")
+    val res = Dedup.semanticDedupAssigned(assigned, tau = 0.95,
+      maxCellSize = cap).cache()
+    floods.foreach { case (cell, lo, hi) =>
+      val comps = res.filter(col("cluster_id") === cell)
+        .select("component").distinct().count()
+      val keeps = res.filter(col("cluster_id") === cell)
+        .agg(sum(when(col("keep"), 1L).otherwise(0L))).head().getLong(0)
+      assert(comps == 1, s"flood cell $cell (${hi - lo} rows) split into $comps")
+      assert(keeps == 1L, s"flood cell $cell kept $keeps")
+    }
+    // thin cells: random vectors at tau 0.95 self-keep (± a handful of
+    // chance crossings, as in the single-flood gate)
+    val keepAll = res.agg(sum(when(col("keep"), 1L).otherwise(0L)))
+      .head().getLong(0)
+    val floodTotal = floods.map(t => t._3 - t._2).sum
+    assert(keepAll >= nAll - floodTotal - 10, s"kept $keepAll of $nAll")
+    res.unpersist(); assigned.unpersist()
+  }
+
   test("cc: d9 pair graph converges fast into family-shaped components") {
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)

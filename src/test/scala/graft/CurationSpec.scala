@@ -266,6 +266,48 @@ class CurationSpec extends AnyFunSuite {
       "guard produced zero big-cell candidates")
   }
 
+  test("skew guard + far keeper: flood argmax(cdist) keeper over salt-block " +
+       "candidates, under-cap path identical (r16)") {
+    val s = spark
+    import s.implicits._
+    // an exact-duplicate flood (ids 0-59, one oversized cell at cap 8)
+    // whose candidates can only come through the guard's salt blocks,
+    // plus thin under-cap cells; cdist is a planted varied scalar so the
+    // argmax is non-trivial (the d16 oracle pins the same composition
+    // against DuckDB — this gate pins it against the EXACT all-pairs arm)
+    val floodVec = Array.tabulate(8)(j => 0.1f * (j + 1))
+    val rows = (0 until 100).map { i =>
+      val vec =
+        if (i < 60) floodVec
+        else Array.tabulate(8)(j => (((i * 31 + j * 17) % 19) - 9) / 9f)
+      (i.toLong, vec, if (i < 60) 0 else 1 + (i % 10), (i % 7).toDouble)
+    }
+    val assigned = rows.toDF("vec_id", "embedding", "cluster_id", "cdist")
+    def decide(cap: Int): Seq[(Long, Long, Boolean)] =
+      Dedup.semanticDedupFromCandidates(assigned,
+        Dedup.semanticCandidatesAssigned(assigned, maxCellSize = cap,
+          nBlockPlanes = 3, nBlockTables = 2),
+        tau = 0.95, keepRule = "far_from_centroid")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+        .sortBy(_._1).toSeq
+    val exact = decide(Int.MaxValue)
+    val guarded = decide(8)
+    // the flood stays ONE component via salt-mix transitivity, and the
+    // keeper is argmax(cdist) ties-min(id): cdist = id%7 peaks at ids
+    // 6,13,20,… — id 6 wins
+    val floodG = guarded.filter(_._1 < 60)
+    assert(floodG.map(_._2).distinct.size == 1,
+      s"flood split: ${floodG.map(_._2).distinct}")
+    assert(floodG.filter(_._3).map(_._1) == Seq(6L),
+      s"flood keeper: ${floodG.filter(_._3)}")
+    assert(floodG == exact.filter(_._1 < 60),
+      "guarded far decisions diverged from exact all-pairs on the flood")
+    // thin cells ride the exact arm in both plans — identical decisions
+    assert(guarded.filter(_._1 >= 60) == exact.filter(_._1 >= 60))
+    // no oversized cell → the guard returns the bit-identical old plan
+    assert(decide(1000) == exact)
+  }
+
   test("semanticDedup far_from_centroid: paper keep rule — least prototypical kept") {
     val emb = semFixture
     val cents = graft.ops.Ivf.train(
