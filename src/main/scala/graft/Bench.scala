@@ -88,8 +88,51 @@ object Bench {
     */
   private val workloadVersion: Map[String, Int] = Map(
     "a13_pq4_ivf" -> 3,
-    "d13_semantic_dedup" -> 2
+    "d13_semantic_dedup" -> 2,
+    // v2 r16: the guard's oversized-cell arm pairs inside the block join
+    // (vectors on block rows, skinny distinct) instead of pair-then-fetch
+    // — same candidates and cosines (hash-green), different plan
+    "d15_semantic_skew" -> 2
   ).withDefaultValue(1)
+
+  /** Trailing cross-round per-query medians from the BENCH_r*.json
+    * artifacts on disk — the baseline the per-key outlier re-run
+    * (VERDICT r15 #1) compares against. Regex extraction, not a JSON
+    * parser: the artifacts are driver-written wrappers whose exact shape
+    * has drifted across rounds; the `"queries":{...}` block is the one
+    * stable element, and a malformed file must degrade to "no history"
+    * rather than fail the sweep.
+    */
+  private def historyMedians(): Map[String, Double] = {
+    val files = Option(new java.io.File(".").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+    // the driver embeds the machine line inside a JSON STRING field, so
+    // the artifact's quotes arrive escaped (\"queries\":{...}) — both
+    // patterns accept an optional backslash before each quote
+    val qRe = java.util.regex.Pattern
+      .compile("\\\\?\"queries\\\\?\"\\s*:\\s*\\{([^}]*)\\}")
+    val kvRe = java.util.regex.Pattern
+      .compile("\\\\?\"([^\"\\\\]+)\\\\?\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)")
+    val acc = scala.collection.mutable.Map.empty[String, List[Double]]
+    files.foreach { f =>
+      try {
+        val m = qRe.matcher(java.nio.file.Files.readString(f.toPath))
+        if (m.find()) {
+          val kv = kvRe.matcher(m.group(1))
+          while (kv.find()) {
+            val v = kv.group(2).toDouble
+            if (v > 0)
+              acc.updateWith(kv.group(1))(o => Some(v :: o.getOrElse(Nil)))
+          }
+        }
+      } catch { case _: Throwable => () }
+    }
+    acc.iterator.map { case (k, vs) =>
+      val s = vs.sorted
+      k -> s(s.length / 2)
+    }.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -162,6 +205,41 @@ object Bench {
       (name, samples)
     }
 
+    // Per-key outlier re-run (r16, VERDICT r15 #1): the mid-sweep calib
+    // channel provably straddled a 3-query box excursion in r15 (healthy
+    // samples at q24/q36 bracketed d4/d5/d6 at 4×), and adjudicating it
+    // consumed a round of watch-item forensics. Mechanized: any key whose
+    // sweep median reads >1.5× its trailing cross-round median (the
+    // BENCH_r*.json history on disk) re-runs ONCE at sweep end, and BOTH
+    // readings ship — a transient excursion self-corrects inside one
+    // artifact (rerun ≪ sweep reading says box transient; rerun ≈ sweep
+    // reading says real change, look at the code). Bounded at 4 keys
+    // (worst ratios first) to protect the machine line's byte budget; a
+    // genuinely slow box inflates the calib factor instead.
+    val hist = historyMedians()
+    def medOf(s: Seq[Double]): Double = s.sorted.apply(s.length / 2)
+    val flagged = results.collect {
+      case (name, s) if s.nonEmpty && only.isEmpty &&
+        hist.get(name).exists(h => medOf(s) > 1.5 * h) =>
+        (name, medOf(s) / hist(name))
+    }.sortBy(-_._2).take(4).map(_._1)
+    val reruns = flagged.map { name =>
+      val q = SparkEntry.queries(name)
+      val samples =
+        try {
+          val action = () => q(spark, sfDir).write
+            .format("noop").mode("overwrite").save()
+          // already JIT/codegen-warm from the main sweep; same sample
+          //-widening rule so the two medians are like-for-like
+          val first = timeOne(action)
+          val n = if (first < 1.0) math.max(runs, 9) else runs
+          val all = first +: Seq.fill(n - 1)(timeOne(action))
+          settle()
+          all
+        } catch { case _: Throwable => Seq.empty[Double] }
+      name -> (if (samples.isEmpty) -1.0 else medOf(samples))
+    }
+
     // A5: dataset geometry → bytes/query for the flat-scan family.
     val (nVec, dim) =
       try {
@@ -216,14 +294,37 @@ object Bench {
     // well under the driver's ~2000-byte tail window (with sbt's trailing
     // "[success]" line inside the same window).
     // calib series at 3 decimals (1 ms resolution is plenty for a
-    // ~0.15 s sample) — the 68-key machine line must stay inside the
-    // driver's ~2000-byte tail window
-    val calJ = s""""calib":[${allCal.map(j3).mkString(",")}],"calib_ref":${j4(calibRef)},""" +
-      s""""calib_factor":${j4(calibFactor)},"norm_total":${j4(normTotal)}"""
+    // ~0.15 s sample) — the ~69-key machine line must stay inside the
+    // driver's ~2000-byte tail window.
+    // r16 shape fix (ADVICE r15): "calib" is the STABLE two-element
+    // [cal0, cal1] endpoint pair again — r15 silently grew it into a
+    // variable-length series, so cross-round tooling indexing calib[1]
+    // as the end snapshot read the first MID-SWEEP sample instead. The
+    // mid-sweep series ships under its own "calib_mid" key; the factor
+    // still averages over ALL samples (the r15 semantic).
+    def calJ(withMid: Boolean) = {
+      val mid = if (withMid && calMid.nonEmpty)
+        s""""calib_mid":[${calMid.map(j3).mkString(",")}],""" else ""
+      s""""calib":[${j3(cal0)},${j3(cal1)}],$mid"calib_ref":${j4(calibRef)},""" +
+        s""""calib_factor":${j4(calibFactor)},"norm_total":${j4(normTotal)}"""
+    }
+    val rerunJ =
+      if (reruns.isEmpty) ""
+      else reruns.map { case (k, v) => s""""$k":${j3(v)}""" }
+        .mkString(""","rerun":{""", ",", "}")
     val wlCompact = selected.map(_._1).filter(workloadVersion(_) != 1)
       .map(n => s""""$n":${workloadVersion(n)}""").mkString("{", ",", "}")
-    val machineLine =
-      s"""{"metric":"total","value":${j4(total)},"unit":"sec",$calJ,"wl":$wlCompact,"queries":$qs,"sf":"$sfDir"}"""
+    def mkMachine(withMid: Boolean) =
+      s"""{"metric":"total","value":${j4(total)},"unit":"sec",${calJ(withMid)}$rerunJ,"wl":$wlCompact,"queries":$qs,"sf":"$sfDir"}"""
+    // overflow guard: the driver tails the final 2000 stdout bytes and
+    // sbt's ~80-byte "[success] Total time: …" line shares the window,
+    // so past ~1915 bytes the machine line's HEAD would clip — drop the
+    // mid series first (it always ships in BENCH_LOCAL.json), never the
+    // queries/rerun payload
+    val machineLine = {
+      val full = mkMachine(withMid = true)
+      if (full.length <= 1915) full else mkMachine(withMid = false)
+    }
     // full artifact: per-query medians at full precision, their
     // calib-normalized twins, and every workload tag
     val qs4 = medians.map { case (k, v) => s""""$k":${j4(v)}""" }.mkString("{", ",", "}")
@@ -232,7 +333,7 @@ object Bench {
     val wlFull = selected.map { case (n, _) =>
       s""""$n":${workloadVersion(n)}""" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec",$calJ,"queries":$qs4,"queries_norm":$qsNorm,"workload":$wlFull,"stats":$stats,"n_vectors":$nVec,"dim":$dim,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec",${calJ(withMid = true)}$rerunJ,"queries":$qs4,"queries_norm":$qsNorm,"workload":$wlFull,"stats":$stats,"n_vectors":$nVec,"dim":$dim,"sf":"$sfDir"}"""
     // subset runs are a dev aid — never let them clobber the full artifact
     if (only.isEmpty)
       try java.nio.file.Files.writeString(

@@ -924,6 +924,18 @@ object BenchScale {
         Pq.invalidateLocal("bench_local_ivf4")
       }
 
+      // The semantic-dedup family below localCheckpoints its assigned
+      // frame INSIDE each measured op (by design — the checkpoint is the
+      // single-assignment trade), and measure() invokes every op twice
+      // (timed + shuffle-delta): four rows × two invocations ≈ 2.5 GB of
+      // MEMORY_AND_DISK checkpoint blocks that pin the protected half of
+      // Spark's storage pool until GC + ContextCleaner get around to
+      // them. The 500K GT scan two sections later then OOMs its 32-task
+      // sort ([UNABLE_TO_ACQUIRE_MEMORY], reproduced twice in r16 full
+      // runs). Snapshot the persistent-RDD ids here and SYNCHRONOUSLY
+      // unpersist everything the family added, right after it.
+      val keepRddIds = spark.sparkContext.getPersistentRDDs.keySet
+
       // SemDeDup at 200k×384d over the 1024-cluster quantizer (r12): the
       // paper's cluster bucketing keeps pairwise work at Σ|c|² — recorded
       // as all_pairs_ratio beside the wall time (the knob is nlist, which
@@ -1001,6 +1013,53 @@ object BenchScale {
           "cap" -> capSk.toDouble, "block_tail" -> tail.toDouble,
           "flood_keepers" -> floodKeep, "n_dropped" -> dropped)
       }
+      // MULTI-flood regime (r16, verdict task #6): a realistic skewed
+      // corpus carries SEVERAL oversized cells of different sizes, and
+      // the guard's block geometry (nBlockTables, salt splits) runs over
+      // all of them simultaneously — three planted floods at ~20×/8×/2×
+      // the cap plus thin cells. Gates mirror the single-flood row PER
+      // flood: block_tail ≈ cap across all three at once, one component
+      // and one keeper each.
+      runAnn("ann_semantic_dedup_multiskew") {
+        val nSk = 200000L
+        val capSk = 1024
+        val floods = Seq((0, 0L, 20000L), (1, 20000L, 28000L),
+          (2, 28000L, 30000L))
+        val floodRows = floods.map { case (cell, lo, hi) =>
+          spark.range(lo, hi).select(col("id").as("vec_id"),
+            expr(s"transform(sequence(0, ${annDim - 1}), j -> " +
+              s"cast(0.5 + 0.05*j + 0.3*$cell + " +
+              "1e-3*(pmod(hash(id*31 + j), 7) - 3) as float))")
+              .as("embedding"),
+            lit(cell).as("cluster_id"))
+        }.reduce(_ unionByName _)
+        val rest = base.filter(col("id") >= 30000L && col("id") < nSk)
+          .select(col("id").as("vec_id"), col("vec").as("embedding"),
+            (lit(3) + pmod(col("id"), lit(1021))).cast("int").as("cluster_id"))
+        val assigned = floodRows.unionByName(rest).localCheckpoint()
+        val tail = Dedup.semanticBlockTail(assigned, maxCellSize = capSk)
+        val out = Dedup.semanticDedupAssigned(assigned, tau = 0.99,
+          maxCellSize = capSk).cache()
+        val m = scala.collection.mutable.Map[String, Double](
+          "n" -> nSk.toDouble, "cap" -> capSk.toDouble,
+          "block_tail" -> tail.toDouble,
+          "n_dropped" -> out.filter(!col("keep")).count().toDouble)
+        floods.foreach { case (cell, lo, hi) =>
+          m(s"flood${cell}_rows") = (hi - lo).toDouble
+          m(s"flood${cell}_keepers") = out
+            .filter(col("cluster_id") === cell && col("keep")).count().toDouble
+          m(s"flood${cell}_comps") = out.filter(col("cluster_id") === cell)
+            .select("component").distinct().count().toDouble
+        }
+        out.unpersist()
+        m.toMap
+      }
+      // release the semantic family's checkpoint blocks NOW (see the
+      // keepRddIds note above) — blocking, so the storage pool is
+      // actually free before the serving sections' big sorts run
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keepRddIds.contains(id)) rdd.unpersist(blocking = true)
+      }
 
       // routed shards: the IVF centroids double as the shard router —
       // probing 32/nlist shards must hold recall while cutting evals
@@ -1073,6 +1132,13 @@ object BenchScale {
       // corpus and topology. One unsharded 500K graph served via
       // searchLocal(nShards=1) isolates the JVM-vs-C++ kernel margin
       // from the shard fan-out; efSearch swept at the reference's points.
+      // settle BEFORE this non-runAnn section: it runs without measure()'s
+      // pre-op double-GC, and the semantic-dedup rows just above leave
+      // ~0.3 GB of localCheckpoint blocks PER op invocation (two passes ×
+      // four rows ≈ 2-3 GB) that only free via GC + ContextCleaner — the
+      // r16 full run OOMed the 500K GT scan here ([UNABLE_TO_ACQUIRE_MEMORY]
+      // in a 32-task sort) with exactly those blocks still resident
+      System.gc(); Thread.sleep(700); System.gc()
       if (only.forall(_.contains("ann_hnsw_single_graph"))) {
         val sgN = 500000L
         val sgKey = s"$annKey|hnsw|single$sgN"
@@ -1297,6 +1363,11 @@ object BenchScale {
       // scan sec ∝ N, build assign ∝ N while train is sample-bound
       // (N-independent by the FAISS nlist×256 cap), probe ∝ scanned
       // lists (sub-linear in N at fixed nprobe/nlist). ----
+      // same settle before the 3M section: its exact scan is the largest
+      // execution-memory consumer in the file and must not start with
+      // stale checkpoint/broadcast blocks squeezing the unified pool
+      Pq.releaseBroadcasts()
+      System.gc(); Thread.sleep(700); System.gc()
       if (only.forall(_.exists(_.startsWith("ann3m")))) {
         val n3 = 3000000L
         val key3 = s"annscale_${n3}_lr8"
