@@ -335,12 +335,16 @@ object AnnSql {
     * store's serving flavors): `'contract'` (default) resolves to the
     * routed [[Hnsw.searchRouted]] plan — builds on a cold cache exactly
     * like the Scala call; `'i8'` walks the beam over the quantized
-    * sidecar with exact re-rank, `'auto'` picks per graph by the
-    * measured payload-size crossover ([[graft.ops.Hnsw]]'s
-    * `autoI8Bytes`). The non-contract flavors serve the WARMED graph
+    * sidecar with exact re-rank, `'auto'` picks per graph — by the
+    * measured per-graph ef crossover when [[graft.ops.Hnsw.calibrateWarmed]]
+    * has timed both walks on the graph's own rows (r16), else by the
+    * payload-size byte heuristic ([[graft.ops.Hnsw]]'s `autoI8Bytes`).
+    * The non-contract flavors serve the WARMED graph
     * cache only (a disk-restored store group, or a prior built run
     * under the registered cacheKey) — a cold cache fails loudly at
-    * analysis time instead of silently paying a rebuild.
+    * analysis time instead of silently paying a rebuild, and a PARTIAL
+    * group (fewer resident shards than the router's non-empty cells)
+    * refuses to serve instead of silently dropping probed shards.
     */
   private def buildHnsw(spark: SparkSession, es: Seq[Expression]): LogicalPlan = {
     val fn = "graft_ann_search_hnsw"

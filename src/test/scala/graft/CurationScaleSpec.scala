@@ -197,6 +197,15 @@ class CurationScaleSpec extends AnyFunSuite {
       == 6000)
     val tail = Dedup.semanticBlockTail(assigned, maxCellSize = cap)
     assert(tail <= (cap * 3) / 2, s"guarded block tail $tail > 1.5×cap=$cap")
+    // measured shuffle gate (r16): the guard must never shuffle a vector
+    // per candidate PAIR — the pre-fix pair-then-fetch plan moved
+    // Θ(flood·cap·T) × 1.5 KB rows (50+ GB, disk-full abort at 384d);
+    // the block-join plan's shuffle is Θ(rows·T) vectors + skinny pairs.
+    // At dim 16 this fixture's whole dedup should shuffle well under
+    // 2 GB; the broken shape would exceed it by an order of magnitude.
+    val tally = new graft.tools.ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    val w0 = tally.write.get()
     val res = Dedup.semanticDedupAssigned(assigned, tau = 0.95,
       maxCellSize = cap).cache()
     floods.foreach { case (cell, lo, hi) =>
@@ -213,6 +222,11 @@ class CurationScaleSpec extends AnyFunSuite {
       .head().getLong(0)
     val floodTotal = floods.map(t => t._3 - t._2).sum
     assert(keepAll >= nAll - floodTotal - 10, s"kept $keepAll of $nAll")
+    Thread.sleep(700) // async listener drain
+    val shuffled = tally.write.get() - w0
+    spark.sparkContext.removeSparkListener(tally)
+    assert(shuffled < (2L << 30),
+      s"guarded multi-flood dedup shuffled $shuffled B — vector-per-pair regression?")
     res.unpersist(); assigned.unpersist()
   }
 
