@@ -482,6 +482,72 @@ object SparkEntry {
       Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),
 
+    // C4 INCREMENTAL MAINTENANCE, oracle-pinned (r16): the reference's
+    // index lifecycle is build-then-serve over a frozen file; a
+    // production corpus mutates. This query runs the full maintenance
+    // composition — build the routed group on the OLD corpus slice,
+    // UPSERT the new slice plus a replace batch (Hnsw.upsertWarmed:
+    // tombstone live twin, canonical re-insert), tombstone-DELETE a
+    // broadcast id set (Hnsw.deleteWarmed), persist (store v4 carries
+    // the tombstones), mmap-restore, serve routed — and gates it
+    // against DuckDB, which recomputes ground truth over the LIVE set
+    // (the delete predicate is SQL-expressible by construction), the
+    // recall of the sidecar predictions, the leaked-tombstone count
+    // (must re-derive 0), and the live-corpus cardinality the engine's
+    // tombstone bookkeeping reports (n_live) — a disagreement between
+    // the graph group's liveSize sum and SQL's live count hash-fails
+    // the round. Append/replace/delete semantics are spec-gated
+    // bit-exactly in HnswUpsertSpec.
+    "a16_hnsw_upsert" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val qs = recallQueries(s, dir)
+      val nAll = base.count()
+      val cut = (nAll * 3 / 4).toInt
+      val router = Ivf.buildOrGet(s, base, dir, nlist = 8, ntrain = 2000)
+      val key = s"$dir|hnswupsert"
+      val storeDir =
+        s"target/hnsw_store/${Ivf.cacheDigest(s"$key|m8|efc64|s42|Dot|v4g1")}"
+      if (!new java.io.File(s"$storeDir/MANIFEST").isFile) {
+        Hnsw.searchRouted(base.filter(col("id") < cut), qs,
+          router.centroids, routeProbe = 4, k = 10, Metric.Dot, m = 8,
+          efConstruction = 64, efSearch = 64, cacheKey = key).count()
+        // upsert: the new slice + every 97th old id re-writing its own
+        // vector (replace semantics — tombstone + canonical re-insert);
+        // createMissing: a router cell empty in the old slice may first
+        // materialize here
+        Hnsw.upsertWarmed(
+          base.filter(col("id") >= cut || col("id") % 97 === 5), key,
+          nShards = 8, Metric.Dot, m = 8, efConstruction = 64,
+          centroids = router.centroids, createMissing = true).count()
+        val delIds = base.filter(col("id") % 17 === 3)
+          .select(col("id").cast("long")).collect().map(_.getLong(0))
+        Hnsw.deleteWarmed(s, key, delIds, nShards = 8)
+        Hnsw.saveWarmed(key, storeDir)
+        Hnsw.invalidate(key)
+      }
+      if (!Hnsw.warmed(key)) {
+        val manifestShards = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$storeDir/MANIFEST"))
+          .split('\n').count(_.nonEmpty)
+        val restored = Hnsw.warmFromDisk(key, storeDir, mapped = true)
+        require(restored == manifestShards,
+          s"partial store restore: $restored of $manifestShards shards")
+      }
+      val pred = predSidecar("a16_hnsw_upsert",
+        Hnsw.searchWarm(qs, key, nShards = 8, k = 10, Metric.Dot, m = 8,
+          efConstruction = 64, efSearch = 64,
+          centroids = router.centroids, routeProbe = 4,
+          allowMissing = true))
+      val liveBase = base.filter(col("id") % 17 =!= 3)
+      val gt = Ivf.cachedGroundTruth(s"$dir|a16live", liveBase, qs, 10,
+        Metric.Dot)
+      val leaked = pred.filter(col("id") % 17 === 3).count()
+      val nLive = Hnsw.liveCountWarmed(key)
+      Ivf.recallHits(pred, gt, 10)
+        .select(col("n_hits"), col("n_queries"), col("mean_recall"),
+          lit(leaked).as("leaked_deleted"), lit(nLive).as("n_live"))
+    }),
+
     // C3's in-process serving TIER, oracle-pinned: `Pq.searchLocalIvf4`
     // answers per-query from a JVM-warmed image of the nibble table +
     // full-precision store (Pq4Spec pins the tier identical to the batch
@@ -2000,10 +2066,35 @@ object SparkEntry {
          |  CAST(component AS BIGINT) AS component,
          |  (rn = 1) AS keep
          |FROM ranked ORDER BY vec_id""".stripMargin
+    // a16: recall over the LIVE corpus — ground truth excludes the
+    // deleted ids (the delete predicate is SQL-expressible by
+    // construction), plus two maintenance invariants recomputed
+    // independently: the leaked-tombstone count over the predictions
+    // and the live-corpus cardinality the engine's tombstone
+    // bookkeeping reported (both hash-gated against Spark's values).
+    val a16 = sidecarValues("a16_hnsw_upsert").map { vals =>
+      "a16_hnsw_upsert" ->
+        s"""WITH pred(qid, id) AS (VALUES $vals),
+           |live AS (SELECT vec_id, embedding FROM embeddings
+           |         WHERE vec_id % 17 <> 3),
+           |gt AS (
+           |  SELECT q.vec_id AS qid, b.vec_id AS id
+           |  FROM embeddings q CROSS JOIN live b
+           |  WHERE q.vec_id < 20
+           |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10)
+           |SELECT n_hits, n_queries,
+           |  CAST(n_hits AS DOUBLE) / (10 * n_queries) AS mean_recall,
+           |  (SELECT count(*) FROM pred WHERE id % 17 = 3) AS leaked_deleted,
+           |  (SELECT count(*) FROM live) AS n_live
+           |FROM (SELECT
+           |  (SELECT count(*) FROM pred p JOIN gt g ON p.qid = g.qid AND p.id = g.id) AS n_hits,
+           |  (SELECT count(DISTINCT qid) FROM gt) AS n_queries)""".stripMargin
+    }
     (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall",
       "a8_lsh_recall", "a9_hnsw_recall", "a11_hnsw_routed",
       "a12_pq4_fastscan", "a13_pq4_ivf", "a14_hnsw_store",
       "a15_pq4_serve").flatMap(single)
-      ++ a3 ++ d4 ++ d13 ++ d14 ++ d15 ++ d16).toMap
+      ++ a3 ++ d4 ++ d13 ++ d14 ++ d15 ++ d16 ++ a16).toMap
   }
 }

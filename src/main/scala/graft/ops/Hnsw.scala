@@ -351,6 +351,110 @@ object Hnsw {
     private def rowFloat(i: Int): Float =
       if (flatBB != null) flatBB.getFloat(i * 4) else flat(i)
 
+    // Tombstones (r16 incremental maintenance): deleted nodes stay IN
+    // the graph — hnswlib's markDelete semantics — because removing a
+    // node's edges would sever the paths that route THROUGH it (graph
+    // connectivity is why HNSW works; a deleted hub's neighbors must
+    // stay mutually reachable). The beam walks tombstoned nodes like any
+    // other; only RESULT emission filters them ([[search]]/[[searchI8]]
+    // widen ef and retry when tombstones crowd live results out of the
+    // beam). Tombstone growth is bounded by [[compacted]] — a canonical
+    // id-sorted rebuild from the live rows.
+    private var del: java.util.BitSet = null
+    private var nDel = 0
+    // lazy external-id → internal-index map for delete()/upsert; built on
+    // first use, maintained by insert once built. Later inserts of the
+    // same external id overwrite earlier entries, so the map always
+    // points at the NEWEST node for an id (the upsert contract tombstones
+    // the older twin first, making the older entry unreachable anyway).
+    private var idIdx: java.util.HashMap[java.lang.Long, Integer] = null
+
+    /** Number of live (non-tombstoned) nodes. */
+    def liveSize: Int = n - nDel
+
+    /** Number of tombstoned nodes still occupying graph slots. */
+    def deletedCount: Int = nDel
+
+    private def isDel(i: Int): Boolean = del != null && del.get(i)
+
+    /** Spec/diagnostic view of one node's tombstone bit. */
+    private[graft] def deletedNode(i: Int): Boolean = isDel(i)
+
+    private def lookup(): java.util.HashMap[java.lang.Long, Integer] = {
+      if (idIdx == null) {
+        val m0 = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+        var i = 0
+        while (i < n) {
+          // insertion order: the newest node for a duplicated id wins
+          if (!isDel(i)) m0.put(ids(i), i)
+          i += 1
+        }
+        idIdx = m0
+      }
+      idIdx
+    }
+
+    /** Tombstone the live node carrying external id `id`. Returns whether
+      * a live node was found (deleting an absent or already-deleted id is
+      * a no-op, not an error — distributed deletes broadcast the id set
+      * to every shard and only the owner finds it).
+      */
+    def delete(id: Long): Boolean = synchronized {
+      val x = lookup().get(id)
+      if (x == null) false
+      else {
+        val i = x.intValue()
+        if (isDel(i)) false
+        else {
+          if (del == null) del = new java.util.BitSet(n)
+          del.set(i)
+          nDel += 1
+          idIdx.remove(id)
+          true
+        }
+      }
+    }
+
+    /** Whether external id `id` is present and live. */
+    def containsLive(id: Long): Boolean = lookup().containsKey(id)
+
+    /** Live (id, vector) rows — the input of a compacting rebuild. Heap
+      * and mapped graphs both supported (mapped reads go through the BB
+      * payload); rows materialize on the heap, so this is a per-shard
+      * cost, never a corpus-wide one.
+      */
+    private[graft] def liveRows: Array[(Long, Array[Float])] = {
+      val out = new Array[(Long, Array[Float])](liveSize)
+      var i = 0
+      var w = 0
+      while (i < n) {
+        if (!isDel(i)) {
+          val len = lens(i)
+          val v = new Array[Float](len)
+          var j = 0
+          while (j < len) { v(j) = rowFloat(offs(i) + j); j += 1 }
+          out(w) = (ids(i), v)
+          w += 1
+        }
+        i += 1
+      }
+      out
+    }
+
+    /** Canonical compacting rebuild: a NEW graph built from this one's
+      * live rows in id-sorted order — the same deterministic build path
+      * a from-scratch construction takes, so the result is bit-identical
+      * to building on the live set directly (HnswSpec gates it). Bounds
+      * tombstone growth under sustained upsert/delete churn; the i8
+      * sidecar does NOT carry over (re-run [[quantizeStore]] — codes of
+      * dead rows would be wrong to reuse).
+      */
+    def compacted(): ShardGraph = {
+      val rows = liveRows
+      java.util.Arrays.sort(rows, Ordering.by((t: (Long, Array[Float])) => t._1))
+      Hnsw.buildShard(rows, m, efC, seed, metric)
+    }
+
     /** Whether the i8 serve sidecar exists ([[quantizeStore]] ran, or a
       * v2 store carried it).
       */
@@ -556,7 +660,9 @@ object Hnsw {
       // byte rows per kernel call (the per-row kernel measured only ~12 %
       // under contract at 200K because it had no memory-level
       // parallelism — the tile is where the 4×-fewer-bytes win lives).
-      val ef = math.max(efSearch, k)
+      var ef = math.max(efSearch, k)
+      var out: Array[(Long, Double)] = null
+      while (out == null) {
       s.reset(n)
       val csr = l0adj != null
       val adj = l0adj; val off = l0off
@@ -634,19 +740,27 @@ object Hnsw {
         }
       }
       val cnt = s.rSortAsc()
-      // exact re-rank of the ef survivors under the contract kernel:
-      // ef full-precision evals per query — cheap insurance that returns
-      // exact scores and absorbs in-beam quantization rank noise
+      // exact re-rank of the LIVE ef survivors under the contract
+      // kernel: ≤ ef full-precision evals per query — cheap insurance
+      // that returns exact scores and absorbs in-beam quantization rank
+      // noise. Tombstoned survivors drop here; if that leaves fewer
+      // than k while the beam was full (more reachable nodes existed
+      // past the ef horizon), retry wider — same policy as [[search]].
       val rer = new Array[(Long, Double)](cnt)
       var j = 0
+      var w = 0
       while (j < cnt) {
         val x = s.ri(j)
-        rer(j) = (ids(x), score(dist(q, x)))
+        if (!isDel(x)) { rer(w) = (ids(x), score(dist(q, x))); w += 1 }
         j += 1
       }
-      rer.sortBy { case (id, sc) =>
-        (if (metric.larger) -sc else sc, id)
-      }.take(math.min(k, cnt))
+      if (nDel == 0 || w >= k || cnt < ef || ef >= n)
+        out = java.util.Arrays.copyOf(rer, w).sortBy { case (id, sc) =>
+          (if (metric.larger) -sc else sc, id)
+        }.take(math.min(k, w))
+      else ef = math.min(ef * 2, n)
+      }
+      out
     }
 
     /** Serialize this graph to `file`: a header (construction params +
@@ -666,8 +780,10 @@ object Hnsw {
       * (r15's looped reads); the checksums close the remaining hole — a
       * bit-flip INSIDE a region deserialized silently, and the store is
       * the one artifact read without any oracle behind it now that the
-      * mapped posture is the serving default. v1/v2 stores stay
-      * readable (no checksum to verify).
+      * mapped posture is the serving default. Store v4 (r16
+      * maintenance): tombstones persist inside the CRC-covered header
+      * (count + deleted internal indices), so a maintained group
+      * restores with its deletes intact. v1–v3 stores stay readable.
       */
     def writeStore(file: String): Unit = {
       require(flatBB == null, "writeStore from a mapped graph is redundant" +
@@ -699,6 +815,18 @@ object Hnsw {
       // off-heap exactly like the payload
       val hasI8 = i8codes != null
       out.writeBoolean(hasI8)
+      // v4: tombstones persist with the graph (count + deleted internal
+      // indices, ascending) — a maintained store restores with its
+      // deletes intact; the section sits inside the header, so the v3
+      // CRC machinery covers it unchanged
+      out.writeInt(nDel)
+      if (nDel > 0) {
+        var di = del.nextSetBit(0)
+        while (di >= 0) {
+          out.writeInt(di)
+          di = del.nextSetBit(di + 1)
+        }
+      }
       out.flush()
       val hdr = head.toByteArray
       val hdrCrc = new java.util.zip.CRC32C
@@ -749,7 +877,7 @@ object Hnsw {
         }
         val prefix = java.nio.ByteBuffer.allocate(20)
         prefix.putInt(0x47465448) // "GFTH"
-        prefix.putInt(3)
+        prefix.putInt(4)
         prefix.putInt(hdr.length)
         prefix.putInt(hdrCrc.getValue.toInt)
         prefix.putInt(payCrc.getValue.toInt)
@@ -798,6 +926,15 @@ object Hnsw {
       }
       flatLen = in.readInt()
       val hasI8 = version >= 2 && in.readBoolean()
+      if (version >= 4) {
+        val nd = in.readInt()
+        if (nd > 0) {
+          del = new java.util.BitSet(n)
+          var di = 0
+          while (di < nd) { del.set(in.readInt()); di += 1 }
+          nDel = nd
+        }
+      }
       // lazily sized: a mapped restore reads at most the small
       // scale/cnorm2 regions (or nothing, v1) — an unconditional 1 MB
       // direct buffer × a 1024-shard parallel warm is ~1 GB of direct
@@ -1260,6 +1397,31 @@ object Hnsw {
       else if (vec.length != dimU) uniform = false
       links(idx) = Array.fill(lvl + 1)(Array.emptyIntArray)
       n += 1
+      // maintenance bookkeeping (no-ops on the build path): keep the
+      // id lookup current once built, and extend the i8 serve sidecar
+      // in place so a quantized group stays servable across upserts
+      // without an n·dim re-quantize (same per-row kernels as
+      // quantizeStore — v4-pinned semantics)
+      if (idIdx != null) idIdx.put(id, idx)
+      if (i8codes != null) {
+        if (i8codes.length < flatLen)
+          i8codes = java.util.Arrays.copyOf(i8codes,
+            math.max(flat.length, flatLen))
+        if (i8scale.length < n) {
+          i8scale = java.util.Arrays.copyOf(i8scale, cap)
+          i8cnorm2 = java.util.Arrays.copyOf(i8cnorm2, cap)
+        }
+        val sI8 = VectorKernels.i8Scale(vec)
+        val cI8 = VectorKernels.i8Codes(vec, sI8)
+        System.arraycopy(cI8, 0, i8codes, offs(idx), vec.length)
+        var c2 = 0f
+        var ci = 0
+        while (ci < cI8.length) {
+          val v = cI8(ci).toFloat; c2 += v * v; ci += 1
+        }
+        i8scale(idx) = sI8
+        i8cnorm2(idx) = c2
+      }
       if (entry < 0) { entry = idx; return }
       val s = scratchTL.get()
       val topL = levels(entry)
@@ -1343,18 +1505,34 @@ object Hnsw {
     def search(q: Array[Float], k: Int, efSearch: Int,
                facc: Boolean = false): Array[(Long, Double)] = {
       if (n == 0) return Array.empty
-      val s = scratchTL.get()
-      var ep = entry
-      var lc = levels(entry)
-      while (lc > 0) { ep = greedy(q, ep, lc, facc); lc -= 1 }
-      val cnt = searchLayer(q, ep, math.max(efSearch, k), 0, s, facc)
-      val out = new Array[(Long, Double)](math.min(k, cnt))
-      var j = 0
-      while (j < out.length) {
-        out(j) = (ids(s.ri(j)), score(s.rd(j)))
-        j += 1
+      var ef = math.max(efSearch, k)
+      while (true) {
+        val s = scratchTL.get()
+        var ep = entry
+        var lc = levels(entry)
+        while (lc > 0) { ep = greedy(q, ep, lc, facc); lc -= 1 }
+        val cnt = searchLayer(q, ep, ef, 0, s, facc)
+        // emit the k best LIVE results. With zero tombstones this is the
+        // first min(k, cnt) beam entries — the historical path, bit-
+        // identical. With tombstones, beam slots they occupied are
+        // skipped; if live results run short while the beam was FULL
+        // (cnt == ef — more reachable nodes existed past the ef horizon),
+        // the walk retries at 2× ef until satisfied, the beam exhausts
+        // the component, or ef reaches the whole graph.
+        val out = new Array[(Long, Double)](math.min(k, cnt))
+        var j = 0
+        var w = 0
+        while (j < cnt && w < k) {
+          val x = s.ri(j)
+          if (!isDel(x)) { out(w) = (ids(x), score(s.rd(j))); w += 1 }
+          j += 1
+        }
+        if (nDel == 0 || w == k || cnt < ef || ef >= n)
+          return if (w == out.length) out
+                 else java.util.Arrays.copyOf(out, w)
+        ef = math.min(ef * 2, n)
       }
-      out
+      throw new IllegalStateException("unreachable")
     }
   }
 
@@ -1395,7 +1573,7 @@ object Hnsw {
       prefix.flip()
       require(prefix.getInt() == 0x47465448, s"$file: not a graft graph store")
       val version = prefix.getInt()
-      require(version >= 1 && version <= 3,
+      require(version >= 1 && version <= 4,
         s"$file: unknown graph store version $version")
       val hdrLen = prefix.getInt()
       // v3: the prefix carries CRC32C over the header and payload regions
@@ -1664,6 +1842,178 @@ object Hnsw {
     */
   def warmedCount(cacheKey: String): Int =
     shardGroupIfPresent(cacheKey).map(_.size).getOrElse(0)
+
+  /** Live (non-tombstoned) node count across `cacheKey`'s warmed shards —
+    * the engine-side corpus cardinality a maintenance oracle compares
+    * against the source-of-truth live set (a16 gates the agreement).
+    */
+  def liveCountWarmed(cacheKey: String): Long = {
+    var total = 0L
+    shardGroupIfPresent(cacheKey).foreach(_.forEach((_, g) =>
+      total += g.liveSize))
+    total
+  }
+
+  /** Every warmed graph under `cacheKey` whose key routes to `shard`
+    * (key layout `cacheKey|shard|dim|...` — one graph per (shard, dim)
+    * in practice; uniform-dim corpora have exactly one).
+    */
+  private def shardGraphsByPrefix(cacheKey: String,
+                                  shard: Int): Seq[ShardGraph] =
+    shardGroupIfPresent(cacheKey).map { group =>
+      val b = Vector.newBuilder[ShardGraph]
+      val p = s"$cacheKey|$shard|"
+      group.forEach((k, g) => if (k.startsWith(p)) b += g)
+      b.result()
+    }.getOrElse(Vector.empty)
+
+  /** Incremental UPSERT into a warmed shard group — the index-maintenance
+    * half the reference's build-then-serve lifecycle lacks (its corpus is
+    * a frozen file; a production corpus is not). Rows route to shards with
+    * the SAME router the group was built under (centroid router when
+    * `centroids` is given — [[searchRouted]]'s — else the hash router),
+    * shuffle once on the shard key, and each task mutates its executor-
+    * cached graph in place: ids that already exist live are TOMBSTONED
+    * first (replace semantics, newest write wins), then the batch inserts
+    * in id order through the same Algorithm-1 path the build uses — so an
+    * APPEND-ONLY batch (every id above the graph's ceiling) leaves the
+    * graph BIT-IDENTICAL to a from-scratch rebuild on the union
+    * (HnswSpec gates it; out-of-order ids yield a valid but
+    * non-canonical graph, recall-gated, canonicalizable via
+    * [[compactWarmed]]). A quantized group stays servable: inserts extend
+    * the i8 sidecar row-wise. Mapped groups refuse (read-only payload) —
+    * restore `mapped = false`, maintain, [[saveWarmed]], re-map.
+    *
+    * Serving and maintenance are PHASE-SEPARATED by the caller (the
+    * store generation machinery exists for exactly this): searches
+    * concurrent with an in-flight upsert batch see a half-applied batch.
+    *
+    * `createMissing = true` permits a batch landing on a router cell
+    * that had no base rows at build time (hence no graph) to seed a
+    * fresh graph; the default is the loud-miss contract — a missing
+    * graph usually means the warm step never ran or the group was
+    * evicted, and silently building from just the batch would serve a
+    * sliver of the corpus as if it were all of it.
+    *
+    * Returns one row per touched shard:
+    * (shard, n_upserts, n_replaced, n_live).
+    */
+  def upsertWarmed(rows: DataFrame, cacheKey: String, nShards: Int,
+                   metric: Metric = Metric.Dot, m: Int = 16,
+                   efConstruction: Int = 100, seed: Long = 42L,
+                   centroids: Array[Array[Float]] = null,
+                   idCol: String = "id", vecCol: String = "vec",
+                   createMissing: Boolean = false): DataFrame = {
+    require(cacheKey.nonEmpty,
+      "upsertWarmed needs the cacheKey the graphs were built under")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val shardExpr =
+      if (centroids != null) Ivf.nearestCentroid(col(vecCol), centroids)
+      else pmod(xxhash64(col(idCol)), lit(nShards.toLong)).cast("int")
+    val efC = efConstruction
+    rows.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        shardExpr.as("shard"))
+      .as[(Long, Array[Float], Int)]
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .mapPartitions { it =>
+        val out = collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+        val buf = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        var cur = Int.MinValue
+        def flush(): Unit = if (buf.nonEmpty) {
+          val batch = buf.toArray
+          buf.clear()
+          val key = s"$cacheKey|$cur|${batch(0)._2.length}|$m|$efC|$seed|$metric"
+          val group = shardGroupIfPresent(cacheKey).getOrElse(
+            throw new IllegalStateException(
+              s"no warmed hnsw graphs under '$cacheKey' — build or " +
+                "warmFromDisk the group before upserting into it"))
+          val existing = group.get(key)
+          if (existing == null) {
+            require(createMissing,
+              s"no warmed hnsw graph for shard $cur under '$cacheKey' — " +
+                "a maintenance batch must land on the group it maintains " +
+                "(createMissing=true seeds a legitimately empty router cell)")
+            val g = group.computeIfAbsent(key,
+              _ => buildShard(batch, m, efC, seed, metric))
+            out += ((cur, batch.length.toLong, 0L, g.liveSize.toLong))
+          } else existing.synchronized {
+            var replaced = 0L
+            batch.foreach { case (id, vec) =>
+              if (existing.delete(id)) replaced += 1
+              existing.insert(id, vec)
+            }
+            existing.freeze() // re-trim + rebuild the serve CSR
+            out += ((cur, batch.length.toLong, replaced,
+              existing.liveSize.toLong))
+          }
+        }
+        it.foreach { case (id, vec, shard) =>
+          if (shard != cur) { flush(); cur = shard }
+          buf += ((id, vec))
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("shard", "n_upserts", "n_replaced", "n_live")
+  }
+
+  /** Tombstone `delIds` across `cacheKey`'s warmed shards (one task per
+    * shard, the id set broadcast — ids carry no shard hint, and a hash-
+    * map miss per non-owner shard is cheaper than routing vectors
+    * around). Deleted nodes stay in the graph as connectivity (hnswlib's
+    * markDelete) and stop being emitted; [[saveWarmed]] persists the
+    * tombstones (store v4) and [[compactWarmed]] reclaims them. Returns
+    * the number of ids that were found live and tombstoned.
+    */
+  def deleteWarmed(spark: SparkSession, cacheKey: String,
+                   delIds: Array[Long], nShards: Int): Long = {
+    require(cacheKey.nonEmpty,
+      "deleteWarmed needs the cacheKey the graphs were built under")
+    val bc = spark.sparkContext.broadcast(delIds)
+    import spark.implicits._
+    dispatchShards(spark, 0 until nShards)
+      .mapPartitions { it =>
+        var cnt = 0L
+        it.foreach { shard =>
+          shardGraphsByPrefix(cacheKey, shard).foreach { g =>
+            bc.value.foreach { id => if (g.delete(id)) cnt += 1 }
+          }
+        }
+        Iterator.single(cnt)
+      }
+      .reduce(_ + _)
+  }
+
+  /** Compact every warmed shard under `cacheKey` whose tombstone
+    * fraction is at least `minDeletedFraction` (and non-zero): each
+    * rebuilds from its live rows through the canonical id-sorted build
+    * — bit-identical to a from-scratch graph on the live set — and
+    * replaces the old graph in the cache. Re-run [[quantizeWarmed]]
+    * afterwards if the group serves the i8 flavor (dead rows' codes
+    * don't carry over). Returns the number of shards compacted.
+    */
+  def compactWarmed(cacheKey: String,
+                    minDeletedFraction: Double = 0.0): Int = {
+    val group = shardGroupIfPresent(cacheKey).getOrElse(
+      throw new IllegalStateException(
+        s"no warmed hnsw graphs under '$cacheKey' to compact"))
+    val picked = {
+      val b = Vector.newBuilder[(String, ShardGraph)]
+      group.forEach((k, g) =>
+        if (g.deletedCount > 0 &&
+            g.deletedCount >= minDeletedFraction * g.size) b += ((k, g)))
+      b.result()
+    }
+    // independent rebuilds — parallel across shards, like saveWarmed
+    java.util.stream.IntStream.range(0, picked.length).parallel()
+      .forEach { (i: Int) =>
+        group.put(picked(i)._1, picked(i)._2.compacted())
+        ()
+      }
+    picked.length
+  }
 
   private[graft] def cacheSize: Int = graphCache.synchronized {
     var n = 0

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.Ivf
+import graft.ops.{Hnsw, Ivf, Metric}
 
 /** Incremental IVF index maintenance — the online half of index DDL.
   * Additive surface (the reference has no streaming, SURVEY §2.9; its
@@ -45,6 +45,38 @@ object IndexStream {
       .partitionBy("cluster_id")
       .format("parquet")
       .option("path", tablePath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Continuous UPSERT into a warmed HNSW shard group — the graph-index
+    * twin of [[appendStream]] (r16; see [[graft.ops.Hnsw.upsertWarmed]]
+    * for routing/replace semantics and the append-only == rebuild
+    * guarantee). Each micro-batch shuffles once on the shard key and
+    * mutates the executor-cached graphs in place; the group must be
+    * warmed BEFORE the stream starts (loud-miss contract).
+    *
+    * Replay semantics: the checkpoint gives at-least-once batch
+    * delivery into a non-transactional sink, and an upsert replay is
+    * SEMANTICALLY idempotent — the replayed ids tombstone their live
+    * twins and re-insert, so the live (id → vector) map is unchanged —
+    * but each replay leaves tombstones ([[graft.ops.Hnsw.compactWarmed]]
+    * reclaims them, restoring the canonical graph). Persist with
+    * [[graft.ops.Hnsw.saveWarmed]] on the caller's checkpoint cadence.
+    */
+  def upsertHnswStream(vectors: DataFrame, cacheKey: String, nShards: Int,
+                       checkpoint: String,
+                       metric: Metric = Metric.Dot, m: Int = 16,
+                       efConstruction: Int = 100, seed: Long = 42L,
+                       centroids: Array[Array[Float]] = null,
+                       createMissing: Boolean = false): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Hnsw.upsertWarmed(batch, cacheKey, nShards, metric, m,
+          efConstruction, seed, centroids,
+          createMissing = createMissing).count()
+        ()
+      }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()

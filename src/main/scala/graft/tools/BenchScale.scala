@@ -1356,6 +1356,91 @@ object BenchScale {
       }
       listSizes.unpersist()
 
+      // ---- INCREMENTAL MAINTENANCE row (r16): the index-lifecycle cost
+      // a 100 TB deployment pays continuously — upsert a 10 % batch into
+      // a warmed routed group, tombstone-delete ~5 %, serve through the
+      // tombstones, then compact back to the canonical graphs (per-shard
+      // parallel rebuilds). 200K×384d over 16 shards: big enough that
+      // per-shard insert cost is the real signal, small enough that the
+      // row doesn't dominate the artifact. The PRE-maintenance group is
+      // store-cached across runs (build-once like the single-graph row);
+      // maintenance itself re-runs every time — it IS the measurement.
+      if (only.forall(_.contains("ann_hnsw_upsert"))) {
+        System.gc(); Thread.sleep(300)
+        val mN = 200000L
+        val mShards = 16
+        val mKey = s"$annKey|hnsw|maint$mN"
+        val mStore = s"target/scale_hnsw_maint_store_${mN}_${hM}_${hEfc}_42_g1"
+        Hnsw.invalidate(mKey)
+        val mBase = base.filter(col("id") < mN)
+        val tB = System.nanoTime()
+        val mCached = new java.io.File(s"$mStore/MANIFEST").isFile
+        if (mCached) Hnsw.warmFromDisk(mKey, mStore) // heap: inserts mutate
+        else {
+          Hnsw.search(mBase, queries, k, Metric.Dot, m = hM,
+            efConstruction = hEfc, efSearch = 64, nShards = mShards,
+            cacheKey = mKey).count()
+          Hnsw.saveWarmed(mKey, mStore)
+        }
+        val mWarmSec = (System.nanoTime() - tB) / 1e9
+        // upsert 20K fresh rows (ids above the corpus — append-only per
+        // shard, so the mutated graphs stay canonical) + replace 1K
+        val upRows = base.filter(
+          (col("id") >= mN && col("id") < mN + 19000L) ||
+            (col("id") < mN && col("id") % 200 === 7))
+        val nUp = upRows.count()
+        val tU = System.nanoTime()
+        val upStats = Hnsw.upsertWarmed(upRows, mKey, nShards = mShards,
+          Metric.Dot, m = hM, efConstruction = hEfc).collect()
+        val upSec = (System.nanoTime() - tU) / 1e9
+        require(upStats.map(_.getLong(1)).sum == nUp, "upsert count off")
+        // tombstone-delete ~5 % of the maintained corpus
+        val delIds = (0L until mN + 19000L).filter(_ % 21 == 5).toArray
+        val tD = System.nanoTime()
+        val nDel = Hnsw.deleteWarmed(spark, mKey, delIds, mShards)
+        val delSec = (System.nanoTime() - tD) / 1e9
+        val nLive = Hnsw.liveCountWarmed(mKey)
+        // serve THROUGH the tombstones (ef widening pays here), then
+        // compact and serve the canonical graphs
+        val serveQs = base.filter(col("id") >= 300000L && col("id") < 300256L)
+          .orderBy("id").select(col("vec")).collect()
+          .map(_.getSeq[Float](0).toArray)
+        def p50Of(tag: String): Double = {
+          serveQs.take(32).foreach { qv =>
+            Hnsw.searchLocal(qv, mKey, mShards, k, Metric.Dot, hM, hEfc, 64)
+          }
+          val lat = serveQs.map { qv =>
+            val t0 = System.nanoTime()
+            val got = Hnsw.searchLocal(qv, mKey, mShards, k, Metric.Dot,
+              hM, hEfc, 64)
+            require(got.length == k && !got.exists(_._1 % 21 == 5),
+              s"$tag: short or tombstone-leaking serve")
+            (System.nanoTime() - t0) / 1e3
+          }
+          java.util.Arrays.sort(lat)
+          lat(lat.length / 2)
+        }
+        val p50Maint = p50Of("maintained")
+        val tC = System.nanoTime()
+        val nCompacted = Hnsw.compactWarmed(mKey)
+        val compactSec = (System.nanoTime() - tC) / 1e9
+        val p50Compact = p50Of("compacted")
+        annResults("ann_hnsw_upsert") = Map(
+          "n_vec" -> mN.toDouble, "n_shards" -> mShards.toDouble,
+          "warm_sec" -> mWarmSec,
+          "cached" -> (if (mCached) 1.0 else 0.0),
+          "upsert_rows" -> nUp.toDouble, "upsert_sec" -> upSec,
+          "upsert_rows_per_sec" -> nUp / upSec,
+          "n_deleted" -> nDel.toDouble, "delete_sec" -> delSec,
+          "n_live" -> nLive.toDouble,
+          "p50_us_maintained" -> p50Maint,
+          "compact_sec" -> compactSec,
+          "shards_compacted" -> nCompacted.toDouble,
+          "p50_us_compacted" -> p50Compact)
+        println(f"[scale] ann_hnsw_upsert       ${nUp / upSec}%8.0f rows/s upsert ($upSec%.1f s)  del=$delSec%.2f s  compact=$compactSec%.1f s  p50 maint=$p50Maint%.0f us / compacted=$p50Compact%.0f us")
+        Hnsw.invalidate(mKey)
+      }
+
       // ---- 3M-class scale point (r11, verdict task #7): the reference's
       // largest corpus is 2.9M×384 (`Performance.md:61-63`). One exact
       // scan, one build (train + assign_write phases), one probe at 3×

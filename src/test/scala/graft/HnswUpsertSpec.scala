@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.ops.{Hnsw, Metric, Search}
+import graft.tools.SyntheticVectors
+
+/** Gates for incremental HNSW maintenance (r16): upsert into warmed
+  * groups, tombstone deletes, the v4 store round-trip, and compaction.
+  * The reference's index lifecycle is build-then-serve over a frozen
+  * file (`/root/reference/apps/nvdb_hnsw_build.cpp:38-49`); a production
+  * corpus mutates, so the maintenance surface is additive — but its
+  * SEMANTICS are pinned exactly: append-only upserts must equal the
+  * canonical from-scratch build bit-for-bit, deletes must never leak a
+  * tombstoned id, and compaction must equal the canonical build on the
+  * live set.
+  */
+class HnswUpsertSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  /** Task failures surface wrapped (SparkException → cause chain); the
+    * gate is on the ORIGINAL message, wherever it sits in the chain.
+    */
+  private def msgChain(ex: Throwable): String = {
+    val sb = new StringBuilder
+    var t: Throwable = ex
+    while (t != null) { sb.append(t.getMessage).append('\n'); t = t.getCause }
+    sb.toString
+  }
+
+  private def rows(n: Int, dim: Int = 32): Array[(Long, Array[Float])] =
+    SyntheticVectors.lowRankFast(spark, n, dim, intrinsic = 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Deep structural equality: same nodes in the same internal order,
+    * same levels, same adjacency at every layer — the strongest form of
+    * "incremental insert took the same path the build would have".
+    */
+  private def assertGraphIdentical(a: graft.ops.Hnsw.ShardGraph,
+                                   b: graft.ops.Hnsw.ShardGraph): Unit = {
+    assert(a.size == b.size, s"node counts differ: ${a.size} vs ${b.size}")
+    assert(a.externalIds.toSeq == b.externalIds.toSeq, "id order differs")
+    var i = 0
+    while (i < a.size) {
+      assert(a.levelOfNode(i) == b.levelOfNode(i), s"level differs at $i")
+      var l = 0
+      while (l <= a.levelOfNode(i)) {
+        assert(a.neighbors(i, l).toSeq == b.neighbors(i, l).toSeq,
+          s"adjacency differs at node $i layer $l")
+        l += 1
+      }
+      i += 1
+    }
+  }
+
+  test("append-only upsert is bit-identical to the from-scratch build") {
+    val all = rows(500)
+    val (old, fresh) = all.splitAt(350)
+    val inc = Hnsw.probeBuild(old, m = 8, efC = 64, seed = 42L, Metric.Dot)
+    fresh.foreach { case (id, v) => inc.insert(id, v) }
+    inc.freeze()
+    val full = Hnsw.probeBuild(all, m = 8, efC = 64, seed = 42L, Metric.Dot)
+    assertGraphIdentical(inc, full)
+    val q = all(7)._2
+    assert(inc.search(q, 10, 64).toSeq == full.search(q, 10, 64).toSeq)
+  }
+
+  test("deletes never leak, results stay full-k via ef widening") {
+    val all = rows(500)
+    val g = Hnsw.probeBuild(all, m = 8, efC = 64, seed = 42L, Metric.Dot)
+    g.quantizeStore()
+    val q = all(3)._2
+    // tombstone the ENTIRE pre-delete top-10 — the hardest filter case:
+    // every beam slot the walk would emit is dead, so only the ef-retry
+    // loop can refill the result set
+    val top = g.search(q, 10, 64).map(_._1)
+    top.foreach { id => assert(g.delete(id), s"delete($id) found nothing") }
+    assert(g.deletedCount == 10 && g.liveSize == 490)
+    // idempotent: a second delete of the same id is a no-op, not a recount
+    assert(!g.delete(top.head))
+    assert(g.deletedCount == 10)
+    val after = g.search(q, 10, 64)
+    assert(after.length == 10, s"only ${after.length} live results")
+    assert(after.map(_._1).toSet.intersect(top.toSet).isEmpty,
+      "a tombstoned id was emitted")
+    // exactness of the refilled set: must match the brute-force top-10
+    // over the live rows with high overlap (tiny graph, near-exact walk)
+    val live = all.filterNot(r => top.contains(r._1))
+    val want = live.map { case (id, v) =>
+      (id, graft.functions.expressions.VectorKernels.dot(q, v))
+    }.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val overlap = after.map(_._1).count(want.contains)
+    assert(overlap >= 8, s"live recall after delete: $overlap/10")
+    // the i8 flavor obeys the same tombstone contract
+    val after8 = g.searchI8(q, 10, 64)
+    assert(after8.length == 10)
+    assert(after8.map(_._1).toSet.intersect(top.toSet).isEmpty,
+      "searchI8 emitted a tombstoned id")
+  }
+
+  test("upsert-replace: tombstone old twin, newest write wins") {
+    val all = rows(300)
+    val g = Hnsw.probeBuild(all, m = 8, efC = 64, seed = 42L, Metric.Dot)
+    val q = all(11)._2
+    val victim = all(250)._1
+    assert(g.delete(victim))
+    g.insert(victim, q.clone()) // re-point the id at the query itself
+    g.freeze()
+    assert(g.containsLive(victim))
+    assert(g.liveSize == 300 && g.deletedCount == 1)
+    val top = g.search(q, 3, 64)
+    assert(top.map(_._1).contains(victim),
+      s"replaced vector not served: ${top.toSeq}")
+  }
+
+  test("store v4 round-trips tombstones (heap + mapped), i8 included") {
+    val all = rows(400)
+    val g = Hnsw.probeBuild(all, m = 8, efC = 64, seed = 42L, Metric.Dot)
+    g.quantizeStore()
+    val q = all(5)._2
+    val dead = g.search(q, 5, 64).map(_._1)
+    dead.foreach(g.delete)
+    val want = g.search(q, 10, 64).toSeq
+    val want8 = g.searchI8(q, 10, 64).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_v4").toString
+    g.writeStore(s"$tmp/g.graph")
+    for (mapped <- Seq(false, true)) {
+      val r = Hnsw.readStore(s"$tmp/g.graph", mapped = mapped)
+      assert(r.deletedCount == dead.length, s"mapped=$mapped lost tombstones")
+      assert(r.liveSize == all.length - dead.length)
+      assert(r.search(q, 10, 64).toSeq == want, s"mapped=$mapped diverged")
+      assert(r.searchI8(q, 10, 64).toSeq == want8,
+        s"mapped=$mapped i8 flavor diverged")
+      assert(r.search(q, 10, 64).map(_._1).toSet
+        .intersect(dead.toSet).isEmpty)
+    }
+  }
+
+  test("compaction equals the canonical build on the live set") {
+    val all = rows(400)
+    val g = Hnsw.probeBuild(all, m = 8, efC = 64, seed = 42L, Metric.Dot)
+    val dead = all.filter(_._1 % 7 == 3).map(_._1)
+    dead.foreach(g.delete)
+    val c = g.compacted()
+    assert(c.deletedCount == 0 && c.liveSize == all.length - dead.length)
+    val live = all.filterNot(r => dead.contains(r._1))
+    val canon = Hnsw.probeBuild(live, m = 8, efC = 64, seed = 42L, Metric.Dot)
+    assertGraphIdentical(c, canon)
+  }
+
+  test("group upsert+delete: warm serving equals a cold build on the final corpus") {
+    import spark.implicits._
+    val all = rows(500)
+    val (old, fresh) = all.splitAt(375)
+    val toDF = (rs: Array[(Long, Array[Float])]) =>
+      spark.createDataset(rs.toIndexedSeq).toDF("id", "vec")
+    val qs = spark.createDataset(all.take(8).toIndexedSeq).toDF("qid", "qvec")
+    val key = "upsertspec_group"
+    Hnsw.invalidate(key)
+    // build on the old rows, then maintain the warmed group
+    Hnsw.search(toDF(old), qs, k = 10, Metric.Dot, m = 8,
+      efConstruction = 64, efSearch = 64, nShards = 4, cacheKey = key).count()
+    val stats = Hnsw.upsertWarmed(toDF(fresh), key, nShards = 4,
+      Metric.Dot, m = 8, efConstruction = 64).collect()
+    assert(stats.map(_.getLong(1)).sum == fresh.length, "upsert count off")
+    assert(stats.forall(_.getLong(2) == 0L), "append-only batch replaced rows")
+    val delIds = all.filter(_._1 % 9 == 4).map(_._1)
+    val deleted = Hnsw.deleteWarmed(spark, key, delIds, nShards = 4)
+    assert(deleted == delIds.length, s"deleted $deleted of ${delIds.length}")
+    assert(Hnsw.liveCountWarmed(key) == all.length - delIds.length)
+    val warm = Hnsw.searchWarm(qs, key, nShards = 4, k = 10, Metric.Dot,
+      m = 8, efConstruction = 64, efSearch = 64)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(warm.forall { case (_, id, _) => !delIds.contains(id) },
+      "warm serving leaked a tombstoned id")
+    // per-shard append-only (fresh ids all above old ids) → each graph is
+    // bit-identical to the cold build's, so a cold hash-sharded search
+    // over (union minus deletes) must match only UP TO the deletes'
+    // effect on the walk; the exact-equality anchor is compaction:
+    Hnsw.compactWarmed(key)
+    assert(Hnsw.liveCountWarmed(key) == all.length - delIds.length)
+    val compacted = Hnsw.searchWarm(qs, key, nShards = 4, k = 10, Metric.Dot,
+      m = 8, efConstruction = 64, efSearch = 64)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val liveDF = toDF(all.filterNot(r => delIds.contains(r._1)))
+    val cold = Hnsw.search(liveDF, qs, k = 10, Metric.Dot, m = 8,
+      efConstruction = 64, efSearch = 64, nShards = 4)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(compacted == cold,
+      "compacted warm group diverged from the cold build on the live corpus")
+    Hnsw.invalidate(key)
+  }
+
+  test("maintenance misses are loud; createMissing seeds an empty cell") {
+    import spark.implicits._
+    val all = rows(200)
+    val toDF = (rs: Array[(Long, Array[Float])]) =>
+      spark.createDataset(rs.toIndexedSeq).toDF("id", "vec")
+    // unknown group: loud
+    val ex = intercept[Exception](
+      Hnsw.upsertWarmed(toDF(all), "upsertspec_nogroup", nShards = 4,
+        Metric.Dot, m = 8, efConstruction = 64).collect())
+    assert(msgChain(ex).contains("no warmed hnsw graph"), msgChain(ex))
+    // centroid router with an intentionally empty cell: centroid 1 is far
+    // from every base row, so the build materializes no graph for it —
+    // an upsert routed there must refuse by default and seed under
+    // createMissing = true
+    val qs = spark.createDataset(all.take(4).toIndexedSeq).toDF("qid", "qvec")
+    val dim = all.head._2.length
+    val far = Array.fill(dim)(100f)
+    val centroids = Array(all.head._2.clone(), far)
+    val key = "upsertspec_missing"
+    Hnsw.invalidate(key)
+    Hnsw.searchRouted(toDF(all), qs, centroids, routeProbe = 2, k = 5,
+      Metric.Dot, m = 8, efConstruction = 64, efSearch = 32,
+      cacheKey = key).count()
+    val newRow = Array((9000L, far.map(_ + 0.5f)))
+    val ex2 = intercept[Exception](
+      Hnsw.upsertWarmed(toDF(newRow), key, nShards = 2, Metric.Dot, m = 8,
+        efConstruction = 64, centroids = centroids).collect())
+    assert(msgChain(ex2).contains("createMissing"), msgChain(ex2))
+    val seeded = Hnsw.upsertWarmed(toDF(newRow), key, nShards = 2,
+      Metric.Dot, m = 8, efConstruction = 64, centroids = centroids,
+      createMissing = true).collect()
+    assert(seeded.map(_.getLong(1)).sum == 1L)
+    // the seeded cell now serves: a query at the far centroid finds 9000
+    val farQ = spark.createDataset(Seq((0L, far))).toDF("qid", "qvec")
+    val hit = Hnsw.searchWarm(farQ, key, nShards = 2, k = 1, Metric.Dot,
+      m = 8, efConstruction = 64, efSearch = 16, centroids = centroids,
+      routeProbe = 1, allowMissing = true).select("id").collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(9000L))
+    Hnsw.invalidate(key)
+  }
+}

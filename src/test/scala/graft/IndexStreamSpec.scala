@@ -66,4 +66,41 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(hits == Set(3L, 100003L),
       s"probe over grown table missed the appended twin: $hits")
   }
+
+  test("streamed HNSW upsert: maintained group == cold build on the union") {
+    import graft.ops.Hnsw
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val old = all.filter(col("id") < 350)
+    val fresh = all.filter(col("id") >= 350)
+    val qs = all.filter(col("id") < 6)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val key = "idxstream_hnsw_upsert"
+    Hnsw.invalidate(key)
+    Hnsw.search(old, qs, k = 10, Metric.Dot, m = 8, efConstruction = 64,
+      efSearch = 64, nShards = 4, cacheKey = key).count()
+
+    val src = Files.createTempDirectory("idxstream_hnsw_src").toString
+    val ckpt = Files.createTempDirectory("idxstream_hnsw_ckpt").toString
+    fresh.write.mode("append").parquet(src)
+    IndexStream.upsertHnswStream(
+      spark.readStream.schema(all.schema).parquet(src), key, nShards = 4,
+      checkpoint = ckpt, Metric.Dot, m = 8, efConstruction = 64)
+      .awaitTermination()
+
+    // compaction canonicalizes any micro-batch split, then the warm
+    // group must equal a cold build on the full union bit-for-bit
+    Hnsw.compactWarmed(key)
+    assert(Hnsw.liveCountWarmed(key) == all.count())
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val warm = results(Hnsw.searchWarm(qs, key, nShards = 4, k = 10,
+      Metric.Dot, m = 8, efConstruction = 64, efSearch = 64))
+    val cold = results(Hnsw.search(all, qs, k = 10, Metric.Dot, m = 8,
+      efConstruction = 64, efSearch = 64, nShards = 4))
+    assert(warm == cold,
+      "stream-maintained group diverged from the cold union build")
+    Hnsw.invalidate(key)
+  }
 }
