@@ -633,6 +633,44 @@ object SparkEntry {
       Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
     }),
 
+    // C3 INCREMENTAL MAINTENANCE, oracle-pinned (r16): the PQ family's
+    // half of the index-maintenance story (a16 covers the graph family).
+    // Both DDL artifacts — the blocked nibble table AND the clustered
+    // full-precision refine table — train FROZEN on the old 3/4 slice,
+    // then the new slice appends to both under the frozen quantizer +
+    // codebooks (Pq.appendIvf4 / Ivf.appendClustered: FAISS's
+    // add-after-train split; appended rows land inside their coarse
+    // cells, so partition pruning keeps working over the grown tables).
+    // The probe then serves the FULL corpus through the maintained
+    // artifacts and this oracle hash-gates its recall against the
+    // full-corpus DuckDB ground truth — an appended row the probe can't
+    // reach (a missed relation invalidation, a block the kernel skips, a
+    // refine fetch missing new vectors) drops recall and hash-fails.
+    "a17_pq4_append" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val qs = recallQueries(s, dir)
+      val nAll = base.count()
+      val cut = (nAll * 3 / 4).toInt
+      val old = base.filter(col("id") < cut)
+      val m4 = base.select(size(col("vec")).as("d")).head().getInt(0) / 4
+      val idx = Pq.buildOrGetIvf4(s, old, s"$dir|pq4app", nlist = 16,
+        m4 = m4, ntrain = 100000)
+      val refIdx = Ivf.buildOrGet(s, old, s"$dir|pq4app", nlist = 16,
+        ntrain = 100000)
+      // append exactly once per artifact generation (the marker rides in
+      // the index dir, so a fresh JVM over the cached artifact skips it)
+      val marker = new java.io.File(s"${idx.path}/_APPENDED")
+      if (!marker.isFile) {
+        Pq.appendIvf4(idx, base.filter(col("id") >= cut))
+        Ivf.appendClustered(refIdx, base.filter(col("id") >= cut))
+        require(marker.createNewFile(), s"could not mark ${idx.path}")
+      }
+      val pred = predSidecar("a17_pq4_append",
+        Pq.searchFastScanIvfRefinedClustered(refIdx, idx, qs,
+          nprobe = 8, k = 10, refineK = 100))
+      Ivf.recallHits(pred, Ivf.cachedGroundTruth(dir, base, qs, 10, Metric.Dot), 10)
+    }),
+
     // Predicate-constrained k-NN (additive — the reference has no metadata
     // columns): exact pre-filter anchor, full hash oracle. The widened-IVF
     // and HNSW-post-filter flavors + the auto chooser are recall/plan-gated
@@ -2094,7 +2132,7 @@ object SparkEntry {
     (Seq("a1_ivf_recall", "a2_ivf_refine_recall", "a4_opq_recall",
       "a8_lsh_recall", "a9_hnsw_recall", "a11_hnsw_routed",
       "a12_pq4_fastscan", "a13_pq4_ivf", "a14_hnsw_store",
-      "a15_pq4_serve").flatMap(single)
+      "a15_pq4_serve", "a17_pq4_append").flatMap(single)
       ++ a3 ++ d4 ++ d13 ++ d14 ++ d15 ++ d16 ++ a16).toMap
   }
 }

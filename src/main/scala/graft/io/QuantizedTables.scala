@@ -278,7 +278,8 @@ object QuantizedTables {
                                idCol: String = "id",
                                codesCol: String = "codes",
                                clusterCol: String = "cluster_id",
-                               block: Int = 128): Unit = {
+                               block: Int = 128,
+                               mode: String = "overwrite"): Unit = {
     require(block % 64 == 0, s"pq4 block must be a multiple of 64, got $block")
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.types.BinaryType
@@ -304,6 +305,6 @@ object QuantizedTables {
         (cid, g.map(_._1).toArray, pq4Pack(g.length, g.map(_._2)))
       }
       .toDF("cluster_id", "ids", "codes")
-      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+      .write.mode(mode).partitionBy("cluster_id").parquet(path)
   }
 }

@@ -105,6 +105,28 @@ object Ivf {
     invalidateClustered(path)
   }
 
+  /** Append a batch to an index's clustered table under the FROZEN
+    * coarse quantizer (FAISS's add-after-train split; the batch twin of
+    * [[graft.streaming.IndexStream.appendStream]] for maintaining a
+    * [[buildOrGet]] artifact in place). Assignment is the broadcast-
+    * centroid codegen expression — narrow, shuffle-free — and the
+    * append lands inside the touched cluster_id partitions only, so
+    * partition pruning keeps working over the grown table. Invalidates
+    * the session relation cache (the grown table must re-list its
+    * files). Returns the number of rows appended.
+    */
+  def appendClustered(idx: Index, rows: DataFrame,
+                      idCol: String = "id", vecCol: String = "vec"): Long = {
+    val batch = rows.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
+    val n = batch.count()
+    assign(batch, idx.centroids)
+      .write.mode("append").partitionBy("cluster_id")
+      .parquet(idx.clusteredPath)
+    invalidateClustered(idx.clusteredPath)
+    n
+  }
+
   /** IVF probe search: score only the `nprobe` nearest clusters per query.
     *
     * assignedBase: (idCol, vecCol, cluster_id); queries: (qid, qvec).

@@ -780,6 +780,57 @@ object Pq {
     })
   }
 
+  /** Append a batch to an IVF-fastscan index's blocked code table under
+    * the FROZEN coarse quantizer and codebooks — the PQ half of
+    * incremental index maintenance (r16; the graph half is
+    * [[Hnsw.upsertWarmed]], the flat half [[Ivf.appendClustered]]).
+    * FAISS's add-after-train split: arriving rows assign to their coarse
+    * cell, encode against the frozen residual books, and land as new
+    * blocked rows INSIDE the touched cluster_id partitions (block groups
+    * are row-local — the pq4 blob carries its own length — so appended
+    * blocks integrate with partition pruning and the register kernel
+    * unchanged; re-training stays an offline DDL decision). Scores of
+    * appended rows are bit-identical to a from-scratch encode of the
+    * union under the same books (same expressions), so probe results
+    * over the grown table equal a rebuilt table's (Pq4Spec gates it).
+    *
+    * Keep the refine table in step: append the same batch to the
+    * clustered full-precision table ([[Ivf.appendClustered]]) BEFORE
+    * serving [[searchFastScanIvfRefinedClustered]], or its pruned fetch
+    * will miss the new candidates' vectors. Warm serving images over
+    * this index are stale after an append — [[invalidateLocalIvf4]] then
+    * re-[[warmLocalIvf4]]. For streams, wrap in `foreachBatch` with a
+    * batchId-keyed marker (parquet append into partition dirs is not
+    * transactional; the flat family's exactly-once file-sink path is
+    * [[graft.streaming.IndexStream.appendStream]]).
+    *
+    * Returns the number of rows appended.
+    */
+  def appendIvf4(idx: Index, rows: DataFrame, idCol: String = "id",
+                 vecCol: String = "vec"): Long = {
+    val batch = rows.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
+    val n = batch.count()
+    val assigned = Ivf.assign(batch, idx.coarse)
+      .withColumn("residual",
+        centroidResidual(col("vec"), col("cluster_id"), idx.coarse))
+    graft.io.QuantizedTables.writePq4BlockedClustered(
+      assigned.select(col("id"), col("cluster_id"),
+        pqEncode(col("residual"), idx.books).as("codes")),
+      idx.path, mode = "append")
+    // the grown table must re-list its files in every session
+    relationCache.keySet().removeIf(_.endsWith(s"|${idx.path}"))
+    n
+  }
+
+  /** Drop the JVM-local serving image warmed under `cacheKey` (stale
+    * after [[appendIvf4]] — re-warm to serve the grown index).
+    */
+  def invalidateLocalIvf4(cacheKey: String): Unit = {
+    localCache.remove(cacheKey)
+    ()
+  }
+
   /** JVM-local image of an IVF-fastscan index for in-process serving:
     * per-cell (ids, nibble blob) plus an id-sorted full-precision vector
     * store for the exact refine. At 1M×384d this is ~48 MB of codes +

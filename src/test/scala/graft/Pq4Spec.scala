@@ -350,4 +350,65 @@ class Pq4Spec extends AnyFunSuite {
       .orderBy("qid", "rank").collect().toSeq
     assert(a == b, "nondeterministic")
   }
+
+  test("appendIvf4/appendClustered: grown artifacts serve the union " +
+    "exactly like a rebuild under the frozen quantizer") {
+    val old = base.filter(col("id") < 350)
+    val fresh = base.filter(col("id") >= 350)
+    val tmp = java.nio.file.Files.createTempDirectory("pq4_append").toString
+    // frozen DDL trained on the OLD slice only (the cold path of
+    // buildOrGetIvf4, laid down in a temp dir so the test owns its
+    // artifact generations)
+    val coarse = Ivf.train(old, nlist = 8, ntrain = 500)
+    def encodeWith(rows: org.apache.spark.sql.DataFrame, books: Pq.Codebooks) =
+      Ivf.assign(rows, coarse)
+        .withColumn("residual",
+          Pq.centroidResidual(col("vec"), col("cluster_id"), coarse))
+        .select(col("id"), col("cluster_id"),
+          Pq.pqEncode(col("residual"), books).as("codes"))
+    val residOld = Ivf.assign(old, coarse)
+      .withColumn("residual",
+        Pq.centroidResidual(col("vec"), col("cluster_id"), coarse))
+    val frozenBooks = Pq.train(
+      residOld.select(col("id"), col("residual").as("vec")),
+      m = m4, ksub = 16, ntrain = 500)
+    QuantizedTables.writePq4BlockedClustered(
+      encodeWith(old, frozenBooks), s"$tmp/grown")
+    val grown = Pq.Index(coarse, frozenBooks, s"$tmp/grown")
+    assert(Pq.appendIvf4(grown, fresh) == fresh.count())
+    // rebuild from the union under the SAME frozen coarse + books
+    QuantizedTables.writePq4BlockedClustered(
+      encodeWith(base, frozenBooks), s"$tmp/rebuilt")
+    val rebuilt = Pq.Index(coarse, frozenBooks, s"$tmp/rebuilt")
+    def res(ix: Pq.Index) =
+      Pq.searchFastScanIvfRefined(base, ix, queries, nprobe = 8, k = 10,
+        refineK = 100)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val grownRes = res(grown)
+    assert(grownRes == res(rebuilt),
+      "appended table diverged from the from-scratch rebuild")
+    // the appended rows are genuinely REACHED: fresh ids appear (they
+    // are their own exact nearest neighbors only if queried — instead
+    // gate that the grown result equals the rebuilt one AND the union
+    // result differs from serving the stale old-only table)
+    QuantizedTables.writePq4BlockedClustered(
+      encodeWith(old, frozenBooks), s"$tmp/stale")
+    val stale = Pq.Index(coarse, frozenBooks, s"$tmp/stale")
+    assert(res(stale) != grownRes,
+      "union results indistinguishable from the stale table — the " +
+        "fixture can't see appended rows (weak fixture)")
+    // the clustered refine table maintained in step: pruned refine over
+    // the grown pair == the flat refine over the grown code table
+    val refPath = s"$tmp/clustered"
+    Ivf.writeClustered(Ivf.assign(old, coarse), refPath)
+    val refIdx = Ivf.Index(coarse, refPath)
+    assert(Ivf.appendClustered(refIdx, fresh) == fresh.count())
+    val pruned = Pq.searchFastScanIvfRefinedClustered(refIdx, grown,
+      queries, nprobe = 8, k = 10, refineK = 100)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(pruned == grownRes,
+      "pruned refine over the maintained clustered table diverged")
+  }
 }

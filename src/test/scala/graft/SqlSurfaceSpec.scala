@@ -380,6 +380,62 @@ class SqlSurfaceSpec extends AnyFunSuite {
     Hnsw.invalidate(key)
   }
 
+  test("hnsw TVF respects tombstones on a maintained group (r16)") {
+    // maintenance lives in the warmed graphs; the SQL surface serves the
+    // same group, so a deleteWarmed must be invisible to the TVF except
+    // for the deleted ids vanishing — full-k results, no leaks, equal to
+    // the searchWarm twin over the same maintained group.
+    import graft.functions.AnnSql
+    import graft.ops.{Hnsw, Ivf, Metric}
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val router = Ivf.buildOrGet(spark, base, s"$dir|sqlhnsw", nlist = 4,
+      ntrain = 500)
+    val key = s"$dir|sqlhnsw|maint"
+    val qs = base.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    Hnsw.invalidate(key)
+    Hnsw.searchRouted(base, qs, router.centroids, routeProbe = 2, k = 10,
+      Metric.Dot, m = 8, efConstruction = 64, efSearch = 64,
+      cacheKey = key).count()
+    Hnsw.quantizeWarmed(key)
+    AnnSql.registerHnsw(spark, "emb_hnsw_mnt", base, router.centroids,
+      routeProbe = 2, m = 8, efConstruction = 64, cacheKey = key)
+    qs.createOrReplaceTempView("hnsw_maint_queries")
+    def tvf(flavor: String) = spark.sql(
+      s"SELECT * FROM graft_ann_search_hnsw('emb_hnsw_mnt', 'hnsw_maint_queries', 10, 64, '$flavor')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = tvf("i8")
+    // tombstone every query's current top hit, plus an upsert of a fresh id
+    val dead = before.groupBy(_._1).map(_._2.head._2).toSet.toArray
+    assert(Hnsw.deleteWarmed(spark, key, dead, nShards = 4) == dead.length)
+    import spark.implicits._
+    Hnsw.upsertWarmed(
+      spark.createDataset(Seq((5000L,
+        qs.filter(col("qid") === 0).collect()(0).getSeq[Float](1).toArray)))
+        .toDF("id", "vec"),
+      key, nShards = 4, Metric.Dot, m = 8, efConstruction = 64,
+      centroids = router.centroids, createMissing = true).count()
+    for (flavor <- Seq("i8", "contract")) {
+      val after = tvf(flavor)
+      assert(after.size == before.size, s"$flavor: short results after delete")
+      assert(!after.exists(p => dead.contains(p._2)),
+        s"$flavor: TVF leaked a tombstoned id")
+      val twin = Hnsw.searchWarm(qs, key, nShards = 4, k = 10, Metric.Dot,
+        m = 8, efConstruction = 64, efSearch = 64,
+        centroids = router.centroids, routeProbe = 2, allowMissing = true,
+        quantized = flavor == "i8")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(after.toSet == twin.toSet, s"$flavor: TVF != searchWarm twin")
+    }
+    // the upserted twin of query 0's vector is served (id 5000 routed to
+    // its centroid cell, probed by the same query)
+    assert(tvf("contract").contains((0L, 5000L)),
+      "upserted row not reachable through the TVF")
+    AnnSql.unregister(spark, "emb_hnsw_mnt")
+    Hnsw.invalidate(key)
+  }
+
   test("SQL top-k with graft_dot matches the DataFrame path") {
     val sql = spark.sql(
       """SELECT b.vec_id AS id,
