@@ -212,7 +212,7 @@ object Ivf {
     * to the clustered table — the index artifact survives the JVM, like
     * the reference's on-disk FAISS index files.
     */
-  private[ops] def saveMatrix(file: String, m: Array[Array[Float]]): Unit = {
+  private[graft] def saveMatrix(file: String, m: Array[Array[Float]]): Unit = {
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(file)))
     try {

@@ -1441,6 +1441,86 @@ object BenchScale {
         Hnsw.invalidate(mKey)
       }
 
+      // ---- PQ-family MAINTENANCE row (r16, the a17 surface at scale):
+      // frozen-quantizer append throughput — assign + residual-encode +
+      // blocked-nibble write into the touched cluster partitions, plus
+      // the refine table's flat append, then a probe over the grown
+      // pair. The PRE-append artifacts (coarse, books, blocked codes,
+      // clustered refine table on a 180K slice) are build-once cached;
+      // each run copies them into a scratch dir and appends there, so
+      // the append itself — the measurement — re-runs every time
+      // without growing the cached artifact. ----
+      if (only.forall(_.contains("ann_pq4_append"))) {
+        System.gc()
+        val pN = 180000L
+        val pAdd = 20000L
+        val pNlist = 256
+        val pre = s"target/scale_pq4_maint_${pN}_${annDim}_${pNlist}_g1"
+        val pOld = base.filter(col("id") < pN)
+        if (!new java.io.File(s"$pre/_SUCCESS").isFile) {
+          val coarse = Ivf.train(pOld, nlist = pNlist, ntrain = 100000)
+          val assigned = Ivf.assign(pOld, coarse)
+            .withColumn("residual",
+              Pq.centroidResidual(col("vec"), col("cluster_id"), coarse))
+          val books = Pq.train(
+            assigned.select(col("id"), col("residual").as("vec")),
+            m = annDim / 4, ksub = 16, ntrain = 100000)
+          graft.io.QuantizedTables.writePq4BlockedClustered(
+            assigned.select(col("id"), col("cluster_id"),
+              Pq.pqEncode(col("residual"), books).as("codes")),
+            s"$pre/codes")
+          Ivf.writeClustered(Ivf.assign(pOld, coarse), s"$pre/flat")
+          Ivf.saveMatrix(s"$pre/coarse.bin", coarse)
+          Pq.saveBooks(s"$pre/books.bin", books)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$pre/_SUCCESS"))
+        }
+        val coarse = Ivf.loadMatrix(s"$pre/coarse.bin").get
+        val books = Pq.loadBooks(s"$pre/books.bin").get
+        val work = java.nio.file.Files
+          .createTempDirectory(java.nio.file.Paths.get("target"),
+            "pq4_maint_work").toString
+        def copyTree(src: String, dst: String): Unit = {
+          val s0 = java.nio.file.Paths.get(src)
+          val d0 = java.nio.file.Paths.get(dst)
+          val st = java.nio.file.Files.walk(s0)
+          try st.forEach { p =>
+            val t = d0.resolve(s0.relativize(p))
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.createDirectories(t)
+            else java.nio.file.Files.copy(p, t)
+          } finally st.close()
+        }
+        copyTree(s"$pre/codes", s"$work/codes")
+        copyTree(s"$pre/flat", s"$work/flat")
+        val codesIdx = Pq.Index(coarse, books, s"$work/codes")
+        val flatIdx = Ivf.Index(coarse, s"$work/flat")
+        val batch = base.filter(col("id") >= pN && col("id") < pN + pAdd)
+        val tA = System.nanoTime()
+        val appended = Pq.appendIvf4(codesIdx, batch)
+        val codesSec = (System.nanoTime() - tA) / 1e9
+        val tF = System.nanoTime()
+        val flatAppended = Ivf.appendClustered(flatIdx, batch)
+        val flatSec = (System.nanoTime() - tF) / 1e9
+        require(appended == pAdd && flatAppended == pAdd, "append count off")
+        val tP = System.nanoTime()
+        val probeRows = Pq.searchFastScanIvfRefinedClustered(flatIdx,
+          codesIdx, queries, nprobe = 8, k = k, refineK = 100).count()
+        val probeSec = (System.nanoTime() - tP) / 1e9
+        annResults("ann_pq4_append") = Map(
+          "n_vec" -> pN.toDouble, "append_rows" -> pAdd.toDouble,
+          "codes_append_sec" -> codesSec, "flat_append_sec" -> flatSec,
+          "rows_per_sec" -> pAdd / (codesSec + flatSec),
+          "probe_sec" -> probeSec, "probe_rows" -> probeRows.toDouble,
+          "nlist" -> pNlist.toDouble)
+        println(f"[scale] ann_pq4_append       ${pAdd / (codesSec + flatSec)}%8.0f rows/s append (codes $codesSec%.2f s + flat $flatSec%.2f s)  probe=$probeSec%.2f s over the grown pair")
+        // scratch cleanup — the cached PRE artifacts stay
+        val rm = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+        try rm.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+        finally rm.close()
+      }
+
       // ---- 3M-class scale point (r11, verdict task #7): the reference's
       // largest corpus is 2.9M×384 (`Performance.md:61-63`). One exact
       // scan, one build (train + assign_write phases), one probe at 3×
