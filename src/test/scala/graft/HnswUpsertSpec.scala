@@ -199,6 +199,65 @@ class HnswUpsertSpec extends AnyFunSuite {
     Hnsw.invalidate(key)
   }
 
+  test("insert extends an existing i8 sidecar bit-consistently") {
+    // a quantized group must stay servable across upserts without an
+    // n·dim re-quantize: insert writes the new row's codes through the
+    // same F7 kernels quantizeStore uses, so an append-only insert into
+    // a quantized graph must serve searchI8 IDENTICALLY to quantizing
+    // the union graph from scratch (the graphs themselves are
+    // bit-identical by the append-only gate above)
+    val all = rows(400)
+    val (old, fresh) = all.splitAt(320)
+    val inc = Hnsw.probeBuild(old, m = 8, efC = 64, seed = 42L, Metric.Dot)
+    inc.quantizeStore()
+    fresh.foreach { case (id, v) => inc.insert(id, v) }
+    inc.freeze()
+    val full = Hnsw.probeBuild(all, m = 8, efC = 64, seed = 42L, Metric.Dot)
+    full.quantizeStore()
+    for (qi <- Seq(3, 11, 390)) {
+      val q = all(qi)._2
+      assert(inc.searchI8(q, 10, 64).toSeq == full.searchI8(q, 10, 64).toSeq,
+        s"extended i8 sidecar diverged from a fresh quantize at query $qi")
+    }
+  }
+
+  test("maintained group re-saves generation-atomically, tombstones intact") {
+    import spark.implicits._
+    val all = rows(400)
+    val (old, fresh) = all.splitAt(300)
+    val toDF = (rs: Array[(Long, Array[Float])]) =>
+      spark.createDataset(rs.toIndexedSeq).toDF("id", "vec")
+    val qs = spark.createDataset(all.take(4).toIndexedSeq).toDF("qid", "qvec")
+    val key = "upsertspec_resave"
+    Hnsw.invalidate(key)
+    Hnsw.search(toDF(old), qs, k = 10, Metric.Dot, m = 8,
+      efConstruction = 64, efSearch = 64, nShards = 2, cacheKey = key).count()
+    val store = java.nio.file.Files.createTempDirectory("hnsw_resave").toString
+    Hnsw.saveWarmed(key, store) // generation 0: the pre-maintenance group
+    // maintain in place, then RE-SAVE over the same dir (generation 1)
+    Hnsw.upsertWarmed(toDF(fresh), key, nShards = 2, Metric.Dot, m = 8,
+      efConstruction = 64).count()
+    val delIds = all.filter(_._1 % 11 == 2).map(_._1)
+    assert(Hnsw.deleteWarmed(spark, key, delIds, nShards = 2) == delIds.length)
+    def results() = Hnsw.searchWarm(qs, key, nShards = 2, k = 10, Metric.Dot,
+      m = 8, efConstruction = 64, efSearch = 64)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val maintained = results()
+    Hnsw.saveWarmed(key, store)
+    // the restored generation serves the MAINTAINED group bit-for-bit —
+    // tombstones included (store v4) — both heap and mapped
+    for (mapped <- Seq(false, true)) {
+      Hnsw.invalidate(key)
+      val restored = Hnsw.warmFromDisk(key, store, mapped = mapped)
+      assert(restored == 2, s"mapped=$mapped restored $restored of 2")
+      assert(Hnsw.liveCountWarmed(key) == all.length - delIds.length,
+        s"mapped=$mapped lost tombstones across the re-save")
+      assert(results() == maintained, s"mapped=$mapped diverged after re-save")
+    }
+    Hnsw.invalidate(key)
+  }
+
   test("maintenance misses are loud; createMissing seeds an empty cell") {
     import spark.implicits._
     val all = rows(200)
