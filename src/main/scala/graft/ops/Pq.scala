@@ -664,13 +664,35 @@ object Pq {
     * IVF-fastscan operating point (J3 on candidates from probed cells
     * only; the IVF analog of the flat `searchFastScan` + refine pair).
     */
+  /** Wrap a candidate-stage probe with a serve-time EXCLUSION set (r16
+    * maintenance): a takedown must suppress rows NOW, between the
+    * relational delete (an anti-join rewrite of the clustered table —
+    * cheap, partition-parallel batch DDL) and the next code-table
+    * rebuild. The anti-join runs on the candidate stage's bounded output
+    * (≤ Q·kSearch rows vs a broadcast id list), so exclusion costs
+    * nothing corpus-shaped; the refine budget's slack (refineK − k)
+    * absorbs the suppressed slots, exactly like the HNSW tombstones'
+    * ef slack. Empty set → the identical unwrapped plan.
+    */
+  private def withExclusions(spark: SparkSession, excludeIds: Array[Long],
+                             probe: Int => DataFrame): Int => DataFrame =
+    if (excludeIds.isEmpty) probe
+    else {
+      import spark.implicits._
+      val excl = broadcast(excludeIds.toSeq.toDF("id"))
+      kk => probe(kk).join(excl, Seq("id"), "left_anti")
+    }
+
   def searchFastScanIvfRefined(base: DataFrame, idx: Index,
                                queries: DataFrame, nprobe: Int, k: Int,
                                refineK: Int, idCol: String = "id",
-                               vecCol: String = "vec"): DataFrame = {
+                               vecCol: String = "vec",
+                               excludeIds: Array[Long] = Array.empty): DataFrame = {
     val spark = base.sparkSession
     refineAdc(base, queries, k, refineK,
-      kk => searchFastScanIvf(idx, spark, queries, nprobe, kk), idCol, vecCol)
+      withExclusions(spark, excludeIds,
+        kk => searchFastScanIvf(idx, spark, queries, nprobe, kk)),
+      idCol, vecCol)
   }
 
   /** The union of coarse cells the fastscan probe touches for this query
@@ -718,7 +740,8 @@ object Pq {
                                         queries: DataFrame, nprobe: Int,
                                         k: Int, refineK: Int,
                                         idCol: String = "id",
-                                        vecCol: String = "vec"): DataFrame = {
+                                        vecCol: String = "vec",
+                                        excludeIds: Array[Long] = Array.empty): DataFrame = {
     val nlist = idx.coarse.length
     require(clusteredIdx.centroids.length == nlist &&
       clusteredIdx.centroids.zip(idx.coarse).forall { case (a, b) => a.sameElements(b) },
@@ -743,7 +766,9 @@ object Pq {
         clustered.filter(col("cluster_id").isin(cells.map(c => c: Any): _*))
           .select(col(idCol), col(vecCol))
     refineAdc(fetch, queries, k, refineK,
-      kk => searchFastScanIvf(idx, spark, queries, nprobe, kk), idCol, vecCol)
+      withExclusions(spark, excludeIds,
+        kk => searchFastScanIvf(idx, spark, queries, nprobe, kk)),
+      idCol, vecCol)
   }
 
   /** Build (or fetch) the IVF-fastscan index: coarse KMeans → residual
@@ -798,7 +823,7 @@ object Pq {
     * clustered full-precision table ([[Ivf.appendClustered]]) BEFORE
     * serving [[searchFastScanIvfRefinedClustered]], or its pruned fetch
     * will miss the new candidates' vectors. Warm serving images over
-    * this index are stale after an append — [[invalidateLocalIvf4]] then
+    * this index are stale after an append — [[invalidateLocal]] then
     * re-[[warmLocalIvf4]]. For streams, wrap in `foreachBatch` with a
     * batchId-keyed marker (parquet append into partition dirs is not
     * transactional; the flat family's exactly-once file-sink path is
@@ -821,14 +846,6 @@ object Pq {
     // the grown table must re-list its files in every session
     relationCache.keySet().removeIf(_.endsWith(s"|${idx.path}"))
     n
-  }
-
-  /** Drop the JVM-local serving image warmed under `cacheKey` (stale
-    * after [[appendIvf4]] — re-warm to serve the grown index).
-    */
-  def invalidateLocalIvf4(cacheKey: String): Unit = {
-    localCache.remove(cacheKey)
-    ()
   }
 
   /** JVM-local image of an IVF-fastscan index for in-process serving:
@@ -915,7 +932,8 @@ object Pq {
     */
   def searchLocalIvf4(qvec: Array[Float], idx: Index, cacheKey: String,
                       nprobe: Int, k: Int, refineK: Int = 100,
-                      floatAcc: Boolean = false): Array[(Long, Double)] = {
+                      floatAcc: Boolean = false,
+                      exclude: Long => Boolean = null): Array[(Long, Double)] = {
     import graft.functions.expressions.{CentroidOps, PqOps, Simd, VectorKernels}
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val img = localCache.get(cacheKey)
@@ -1010,9 +1028,17 @@ object Pq {
       }
       p += 1
     }
-    // global top-kSearch by (ADC score asc, id asc) — TopK.perGroup's order
-    val order = Array.range(0, nCand).sortBy(i => (candScores(i), candIds(i)))
-    val take = math.min(kSearch, nCand)
+    // global top-kSearch by (ADC score asc, id asc) — TopK.perGroup's
+    // order. Serve-time exclusions (the Spark flavors' excludeIds twin)
+    // drop AFTER the kSearch cut — the distributed anti-join filters the
+    // candidate stage's top-kSearch output, so the local tier must too
+    // for the a15-style equality to hold under exclusions
+    val order1 = Array.range(0, nCand)
+      .sortBy(i => (candScores(i), candIds(i)))
+      .take(math.min(kSearch, nCand))
+    val order = if (exclude == null) order1
+                else order1.filterNot(i => exclude(candIds(i)))
+    val take = order.length
     // exact-L2 refine over the full-precision store, top-k by (l2, id)
     val refIds = new Array[Long](take)
     val refD = new Array[Double](take)

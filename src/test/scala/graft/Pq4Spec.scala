@@ -351,6 +351,47 @@ class Pq4Spec extends AnyFunSuite {
     assert(a == b, "nondeterministic")
   }
 
+  test("serve-time exclusions: takedowns suppressed identically across " +
+    "all three serving flavors") {
+    // the maintenance story's suppression half: a takedown must stop
+    // surfacing NOW (the anti-join on the candidate stage), before the
+    // relational delete + code-table rebuild make it permanent. Gates:
+    // excluded ids never appear, the refine slack keeps results at k,
+    // and all three flavors (flat refine, clustered refine, local tier)
+    // agree EXACTLY under the same exclusion set.
+    val refIdx = Ivf.buildOrGet(spark, base, s"$dir|pq4spec", nlist = 8,
+      ntrain = 500)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val before = triples(Pq.searchFastScanIvfRefined(base, ivf4, queries,
+      nprobe = 8, k = 10, refineK = 100))
+    // take down every query's current top hit (distinct union)
+    val dead = before.filter(_._3 == 1).map(_._2).distinct.toArray
+    val flat = triples(Pq.searchFastScanIvfRefined(base, ivf4, queries,
+      nprobe = 8, k = 10, refineK = 100, excludeIds = dead))
+    assert(flat != before && !flat.exists(t => dead.contains(t._2)),
+      "flat refine leaked a takedown")
+    assert(flat.count(_._1 == 0L) == 10, "refine slack failed to refill k")
+    val clustered = triples(Pq.searchFastScanIvfRefinedClustered(refIdx,
+      ivf4, queries, nprobe = 8, k = 10, refineK = 100, excludeIds = dead))
+    assert(clustered == flat, "clustered refine diverged under exclusions")
+    Pq.warmLocalIvf4(spark, ivf4, "pq4spec_excl", base)
+    val deadSet = dead.toSet
+    val sparkSide = flat.groupBy(_._1)
+    base.filter(col("id") < 16).select(col("id"), col("vec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .foreach { case (qid, qvec) =>
+        val local = Pq.searchLocalIvf4(qvec, ivf4, "pq4spec_excl",
+          nprobe = 8, k = 10, refineK = 100, exclude = deadSet.contains)
+          .map(_._1).toSeq
+        val want = sparkSide(qid).sortBy(_._3).map(_._2).toSeq
+        assert(local == want,
+          s"qid=$qid: local tier diverged under exclusions ($local vs $want)")
+      }
+    Pq.invalidateLocal("pq4spec_excl")
+  }
+
   test("appendIvf4/appendClustered: grown artifacts serve the union " +
     "exactly like a rebuild under the frozen quantizer") {
     val old = base.filter(col("id") < 350)
