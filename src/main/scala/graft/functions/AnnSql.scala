@@ -223,11 +223,11 @@ object AnnSql {
   }
 
   /** `graft_ann_search_pq4(index_name, queries_view | query_array, k
-    * [, nprobe, refine_k])` — the SQL reach for the IN-PROCESS
-    * IVF-fastscan serving tier ([[Pq.searchLocalIvf4]], the a15-pinned
-    * measured-best latency path: p50 ~1 ms @ 1M, 8–10× below routed
-    * HNSW at comparable recall). Serves the WARMED image only: the
-    * index must be registered with a `localKey` and
+    * [, nprobe, refine_k, exclude_view])` — the SQL reach for the
+    * IN-PROCESS IVF-fastscan serving tier ([[Pq.searchLocalIvf4]], the
+    * a15-pinned measured-best latency path: p50 ~1 ms @ 1M, 8–10× below
+    * routed HNSW at comparable recall). Serves the WARMED image only:
+    * the index must be registered with a `localKey` and
     * [[Pq.warmLocalIvf4]]'d under it — a cold cache fails loudly at
     * analysis time instead of silently paying the warm. Like the
     * sibling TVFs the query batch is bounded-by-contract and collected
@@ -237,15 +237,30 @@ object AnnSql {
     * relation of the finished (qid, id, score, rank) rows.
     * `refine_k` must exceed `k` ([[Pq.searchLocalIvf4]]'s contract —
     * the local tier always refines).
+    *
+    * `exclude_view` (r16 maintenance) names a view whose `id` column is
+    * the serve-time TAKEDOWN suppression set — the SQL twin of the
+    * Scala flavors' `excludeIds` (identical semantics: filtered after
+    * the kSearch cut, refine slack refills k). Bounded-by-contract like
+    * the query batch: a takedown list, not a corpus.
     */
   private def buildPq4(spark: SparkSession, es: Seq[Expression]): LogicalPlan = {
     val fn = "graft_ann_search_pq4"
-    require(es.length >= 3 && es.length <= 5,
-      s"$fn(index_name, queries_view | query_array, k[, nprobe, refine_k])")
+    require(es.length >= 3 && es.length <= 6,
+      s"$fn(index_name, queries_view | query_array, k[, nprobe, refine_k, exclude_view])")
     val name = strArg(es.head, fn, "index_name")
     val k = intArg(es(2), fn, "k")
     val nprobe = if (es.length >= 4) intArg(es(3), fn, "nprobe") else 8
     val refineK = if (es.length >= 5) intArg(es(4), fn, "refine_k") else 100
+    val exclude: Long => Boolean =
+      if (es.length < 6) null
+      else {
+        val ev = strArg(es(5), fn, "exclude_view")
+        val ids = spark.table(ev)
+          .select(org.apache.spark.sql.functions.col("id").cast("long"))
+          .collect().map(_.getLong(0)).toSet
+        ids.contains
+      }
     val entry = indexes.get(key(spark, name))
     if (entry == null) {
       throw new IllegalArgumentException(
@@ -272,7 +287,8 @@ object AnnSql {
     val rows: java.util.List[org.apache.spark.sql.Row] = {
       val l = new java.util.ArrayList[org.apache.spark.sql.Row]()
       qRows.foreach { case (qid, qvec) =>
-        Pq.searchLocalIvf4(qvec, idx, localKey, nprobe, k, refineK)
+        Pq.searchLocalIvf4(qvec, idx, localKey, nprobe, k, refineK,
+            exclude = exclude)
           .zipWithIndex.foreach { case ((id, sc), r) =>
             l.add(org.apache.spark.sql.Row(qid, id, sc, r + 1))
           }

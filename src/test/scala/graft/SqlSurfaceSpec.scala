@@ -329,6 +329,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(badK.getMessage.contains("refine") ||
       Option(badK.getCause).exists(_.getMessage.contains("refine")))
+    // exclude_view (r16): the takedown list rides a view; the TVF must
+    // equal the direct tier under the same exclusion predicate and
+    // never emit an excluded id
+    val dead = sql.filter(_._4 == 1).map(_._2).distinct
+    spark.createDataFrame(
+      java.util.List.of(dead.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .createOrReplaceTempView("pq4_takedowns")
+    val sqlExcl = spark.sql(
+      "SELECT * FROM graft_ann_search_pq4('emb_pq4', 'pq4_queries', 10, 4, 50, 'pq4_takedowns')")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(!sqlExcl.exists(t => dead.contains(t._2)),
+      "pq4 TVF leaked a takedown")
+    val deadSet = dead.toSet
+    val directExcl = qRows.flatMap { case (qid, qvec) =>
+      Pq.searchLocalIvf4(qvec, idx, localKey, nprobe = 4, k = 10,
+        refineK = 50, exclude = deadSet.contains)
+        .zipWithIndex.map { case ((id, sc), r) => (qid, id, sc, r + 1) }
+    }.toSeq
+    assert(sqlExcl == directExcl,
+      "pq4 TVF exclusion diverged from the direct tier's")
     AnnSql.unregister(spark, "emb_pq4")
     Pq.invalidateLocal(localKey)
   }
