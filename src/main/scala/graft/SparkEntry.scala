@@ -658,9 +658,21 @@ object SparkEntry {
       val refIdx = Ivf.buildOrGet(s, old, s"$dir|pq4app", nlist = 16,
         ntrain = 100000)
       // append exactly once per artifact generation (the marker rides in
-      // the index dir, so a fresh JVM over the cached artifact skips it)
+      // the index dir, so a fresh JVM over the cached artifact skips it).
+      // The two appends mutate the cached artifact in place and are not
+      // transactional, so a STARTED sentinel brackets them: a crash
+      // mid-append leaves STARTED without APPENDED and the next run
+      // fails LOUDLY (a silent re-append would encode the new slice
+      // twice and poison every later round through the cache) — the
+      // remedy is wiping the two cache dirs so the DDL rebuilds.
       val marker = new java.io.File(s"${idx.path}/_APPENDED")
+      val started = new java.io.File(s"${idx.path}/_APPEND_STARTED")
       if (!marker.isFile) {
+        require(!started.isFile,
+          s"a prior a17 append crashed mid-way over ${idx.path} — the " +
+            "cached artifact may hold a partial append; wipe this pq4 " +
+            "cache dir and the paired ivf cache dir to rebuild")
+        require(started.createNewFile(), s"could not mark ${idx.path}")
         Pq.appendIvf4(idx, base.filter(col("id") >= cut))
         Ivf.appendClustered(refIdx, base.filter(col("id") >= cut))
         require(marker.createNewFile(), s"could not mark ${idx.path}")

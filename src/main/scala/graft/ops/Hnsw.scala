@@ -460,6 +460,12 @@ object Hnsw {
       */
     def i8Available: Boolean = i8codes != null || i8codesBB != null
 
+    /** Whether the payload is an mmapped read-only region
+      * (readStore(mapped = true)) — such graphs serve and tombstone but
+      * refuse inserts; maintenance APIs check this BEFORE mutating.
+      */
+    def isMapped: Boolean = flatBB != null
+
     /** Warm-time serve-flavor auto-pick (r15, VERDICT r14 #6): the i8
       * walk wins only when the beam is DRAM-bound — its 4×-fewer
       * gathered bytes then beat the quantize+re-rank overhead — and
@@ -1505,12 +1511,16 @@ object Hnsw {
     def search(q: Array[Float], k: Int, efSearch: Int,
                facc: Boolean = false): Array[(Long, Double)] = {
       if (n == 0) return Array.empty
+      // the upper-layer descent is deterministic in (q, graph) — hoisted
+      // out of the ef-widening retry loop (its result cannot change
+      // between retries; re-running it would only waste kernel evals on
+      // tombstone-heavy serves and inflate the evals accounting)
+      var ep = entry
+      var lc = levels(entry)
+      while (lc > 0) { ep = greedy(q, ep, lc, facc); lc -= 1 }
       var ef = math.max(efSearch, k)
       while (true) {
         val s = scratchTL.get()
-        var ep = entry
-        var lc = levels(entry)
-        while (lc > 0) { ep = greedy(q, ep, lc, facc); lc -= 1 }
         val cnt = searchLayer(q, ep, ef, 0, s, facc)
         // emit the k best LIVE results. With zero tombstones this is the
         // first min(k, cnt) beam entries — the historical path, bit-
@@ -1908,6 +1918,27 @@ object Hnsw {
       "upsertWarmed needs the cacheKey the graphs were built under")
     val spark = rows.sparkSession
     import spark.implicits._
+    require(shardGroupIfPresent(cacheKey).isDefined,
+      s"no warmed hnsw graphs under '$cacheKey' — build or warmFromDisk " +
+        "the group before upserting into it")
+    // refuse a mapped group BEFORE any mutation: tombstoning first and
+    // then failing on the read-only insert would leave the cache
+    // half-mutated behind a "refused" upsert
+    shardGroupIfPresent(cacheKey).foreach(_.forEach((k, g) =>
+      require(!g.isMapped,
+        s"warmed graph '$k' is mapped (read-only payload) — restore with " +
+          "mapped = false to maintain, saveWarmed, then re-map for serving")))
+    // REPLACE pre-pass, group-wide: under the centroid router an id whose
+    // UPDATED vector routes to a different cell would leave its stale
+    // twin live in the OLD cell's graph — the destination task can never
+    // see it. Tombstone the batch's ids across every shard first (the
+    // deleteWarmed shape: broadcast ids, hash-map miss per non-owner
+    // shard), then insert; per-shard n_replaced attributes each
+    // pre-tombstoned id to the shard its NEW vector lands in.
+    val upIds = rows.select(col(idCol).cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    val replacedIds = deleteWarmedIds(spark, cacheKey, upIds, nShards).toSet
+    val replacedBc = spark.sparkContext.broadcast(replacedIds)
     val shardExpr =
       if (centroids != null) Ivf.nearestCentroid(col(vecCol), centroids)
       else pmod(xxhash64(col(idCol)), lit(nShards.toLong)).cast("int")
@@ -1930,6 +1961,7 @@ object Hnsw {
               s"no warmed hnsw graphs under '$cacheKey' — build or " +
                 "warmFromDisk the group before upserting into it"))
           val existing = group.get(key)
+          val preReplaced = batch.count(t => replacedBc.value.contains(t._1))
           if (existing == null) {
             require(createMissing,
               s"no warmed hnsw graph for shard $cur under '$cacheKey' — " +
@@ -1937,10 +1969,14 @@ object Hnsw {
                 "(createMissing=true seeds a legitimately empty router cell)")
             val g = group.computeIfAbsent(key,
               _ => buildShard(batch, m, efC, seed, metric))
-            out += ((cur, batch.length.toLong, 0L, g.liveSize.toLong))
+            out += ((cur, batch.length.toLong, preReplaced.toLong,
+              g.liveSize.toLong))
           } else existing.synchronized {
-            var replaced = 0L
+            var replaced = preReplaced.toLong
             batch.foreach { case (id, vec) =>
+              // the pre-pass already tombstoned pre-existing twins; this
+              // in-task delete only fires for IN-BATCH duplicates of the
+              // same id (newest write wins)
               if (existing.delete(id)) replaced += 1
               existing.insert(id, vec)
             }
@@ -1969,21 +2005,34 @@ object Hnsw {
     */
   def deleteWarmed(spark: SparkSession, cacheKey: String,
                    delIds: Array[Long], nShards: Int): Long = {
+    require(shardGroupIfPresent(cacheKey).isDefined,
+      s"no warmed hnsw graphs under '$cacheKey' to delete from — a " +
+        "silent zero-count takedown is a compliance hole, not a no-op")
+    deleteWarmedIds(spark, cacheKey, delIds, nShards).length.toLong
+  }
+
+  /** [[deleteWarmed]]'s core, returning WHICH ids were found live and
+    * tombstoned (bounded by the input) — the upsert pre-pass attributes
+    * per-shard replace counts from it.
+    */
+  private def deleteWarmedIds(spark: SparkSession, cacheKey: String,
+                              delIds: Array[Long],
+                              nShards: Int): Array[Long] = {
     require(cacheKey.nonEmpty,
       "deleteWarmed needs the cacheKey the graphs were built under")
     val bc = spark.sparkContext.broadcast(delIds)
     import spark.implicits._
     dispatchShards(spark, 0 until nShards)
       .mapPartitions { it =>
-        var cnt = 0L
+        val hit = collection.mutable.ArrayBuffer.empty[Long]
         it.foreach { shard =>
           shardGraphsByPrefix(cacheKey, shard).foreach { g =>
-            bc.value.foreach { id => if (g.delete(id)) cnt += 1 }
+            bc.value.foreach { id => if (g.delete(id)) hit += id }
           }
         }
-        Iterator.single(cnt)
+        hit.iterator
       }
-      .reduce(_ + _)
+      .collect()
   }
 
   /** Compact every warmed shard under `cacheKey` whose tombstone

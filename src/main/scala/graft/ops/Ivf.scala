@@ -120,7 +120,12 @@ object Ivf {
     val batch = rows.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("vec"))
     val n = batch.count()
+    // repartition on the partition column like writeClustered — a raw
+    // partitionBy append writes one file per (input split x touched
+    // cluster), and a continuously maintained table accumulates that
+    // small-file explosion per batch
     assign(batch, idx.centroids)
+      .repartition(col("cluster_id"))
       .write.mode("append").partitionBy("cluster_id")
       .parquet(idx.clusteredPath)
     invalidateClustered(idx.clusteredPath)

@@ -689,6 +689,10 @@ object Pq {
                                vecCol: String = "vec",
                                excludeIds: Array[Long] = Array.empty): DataFrame = {
     val spark = base.sparkSession
+    require(excludeIds.isEmpty || refineK > k,
+      s"exclusions need refine slack: refineK ($refineK) must exceed k ($k) " +
+        "— at refineK <= k the probe's final top-k is filtered with no " +
+        "backfill, returning short results with gapped ranks")
     refineAdc(base, queries, k, refineK,
       withExclusions(spark, excludeIds,
         kk => searchFastScanIvf(idx, spark, queries, nprobe, kk)),
@@ -743,6 +747,10 @@ object Pq {
                                         vecCol: String = "vec",
                                         excludeIds: Array[Long] = Array.empty): DataFrame = {
     val nlist = idx.coarse.length
+    require(excludeIds.isEmpty || refineK > k,
+      s"exclusions need refine slack: refineK ($refineK) must exceed k ($k) " +
+        "— at refineK <= k the probe's final top-k is filtered with no " +
+        "backfill, returning short results with gapped ranks")
     require(clusteredIdx.centroids.length == nlist &&
       clusteredIdx.centroids.zip(idx.coarse).forall { case (a, b) => a.sameElements(b) },
       s"clustered table's coarse quantizer (nlist=${clusteredIdx.centroids.length}) " +
@@ -855,8 +863,15 @@ object Pq {
     * residency [[Hnsw.searchLocal]]'s graph cache assumes.
     */
   private final class LocalIvf4(
-      val cellIds: java.util.HashMap[Integer, Array[Long]],
-      val cellBlobs: java.util.HashMap[Integer, Array[Byte]],
+      // per cell, EVERY blocked segment (ids, packed nibble blob): the
+      // stored table carries one row per (cell, 128-row block), so any
+      // cell past the block size — every cell at production scale, and
+      // every appendIvf4-touched cell — has several. (r16 fix: the warm
+      // previously kept ONE row per cell via HashMap.put overwrite,
+      // silently serving a fraction of each multi-block cell; the
+      // fixture cells all fit one block, so only the 1M latency rows —
+      // never recall-gated on the local tier — saw it.)
+      val cellSegs: java.util.HashMap[Integer, Array[(Array[Long], Array[Byte])]],
       val vecIds: Array[Long], val vecs: Array[Array[Float]])
 
   private val localCache =
@@ -872,15 +887,23 @@ object Pq {
                     base: DataFrame, idCol: String = "id",
                     vecCol: String = "vec"): Unit = {
     localCache.computeIfAbsent(cacheKey, _ => {
-      val cellIds = new java.util.HashMap[Integer, Array[Long]]()
-      val cellBlobs = new java.util.HashMap[Integer, Array[Byte]]()
+      val segs = new java.util.HashMap[Integer,
+        collection.mutable.ArrayBuffer[(Array[Long], Array[Byte])]]()
       blockedRelation(spark, idx.path)
         .select(col("cluster_id"), col("ids"), col("codes"))
         .collect().foreach { r =>
-          val cell = r.getInt(0)
-          cellIds.put(cell, r.getSeq[Long](1).toArray)
-          cellBlobs.put(cell, r.getAs[Array[Byte]](2))
+          val cell = Integer.valueOf(r.getInt(0))
+          var b = segs.get(cell)
+          if (b == null) {
+            b = collection.mutable.ArrayBuffer
+              .empty[(Array[Long], Array[Byte])]
+            segs.put(cell, b)
+          }
+          b += ((r.getSeq[Long](1).toArray, r.getAs[Array[Byte]](2)))
         }
+      val cellSegs =
+        new java.util.HashMap[Integer, Array[(Array[Long], Array[Byte])]]()
+      segs.forEach((cell, b) => cellSegs.put(cell, b.toArray))
       // the full-precision store streams partition-by-partition
       // (toLocalIterator): a corpus-sized collect() serializes every task
       // result into ONE job and trips spark.driver.maxResultSize at 1M×384d
@@ -892,7 +915,7 @@ object Pq {
           buf += ((r.getLong(0), r.getSeq[Float](1).toArray))
         }
       val rows = buf.sortBy(_._1).toArray
-      new LocalIvf4(cellIds, cellBlobs, rows.map(_._1), rows.map(_._2))
+      new LocalIvf4(cellSegs, rows.map(_._1), rows.map(_._2))
     })
     ()
   }
@@ -959,9 +982,8 @@ object Pq {
     var p = 0
     while (p < np) {
       val cell = probes(p)
-      val ids = img.cellIds.get(Integer.valueOf(cell))
-      if (ids != null) {
-        val blob = img.cellBlobs.get(Integer.valueOf(cell))
+      val cellSegs = img.cellSegs.get(Integer.valueOf(cell))
+      if (cellSegs != null) {
         val cen = coarse(cell)
         val res = new Array[Float](qvec.length)
         var d0 = 0
@@ -984,6 +1006,13 @@ object Pq {
           }
           rWorst = w
         }
+        // every blocked SEGMENT of this cell streams through the shared
+        // per-cell reservoir — the group offsets are segment-local (each
+        // blob's ragged tail group still occupies a full spMax·64 slot,
+        // so offsets cannot carry across segment boundaries)
+        var si = 0
+        while (si < cellSegs.length) {
+        val (ids, blob) = cellSegs(si)
         val vpr = ids.length
         val groups = (vpr + 63) / 64
         var g = 0
@@ -1016,6 +1045,8 @@ object Pq {
             r += 1
           }
           g += 1
+        }
+        si += 1
         }
         // float-ADC re-rank with this cell's exact LUT into the pool
         var i = 0

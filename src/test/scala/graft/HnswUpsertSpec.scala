@@ -199,6 +199,64 @@ class HnswUpsertSpec extends AnyFunSuite {
     Hnsw.invalidate(key)
   }
 
+  test("cross-shard replace: a moved vector's stale twin is tombstoned " +
+    "in its OLD cell (r16 review fix)") {
+    import spark.implicits._
+    // centroid router with two far-apart cells; the victim id starts in
+    // cell 0 and its UPDATED vector routes to cell 1 — only a group-wide
+    // replace pre-pass can find the stale twin (the destination task
+    // never sees cell 0's graph)
+    val dim = 16
+    val nearA = Array.tabulate(40)(i =>
+      ((i.toLong, Array.tabulate(dim)(d => (i * dim + d) % 7 * 0.01f))))
+    val nearB = Array.tabulate(40)(i =>
+      ((100L + i, Array.tabulate(dim)(d => 50f + (i * dim + d) % 7 * 0.01f))))
+    val centroids = Array(Array.fill(dim)(0f), Array.fill(dim)(50f))
+    val all = nearA ++ nearB
+    val toDF = (rs: Array[(Long, Array[Float])]) =>
+      spark.createDataset(rs.toIndexedSeq).toDF("id", "vec")
+    val qs = spark.createDataset(Seq((0L, Array.fill(dim)(50f))))
+      .toDF("qid", "qvec")
+    val key = "upsertspec_crossshard"
+    Hnsw.invalidate(key)
+    Hnsw.searchRouted(toDF(all), qs, centroids, routeProbe = 2, k = 5,
+      Metric.Dot, m = 8, efConstruction = 64, efSearch = 32,
+      cacheKey = key).count()
+    // replace id 7 (cell 0) with a vector that routes to cell 1
+    val moved = Array((7L, Array.fill(dim)(50.5f)))
+    val stats = Hnsw.upsertWarmed(toDF(moved), key, nShards = 2, Metric.Dot,
+      m = 8, efConstruction = 64, centroids = centroids).collect()
+    assert(stats.map(_.getLong(2)).sum == 1L,
+      "the moved id's stale twin was not counted as replaced")
+    assert(Hnsw.liveCountWarmed(key) == all.length,
+      "stale twin left live in the old cell (live count over-counts)")
+    // a query near cell 0 must NOT return id 7 (its old vector is dead),
+    // and a query near cell 1 must find the new vector
+    val qA = spark.createDataset(Seq((0L, nearA(7)._2))).toDF("qid", "qvec")
+    val hitsA = Hnsw.searchWarm(qA, key, nShards = 2, k = 10, Metric.Dot,
+      m = 8, efConstruction = 64, efSearch = 32, centroids = centroids,
+      routeProbe = 2, allowMissing = true)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!hitsA.contains(7L) || {
+      // id 7 may legitimately appear via its NEW vector; assert the
+      // SCORE matches the new vector, not the old one
+      val s7 = Hnsw.searchWarm(qA, key, nShards = 2, k = 10, Metric.Dot,
+        m = 8, efConstruction = 64, efSearch = 32, centroids = centroids,
+        routeProbe = 2, allowMissing = true)
+        .filter(col("id") === 7).select("score").collect()
+        .headOption.map(_.getDouble(0))
+      val wantNew = graft.functions.expressions.VectorKernels
+        .dot(nearA(7)._2, moved(0)._2)
+      s7.forall(s => math.abs(s - wantNew) < 1e-3)
+    }, "old-cell query served the stale twin's vector")
+    val hitsB = Hnsw.searchWarm(qs, key, nShards = 2, k = 3, Metric.Dot,
+      m = 8, efConstruction = 64, efSearch = 32, centroids = centroids,
+      routeProbe = 1, allowMissing = true)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hitsB.contains(7L), "moved vector not served from its new cell")
+    Hnsw.invalidate(key)
+  }
+
   test("insert extends an existing i8 sidecar bit-consistently") {
     // a quantized group must stay servable across upserts without an
     // n·dim re-quantize: insert writes the new row's codes through the
@@ -263,11 +321,15 @@ class HnswUpsertSpec extends AnyFunSuite {
     val all = rows(200)
     val toDF = (rs: Array[(Long, Array[Float])]) =>
       spark.createDataset(rs.toIndexedSeq).toDF("id", "vec")
-    // unknown group: loud
+    // unknown group: loud — for upsert AND delete (a silent zero-count
+    // takedown is a compliance hole, not a no-op)
     val ex = intercept[Exception](
       Hnsw.upsertWarmed(toDF(all), "upsertspec_nogroup", nShards = 4,
         Metric.Dot, m = 8, efConstruction = 64).collect())
     assert(msgChain(ex).contains("no warmed hnsw graph"), msgChain(ex))
+    val exDel = intercept[IllegalArgumentException](
+      Hnsw.deleteWarmed(spark, "upsertspec_nogroup", Array(1L), 4))
+    assert(exDel.getMessage.contains("no warmed hnsw graphs"))
     // centroid router with an intentionally empty cell: centroid 1 is far
     // from every base row, so the build materializes no graph for it —
     // an upsert routed there must refuse by default and seed under

@@ -351,6 +351,61 @@ class Pq4Spec extends AnyFunSuite {
     assert(a == b, "nondeterministic")
   }
 
+  test("local tier serves EVERY block of a multi-block cell, before and " +
+    "after an append (r16 review fix)") {
+    // the stored table carries one row per (cell, 128-row block); the
+    // warm previously kept one row per cell (HashMap.put overwrite), so
+    // any cell past the block size — every production cell, and every
+    // appended cell — silently served a fraction. nlist=2 over 500 rows
+    // forces ~250-row cells (2+ blocks each); the gate is exact equality
+    // with the distributed refined plan, which reads the table itself.
+    val tmp = java.nio.file.Files.createTempDirectory("pq4_multiblock").toString
+    val coarse = Ivf.train(base, nlist = 2, ntrain = 500)
+    def resid(rows: org.apache.spark.sql.DataFrame) =
+      Ivf.assign(rows, coarse)
+        .withColumn("residual",
+          Pq.centroidResidual(col("vec"), col("cluster_id"), coarse))
+    val bks = Pq.train(
+      resid(base).select(col("id"), col("residual").as("vec")),
+      m = m4, ksub = 16, ntrain = 500)
+    def codesOf(rows: org.apache.spark.sql.DataFrame) =
+      resid(rows).select(col("id"), col("cluster_id"),
+        Pq.pqEncode(col("residual"), bks).as("codes"))
+    QuantizedTables.writePq4BlockedClustered(codesOf(base), s"$tmp/codes")
+    val idx = Pq.Index(coarse, bks, s"$tmp/codes")
+    val lk = "pq4spec_multiblock"
+    def localEqualsSpark(serveBase: org.apache.spark.sql.DataFrame): Unit = {
+      val sparkSide = Pq.searchFastScanIvfRefined(serveBase, idx, queries,
+        nprobe = 2, k = 10, refineK = 100)
+        .select("qid", "id", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      base.filter(col("id") < 16).select(col("id"), col("vec")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .foreach { case (qid, qvec) =>
+          val local = Pq.searchLocalIvf4(qvec, idx, lk, nprobe = 2, k = 10,
+            refineK = 100)
+          local.zipWithIndex.foreach { case ((id, d), i) =>
+            val want = sparkSide((qid, i + 1))
+            assert(id == want._1 && d == want._2,
+              s"qid=$qid rank=${i + 1}: local=($id,$d) spark=$want")
+          }
+          assert(local.length == sparkSide.count(_._1._1 == qid))
+        }
+    }
+    Pq.warmLocalIvf4(spark, idx, lk, base)
+    localEqualsSpark(base)
+    // append twins under shifted ids, re-warm, and the image must serve
+    // the GROWN cells completely too
+    val shifted = base.select((col("id") + 1000L).as("id"), col("vec"))
+    assert(Pq.appendIvf4(idx, shifted) == 500L)
+    val grown = base.select(col("id"), col("vec")).union(shifted)
+    Pq.invalidateLocal(lk)
+    Pq.warmLocalIvf4(spark, idx, lk, grown)
+    localEqualsSpark(grown)
+    Pq.invalidateLocal(lk)
+  }
+
   test("serve-time exclusions: takedowns suppressed identically across " +
     "all three serving flavors") {
     // the maintenance story's suppression half: a takedown must stop
