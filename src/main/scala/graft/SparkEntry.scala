@@ -657,25 +657,25 @@ object SparkEntry {
         m4 = m4, ntrain = 100000)
       val refIdx = Ivf.buildOrGet(s, old, s"$dir|pq4app", nlist = 16,
         ntrain = 100000)
-      // append exactly once per artifact generation (the marker rides in
-      // the index dir, so a fresh JVM over the cached artifact skips it).
-      // The two appends mutate the cached artifact in place and are not
-      // transactional, so a STARTED sentinel brackets them: a crash
-      // mid-append leaves STARTED without APPENDED and the next run
-      // fails LOUDLY (a silent re-append would encode the new slice
-      // twice and poison every later round through the cache) — the
-      // remedy is wiping the two cache dirs so the DDL rebuilds.
-      val marker = new java.io.File(s"${idx.path}/_APPENDED")
-      val started = new java.io.File(s"${idx.path}/_APPEND_STARTED")
-      if (!marker.isFile) {
-        require(!started.isFile,
-          s"a prior a17 append crashed mid-way over ${idx.path} — the " +
-            "cached artifact may hold a partial append; wipe this pq4 " +
-            "cache dir and the paired ivf cache dir to rebuild")
-        require(started.createNewFile(), s"could not mark ${idx.path}")
-        Pq.appendIvf4(idx, base.filter(col("id") >= cut))
-        Ivf.appendClustered(refIdx, base.filter(col("id") >= cut))
-        require(marker.createNewFile(), s"could not mark ${idx.path}")
+      // append exactly once per artifact generation, CRASH-SAFE (r17,
+      // replacing the r16 STARTED-sentinel + manual-wipe remedy): each
+      // append stages under a token and commits through
+      // graft.io.StagedAppend, so a crash at ANY point leaves the old
+      // tables servable and this very call path recovers on the next
+      // run — committed tokens skip, a planted crash replays (Pq4Spec
+      // gates the planted-crash recovery). The legacy `_APPENDED`
+      // marker still short-circuits: a pre-r17 cached artifact already
+      // HOLDS the appended rows, and re-running the (differently-
+      // marked) staged appends over it would double-encode the slice.
+      val legacyMarker = new java.io.File(s"${idx.path}/_APPENDED")
+      if (!legacyMarker.isFile) {
+        require(!new java.io.File(s"${idx.path}/_APPEND_STARTED").isFile,
+          s"a pre-r17 a17 append crashed mid-way over ${idx.path} — that " +
+            "protocol cannot be recovered; wipe this pq4 cache dir and " +
+            "the paired ivf cache dir to rebuild under the staged one")
+        Pq.appendIvf4(idx, base.filter(col("id") >= cut), token = "a17")
+        Ivf.appendClustered(refIdx, base.filter(col("id") >= cut),
+          token = "a17")
       }
       val pred = predSidecar("a17_pq4_append",
         Pq.searchFastScanIvfRefinedClustered(refIdx, idx, qs,

@@ -1864,6 +1864,20 @@ object Hnsw {
     total
   }
 
+  /** Tombstoned-slot count across `cacheKey`'s warmed shards — with
+    * [[liveCountWarmed]], the group's tombstone fraction. The streaming
+    * maintenance hook's compaction trigger reads it
+    * ([[graft.streaming.IndexStream.upsertHnswStream]]): sustained
+    * upsert/delete churn grows tombstones without bound unless something
+    * measures and reclaims them.
+    */
+  def deletedCountWarmed(cacheKey: String): Long = {
+    var total = 0L
+    shardGroupIfPresent(cacheKey).foreach(_.forEach((_, g) =>
+      total += g.deletedCount))
+    total
+  }
+
   /** Every warmed graph under `cacheKey` whose key routes to `shard`
     * (key layout `cacheKey|shard|dim|...` — one graph per (shard, dim)
     * in practice; uniform-dim corpora have exactly one).
@@ -2042,6 +2056,12 @@ object Hnsw {
     * replaces the old graph in the cache. Re-run [[quantizeWarmed]]
     * afterwards if the group serves the i8 flavor (dead rows' codes
     * don't carry over). Returns the number of shards compacted.
+    *
+    * This is the IN-PROCESS tier's flavor: it iterates THIS JVM's cache,
+    * which is the whole group only for a single-JVM serving deployment
+    * (or `local[*]`). A distributed group — warmed in executor JVMs by
+    * [[upsertWarmed]]/[[deleteWarmed]]'s dispatch — compacts through
+    * [[compactDispatched]], which runs where those siblings run.
     */
   def compactWarmed(cacheKey: String,
                     minDeletedFraction: Double = 0.0): Int = {
@@ -2062,6 +2082,88 @@ object Hnsw {
         ()
       }
     picked.length
+  }
+
+  /** [[compactWarmed]]'s CLUSTER shape (r17, closing the r16 verdict
+    * finding that compaction ran driver-local while its siblings
+    * dispatched): one task per shard through the SAME [[dispatchShards]]
+    * lane as [[upsertWarmed]]/[[deleteWarmed]], so the maintenance
+    * story's third leg runs where the first two do. Each task rebuilds
+    * ITS JVM's qualifying shard graphs from their live rows (canonical
+    * id-sorted build — bit-identical to a from-scratch graph on the live
+    * set, like the driver-local flavor) and, for graphs carrying the i8
+    * serve sidecar, re-runs [[ShardGraph.quantizeStore]] IN-TASK
+    * (`requantize`, default on — dead rows' codes must not carry over,
+    * and a separate driver-side [[quantizeWarmed]] pass would again only
+    * reach the calling JVM).
+    *
+    * Mapped (read-only) qualifying graphs refuse, as in [[upsertWarmed]]:
+    * the rebuild yields a HEAP graph, and silently swapping a
+    * store-mapped group's serve flavor under compaction would change the
+    * serving posture behind the caller's back — restore `mapped = false`,
+    * maintain, [[saveWarmed]], re-map. Per-graph calibration
+    * ([[calibrateWarmed]]) does not carry over a rebuild; re-run it where
+    * the group serves `autoFlavor`.
+    *
+    * EAGER (maintenance DDL, not a query): returns one already-computed
+    * row per dispatched shard — (shard, task_part, n_compacted,
+    * n_reclaimed, n_live) — with `task_part` the task partition that
+    * processed the shard (HnswUpsertSpec gates the one-shard-per-task
+    * dispatch shape on it). Throws if NO task found a warmed graph: a
+    * silent no-op compaction would leave tombstones accumulating behind
+    * a "done" return, the same loud-miss contract as delete.
+    */
+  def compactDispatched(spark: SparkSession, cacheKey: String, nShards: Int,
+                        minDeletedFraction: Double = 0.0,
+                        requantize: Boolean = true): DataFrame = {
+    require(cacheKey.nonEmpty,
+      "compactDispatched needs the cacheKey the graphs were built under")
+    import spark.implicits._
+    val rows = dispatchShards(spark, 0 until nShards)
+      .mapPartitions { it =>
+        val out = collection.mutable.ArrayBuffer
+          .empty[(Int, Int, Long, Long, Long, Long)]
+        it.foreach { shard =>
+          val part = org.apache.spark.TaskContext.getPartitionId()
+          var found = 0L
+          var nComp = 0L
+          var reclaimed = 0L
+          var live = 0L
+          shardGroupIfPresent(cacheKey).foreach { group =>
+            val p = s"$cacheKey|$shard|"
+            val picked = {
+              val b = Vector.newBuilder[(String, ShardGraph)]
+              group.forEach((k, g) => if (k.startsWith(p)) b += ((k, g)))
+              b.result()
+            }
+            picked.foreach { case (key, g) =>
+              found += 1
+              if (g.deletedCount > 0 &&
+                  g.deletedCount >= minDeletedFraction * g.size) {
+                require(!g.isMapped,
+                  s"warmed graph '$key' is mapped (read-only payload) — " +
+                    "restore with mapped = false to compact, saveWarmed, " +
+                    "then re-map for serving")
+                val ng = g.compacted()
+                if (requantize && g.i8Available) ng.quantizeStore()
+                group.put(key, ng)
+                reclaimed += g.deletedCount
+                nComp += 1
+                live += ng.liveSize
+              } else live += g.liveSize
+            }
+          }
+          out += ((shard, part, found, nComp, reclaimed, live))
+        }
+        out.iterator
+      }
+      .collect()
+    require(rows.map(_._3).sum > 0,
+      s"no warmed hnsw graphs under '$cacheKey' on any dispatched shard " +
+        "task — warm the group (or run compaction where it is warmed) " +
+        "before compacting")
+    spark.createDataset(rows.toSeq.map(r => (r._1, r._2, r._4, r._5, r._6)))
+      .toDF("shard", "task_part", "n_compacted", "n_reclaimed", "n_live")
   }
 
   private[graft] def cacheSize: Int = graphCache.synchronized {

@@ -113,21 +113,40 @@ object Ivf {
     * append lands inside the touched cluster_id partitions only, so
     * partition pruning keeps working over the grown table. Invalidates
     * the session relation cache (the grown table must re-list its
-    * files). Returns the number of rows appended.
+    * files).
+    *
+    * `token` (r17) routes the batch through [[graft.io.StagedAppend]]'s
+    * crash-safe stage-then-commit protocol (see [[graft.ops.Pq.appendIvf4]]
+    * — same semantics: idempotent per token, old generation servable
+    * under any crash, re-call recovers). `token = null` keeps the direct
+    * in-place append for one-shot scratch artifacts.
+    *
+    * Returns the number of rows appended (the recorded count when the
+    * token was already committed).
     */
   def appendClustered(idx: Index, rows: DataFrame,
-                      idCol: String = "id", vecCol: String = "vec"): Long = {
+                      idCol: String = "id", vecCol: String = "vec",
+                      token: String = null): Long = {
     val batch = rows.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("vec"))
-    val n = batch.count()
     // repartition on the partition column like writeClustered — a raw
     // partitionBy append writes one file per (input split x touched
     // cluster), and a continuously maintained table accumulates that
     // small-file explosion per batch
-    assign(batch, idx.centroids)
-      .repartition(col("cluster_id"))
-      .write.mode("append").partitionBy("cluster_id")
-      .parquet(idx.clusteredPath)
+    def writeTo(path: String, mode: String): Unit =
+      assign(batch, idx.centroids)
+        .repartition(col("cluster_id"))
+        .write.mode(mode).partitionBy("cluster_id")
+        .parquet(path)
+    val n =
+      if (token == null) {
+        val n0 = batch.count()
+        writeTo(idx.clusteredPath, "append")
+        n0
+      } else
+        graft.io.StagedAppend.run(idx.clusteredPath, token, batch.count()) {
+          stage => writeTo(stage, "overwrite")
+        }
     invalidateClustered(idx.clusteredPath)
     n
   }
@@ -215,29 +234,22 @@ object Ivf {
 
   /** Persist/load a small float matrix (centroids, codebook slices) next
     * to the clustered table — the index artifact survives the JVM, like
-    * the reference's on-disk FAISS index files.
+    * the reference's on-disk FAISS index files. CRC32C-framed since r17
+    * ([[graft.io.CheckedBlob]]; a flipped centroid float would silently
+    * re-route assignments) — legacy unframed files stay readable.
     */
-  private[graft] def saveMatrix(file: String, m: Array[Array[Float]]): Unit = {
-    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(file)))
-    try {
+  private[graft] def saveMatrix(file: String, m: Array[Array[Float]]): Unit =
+    graft.io.CheckedBlob.write(file) { out =>
       out.writeInt(m.length)
       out.writeInt(if (m.isEmpty) 0 else m(0).length)
       m.foreach(_.foreach(out.writeFloat))
-    } finally out.close()
-  }
+    }
 
   private[graft] def loadMatrix(file: String): Option[Array[Array[Float]]] =
-    if (!new java.io.File(file).isFile) None
-    else {
-      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-        new java.io.FileInputStream(file)))
-      try {
-        val rows = in.readInt()
-        val cols = in.readInt()
-        Some(Array.fill(rows)(Array.fill(cols)(in.readFloat())))
-      } catch { case _: java.io.IOException => None }
-      finally in.close()
+    graft.io.CheckedBlob.read(file) { in =>
+      val rows = in.readInt()
+      val cols = in.readInt()
+      Array.fill(rows)(Array.fill(cols)(in.readFloat()))
     }
 
   /** Build (or fetch the already-built) IVF index for `base`: train

@@ -595,33 +595,28 @@ object Pq {
       s"${graft.core.GraftSession.uuid(spark)}|$path",
       _ => spark.read.parquet(path))
 
-  private[graft] def saveBooks(file: String, books: Codebooks): Unit = {
-    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(file)))
-    try {
+  /** Codebook sidecar, CRC32C-framed since r17 ([[graft.io.CheckedBlob]]:
+    * a flipped float here skews every ADC score with no oracle in the
+    * way). Legacy unframed files load through the fallback parse.
+    */
+  private[graft] def saveBooks(file: String, books: Codebooks): Unit =
+    graft.io.CheckedBlob.write(file) { out =>
       out.writeInt(books.length)
       books.foreach { sub =>
         out.writeInt(sub.length)
         out.writeInt(if (sub.isEmpty) 0 else sub(0).length)
         sub.foreach(_.foreach(out.writeFloat))
       }
-    } finally out.close()
-  }
+    }
 
   private[graft] def loadBooks(file: String): Option[Codebooks] =
-    if (!new java.io.File(file).isFile) None
-    else {
-      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-        new java.io.FileInputStream(file)))
-      try {
-        val m = in.readInt()
-        Some(Array.fill(m) {
-          val rows = in.readInt()
-          val cols = in.readInt()
-          Array.fill(rows)(Array.fill(cols)(in.readFloat()))
-        })
-      } catch { case _: java.io.IOException => None }
-      finally in.close()
+    graft.io.CheckedBlob.read(file) { in =>
+      val m = in.readInt()
+      Array.fill(m) {
+        val rows = in.readInt()
+        val cols = in.readInt()
+        Array.fill(rows)(Array.fill(cols)(in.readFloat()))
+      }
     }
 
   /** Build (or fetch) an IVF-PQ index: coarse KMeans → residual = vec −
@@ -832,26 +827,46 @@ object Pq {
     * serving [[searchFastScanIvfRefinedClustered]], or its pruned fetch
     * will miss the new candidates' vectors. Warm serving images over
     * this index are stale after an append — [[invalidateLocal]] then
-    * re-[[warmLocalIvf4]]. For streams, wrap in `foreachBatch` with a
-    * batchId-keyed marker (parquet append into partition dirs is not
-    * transactional; the flat family's exactly-once file-sink path is
-    * [[graft.streaming.IndexStream.appendStream]]).
+    * re-[[warmLocalIvf4]]. For streams, wrap in `foreachBatch` with the
+    * batchId as `token` (parquet append into partition dirs is not
+    * transactional by itself; the flat family's exactly-once file-sink
+    * path is [[graft.streaming.IndexStream.appendStream]]).
     *
-    * Returns the number of rows appended.
+    * `token` (r17) turns on the CRASH-SAFE protocol: the encoded batch
+    * stages and commits through [[graft.io.StagedAppend]], so a crash at
+    * any point leaves the old table generation servable and a RE-CALL
+    * with the same token recovers (idempotent skip / replay) — no
+    * manual cache wiping. `token = null` keeps the direct in-place
+    * append for one-shot scratch artifacts that rebuild from scratch on
+    * failure anyway (the bench's temp-dir copies); a maintained
+    * production artifact should always pass a token.
+    *
+    * Returns the number of rows appended (the recorded count when the
+    * token was already committed).
     */
   def appendIvf4(idx: Index, rows: DataFrame, idCol: String = "id",
-                 vecCol: String = "vec"): Long = {
+                 vecCol: String = "vec", token: String = null): Long = {
     val batch = rows.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("vec"))
-    val n = batch.count()
-    val assigned = Ivf.assign(batch, idx.coarse)
-      .withColumn("residual",
-        centroidResidual(col("vec"), col("cluster_id"), idx.coarse))
-    graft.io.QuantizedTables.writePq4BlockedClustered(
+    lazy val encoded = {
+      val assigned = Ivf.assign(batch, idx.coarse)
+        .withColumn("residual",
+          centroidResidual(col("vec"), col("cluster_id"), idx.coarse))
       assigned.select(col("id"), col("cluster_id"),
-        pqEncode(col("residual"), idx.books).as("codes")),
-      idx.path, mode = "append")
-    // the grown table must re-list its files in every session
+        pqEncode(col("residual"), idx.books).as("codes"))
+    }
+    val n =
+      if (token == null) {
+        val n0 = batch.count()
+        graft.io.QuantizedTables.writePq4BlockedClustered(
+          encoded, idx.path, mode = "append")
+        n0
+      } else
+        graft.io.StagedAppend.run(idx.path, token, batch.count()) { stage =>
+          graft.io.QuantizedTables.writePq4BlockedClustered(encoded, stage)
+        }
+    // the grown table must re-list its files in every session (also on a
+    // replayed commit: the moves may have completed just now)
     relationCache.keySet().removeIf(_.endsWith(s"|${idx.path}"))
     n
   }

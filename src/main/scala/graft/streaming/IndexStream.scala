@@ -63,19 +63,41 @@ object IndexStream {
     * but each replay leaves tombstones ([[graft.ops.Hnsw.compactWarmed]]
     * reclaims them, restoring the canonical graph). Persist with
     * [[graft.ops.Hnsw.saveWarmed]] on the caller's checkpoint cadence.
+    *
+    * TOMBSTONE HYGIENE (r17): sustained churn — every replaced id is a
+    * tombstone — grows dead slots without bound, and the serve-through
+    * cost measured at +2 % for a 5 % delete fraction does not stay
+    * there. After each batch the hook reads the group's tombstone
+    * fraction ([[graft.ops.Hnsw.deletedCountWarmed]] over live+dead
+    * slots) and, at or above `compactAtDeletedFraction`, compacts
+    * through [[graft.ops.Hnsw.compactDispatched]] — the executor-side
+    * path, so the trigger works where the upserts themselves run. The
+    * canonical rebuild also re-canonicalizes out-of-order upsert
+    * batches, so a long-lived stream converges back to the
+    * build-equivalent graphs each time the trigger fires. Set the knob
+    * ≥ 1.0 (or `Double.MaxValue`) to disable and manage compaction on
+    * an external cadence; IndexStreamSpec gates that the default keeps
+    * `deletedCountWarmed` bounded under replace churn.
     */
   def upsertHnswStream(vectors: DataFrame, cacheKey: String, nShards: Int,
                        checkpoint: String,
                        metric: Metric = Metric.Dot, m: Int = 16,
                        efConstruction: Int = 100, seed: Long = 42L,
                        centroids: Array[Array[Float]] = null,
-                       createMissing: Boolean = false): StreamingQuery =
+                       createMissing: Boolean = false,
+                       compactAtDeletedFraction: Double = 0.25): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Hnsw.upsertWarmed(batch, cacheKey, nShards, metric, m,
           efConstruction, seed, centroids,
           createMissing = createMissing).count()
-        ()
+        val dead = Hnsw.deletedCountWarmed(cacheKey)
+        val total = dead + Hnsw.liveCountWarmed(cacheKey)
+        if (dead > 0 && total > 0 &&
+            dead.toDouble / total >= compactAtDeletedFraction) {
+          Hnsw.compactDispatched(batch.sparkSession, cacheKey, nShards)
+          ()
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -1421,8 +1421,13 @@ object BenchScale {
           lat(lat.length / 2)
         }
         val p50Maint = p50Of("maintained")
+        // r17: compaction through the DISPATCHED path — the same
+        // one-shard-per-task lane upsert/delete ride, so this row now
+        // measures the shape a cluster would actually run (the r16 row
+        // measured the driver-local in-process flavor)
         val tC = System.nanoTime()
-        val nCompacted = Hnsw.compactWarmed(mKey)
+        val nCompacted = Hnsw.compactDispatched(spark, mKey, mShards)
+          .filter(col("n_compacted") > 0).count()
         val compactSec = (System.nanoTime() - tC) / 1e9
         val p50Compact = p50Of("compacted")
         annResults("ann_hnsw_upsert") = Map(
@@ -1439,6 +1444,117 @@ object BenchScale {
           "p50_us_compacted" -> p50Compact)
         println(f"[scale] ann_hnsw_upsert       ${nUp / upSec}%8.0f rows/s upsert ($upSec%.1f s)  del=$delSec%.2f s  compact=$compactSec%.1f s  p50 maint=$p50Maint%.0f us / compacted=$p50Compact%.0f us")
         Hnsw.invalidate(mKey)
+      }
+
+      // ---- 1M-group maintenance row (r17, verdict task #3): the 200K
+      // row proves the mechanism; this one measures it where the known
+      // O(batch × shards) costs first bite — the upsert/delete pre-pass
+      // broadcasts the batch's id set to EVERY routed shard task (~110K
+      // ids × 1024 graphs of hash probes), and compaction rebuilds every
+      // touched graph. Routed group over 900K of the corpus on the IVF
+      // centroids (the production router), store-cached across runs;
+      // the maintenance itself — a 100K append-only routed upsert + ~9K
+      // replaces, a 5 % tombstone delete, serve-through, dispatched
+      // compaction, serve again — re-runs every time. Serve-through
+      // recall is gated against exact GT on the LIVE set (the a16
+      // leaked-tombstone invariant at 1M: a leaked dead id or a
+      // lost live one drops it). ----
+      if (only.forall(_.contains("ann1m_hnsw_upsert"))) {
+        System.gc(); Thread.sleep(300)
+        val m1N = 900000L
+        val m1Key = s"$annKey|hnsw|maint1m"
+        val m1Store = s"target/scale_hnsw_maint1m_store_${m1N}_${hM}_${hEfc}_42_g1"
+        Hnsw.invalidate(m1Key)
+        val tB1 = System.nanoTime()
+        val m1Cached = new java.io.File(s"$m1Store/MANIFEST").isFile
+        if (m1Cached) Hnsw.warmFromDisk(m1Key, m1Store) // heap: inserts mutate
+        else {
+          Hnsw.searchRouted(base.filter(col("id") < m1N), queries,
+            idx.centroids, routeProbe = 32, k, Metric.Dot, hM, hEfc,
+            efSearch = 64, cacheKey = m1Key).count()
+          Hnsw.saveWarmed(m1Key, m1Store)
+        }
+        val m1WarmSec = (System.nanoTime() - tB1) / 1e9
+        // 100K fresh rows (append-only: ids at/above the group ceiling)
+        // + ~9K replaces routed by their vectors, like production churn
+        val up1 = base.filter(col("id") >= m1N ||
+          (col("id") < m1N && col("id") % 100 === 7))
+        val nUp1 = up1.count()
+        val tU1 = System.nanoTime()
+        val upStats1 = Hnsw.upsertWarmed(up1, m1Key, nShards = nlist,
+          Metric.Dot, m = hM, efConstruction = hEfc,
+          centroids = idx.centroids, createMissing = true).collect()
+        val upSec1 = (System.nanoTime() - tU1) / 1e9
+        require(upStats1.map(_.getLong(1)).sum == nUp1, "1M upsert count off")
+        val del1 = (0L until annN).filter(_ % 20 == 3).toArray
+        val tD1 = System.nanoTime()
+        val nDel1 = Hnsw.deleteWarmed(spark, m1Key, del1, nlist)
+        val delSec1 = (System.nanoTime() - tD1) / 1e9
+        require(Hnsw.liveCountWarmed(m1Key) == annN - nDel1,
+          "1M live count drifted")
+        val nServe1 = 128
+        val serveQs1 = base.filter(col("id") >= 100000L && col("id") < 100000L + nServe1)
+          .orderBy("id").select(col("id"), col("vec")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        def p50Of1(tag: String): Double = {
+          serveQs1.take(32).foreach { case (_, qv) =>
+            Hnsw.searchLocal(qv, m1Key, nlist, k, Metric.Dot, hM, hEfc,
+              efSearch = 64, centroids = idx.centroids, routeProbe = 32,
+              allowMissing = true)
+          }
+          val lat = serveQs1.map { case (_, qv) =>
+            val t0 = System.nanoTime()
+            val got = Hnsw.searchLocal(qv, m1Key, nlist, k, Metric.Dot,
+              hM, hEfc, efSearch = 64, centroids = idx.centroids,
+              routeProbe = 32, allowMissing = true)
+            require(got.length == k && !got.exists(_._1 % 20 == 3),
+              s"$tag: short or tombstone-leaking 1M serve")
+            (System.nanoTime() - t0) / 1e3
+          }
+          java.util.Arrays.sort(lat)
+          lat(lat.length / 2)
+        }
+        // exact GT on the LIVE set for the serve queries — the recall
+        // axis for both serve points (one batched 1M scan, cached)
+        val serveQdf1 = base.filter(col("id") >= 100000L && col("id") < 100000L + nServe1)
+          .select(col("id").as("qid"), col("vec").as("qvec"))
+        val gtLive1 = Search.groundTruth(
+          base.filter(col("id") % 20 =!= 3), serveQdf1, k, Metric.Dot).cache()
+        gtLive1.count()
+        def recall1(): Double = {
+          val pred = Hnsw.searchWarm(serveQdf1, m1Key, nShards = nlist, k,
+            Metric.Dot, hM, hEfc, efSearch = 64, centroids = idx.centroids,
+            routeProbe = 32, allowMissing = true)
+          require(pred.filter(col("id") % 20 === 3).count() == 0,
+            "1M warm serve leaked a tombstoned id")
+          Ivf.meanRecall(pred, gtLive1, k).collect()(0).getDouble(0)
+        }
+        val p50Maint1 = p50Of1("maintained")
+        val recMaint1 = recall1()
+        val tC1 = System.nanoTime()
+        val compacted1 = Hnsw.compactDispatched(spark, m1Key, nlist)
+          .filter(col("n_compacted") > 0).count()
+        val compactSec1 = (System.nanoTime() - tC1) / 1e9
+        require(Hnsw.deletedCountWarmed(m1Key) == 0, "1M compaction left tombstones")
+        val p50Compact1 = p50Of1("compacted")
+        val recCompact1 = recall1()
+        gtLive1.unpersist()
+        annResults("ann1m_hnsw_upsert") = Map(
+          "n_vec" -> annN.toDouble, "n_shards" -> nlist.toDouble,
+          "warm_sec" -> m1WarmSec,
+          "cached" -> (if (m1Cached) 1.0 else 0.0),
+          "upsert_rows" -> nUp1.toDouble, "upsert_sec" -> upSec1,
+          "upsert_rows_per_sec" -> nUp1 / upSec1,
+          "n_deleted" -> nDel1.toDouble, "delete_sec" -> delSec1,
+          "n_live" -> (annN - nDel1).toDouble,
+          "p50_us_maintained" -> p50Maint1,
+          "recall_maintained" -> recMaint1,
+          "compact_sec" -> compactSec1,
+          "shards_compacted" -> compacted1.toDouble,
+          "p50_us_compacted" -> p50Compact1,
+          "recall_compacted" -> recCompact1)
+        println(f"[scale] ann1m_hnsw_upsert     ${nUp1 / upSec1}%8.0f rows/s upsert ($upSec1%.1f s)  del=$delSec1%.2f s  compact=$compactSec1%.1f s ($compacted1 shards)  p50 maint=$p50Maint1%.0f/comp=$p50Compact1%.0f us  recall ${recMaint1}%.4f/${recCompact1}%.4f")
+        Hnsw.invalidate(m1Key)
       }
 
       // ---- PQ-family MAINTENANCE row (r16, the a17 surface at scale):

@@ -316,6 +316,72 @@ class HnswUpsertSpec extends AnyFunSuite {
     Hnsw.invalidate(key)
   }
 
+  test("dispatched compaction runs one-shard-per-task where upsert and " +
+    "delete run, requantizing in-task (r17)") {
+    import spark.implicits._
+    val all = rows(500)
+    val (old, fresh) = all.splitAt(375)
+    val toDF = (rs: Array[(Long, Array[Float])]) =>
+      spark.createDataset(rs.toIndexedSeq).toDF("id", "vec")
+    val qs = spark.createDataset(all.take(8).toIndexedSeq).toDF("qid", "qvec")
+    val key = "upsertspec_cdisp"
+    Hnsw.invalidate(key)
+    Hnsw.search(toDF(old), qs, k = 10, Metric.Dot, m = 8,
+      efConstruction = 64, efSearch = 64, nShards = 4, cacheKey = key).count()
+    Hnsw.upsertWarmed(toDF(fresh), key, nShards = 4, Metric.Dot, m = 8,
+      efConstruction = 64).count()
+    Hnsw.quantizeWarmed(key) // the group serves the i8 flavor too
+    val delIds = all.filter(_._1 % 9 == 4).map(_._1)
+    assert(Hnsw.deleteWarmed(spark, key, delIds, nShards = 4) == delIds.length)
+    assert(Hnsw.deletedCountWarmed(key) == delIds.length)
+    val stats = Hnsw.compactDispatched(spark, key, nShards = 4).collect()
+    // dispatch shape: one row per shard, each processed in its OWN task
+    // partition (the same position-sliced lane upsert/delete ride) —
+    // the r16 finding was exactly that compaction did NOT take this lane
+    assert(stats.length == 4)
+    assert(stats.map(_.getInt(1)).distinct.length == 4,
+      s"two shards shared a task: ${stats.toSeq}")
+    assert(stats.map(_.getLong(3)).sum == delIds.length,
+      "reclaimed tombstones != deleted ids")
+    assert(Hnsw.deletedCountWarmed(key) == 0, "tombstones survived compaction")
+    assert(Hnsw.liveCountWarmed(key) == all.length - delIds.length)
+    // canonical anchor, both serve flavors: the compacted group (with its
+    // IN-TASK rebuilt i8 sidecars) serves bit-for-bit like a cold
+    // build + quantize on the live corpus
+    def results(k2: String, quantized: Boolean) =
+      Hnsw.searchWarm(qs, k2, nShards = 4, k = 10, Metric.Dot, m = 8,
+        efConstruction = 64, efSearch = 64, quantized = quantized)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val coldKey = "upsertspec_cdisp_cold"
+    Hnsw.invalidate(coldKey)
+    Hnsw.search(toDF(all.filterNot(r => delIds.contains(r._1))), qs, k = 10,
+      Metric.Dot, m = 8, efConstruction = 64, efSearch = 64, nShards = 4,
+      cacheKey = coldKey).count()
+    Hnsw.quantizeWarmed(coldKey)
+    assert(results(key, quantized = false) == results(coldKey, quantized = false),
+      "dispatched compaction diverged from the cold build on the live set")
+    assert(results(key, quantized = true) == results(coldKey, quantized = true),
+      "in-task i8 requantize diverged from a fresh cold-build quantize")
+    // loud-miss contract, like delete's
+    val exN = intercept[Exception](
+      Hnsw.compactDispatched(spark, "upsertspec_cdisp_none", nShards = 4))
+    assert(msgChain(exN).contains("no warmed hnsw graphs"), msgChain(exN))
+    // mapped groups refuse (read-only serving posture must not silently
+    // swap to heap under compaction) — restore-heap is the documented path
+    val store = java.nio.file.Files.createTempDirectory("hnsw_cdisp").toString
+    Hnsw.saveWarmed(key, store)
+    Hnsw.invalidate(key)
+    Hnsw.warmFromDisk(key, store, mapped = true)
+    val del2 = all.filterNot(r => delIds.contains(r._1)).take(5).map(_._1)
+    assert(Hnsw.deleteWarmed(spark, key, del2, nShards = 4) == 5)
+    val exM = intercept[Exception](
+      Hnsw.compactDispatched(spark, key, nShards = 4))
+    assert(msgChain(exM).contains("mapped"), msgChain(exM))
+    Hnsw.invalidate(key)
+    Hnsw.invalidate(coldKey)
+  }
+
   test("maintenance misses are loud; createMissing seeds an empty cell") {
     import spark.implicits._
     val all = rows(200)

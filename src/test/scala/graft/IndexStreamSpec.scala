@@ -103,4 +103,68 @@ class IndexStreamSpec extends AnyFunSuite {
       "stream-maintained group diverged from the cold union build")
     Hnsw.invalidate(key)
   }
+
+  test("sustained replace churn keeps tombstones bounded via the " +
+    "compaction trigger; without it they grow per batch (r17)") {
+    import graft.ops.Hnsw
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val replBatch = all.filter(col("id") < 200) // same ids, same vectors
+    val nAll = all.count()
+
+    def churn(key: String, rounds: Int, knob: Double,
+              perRound: Long => Unit): Unit = {
+      Hnsw.invalidate(key)
+      val qs = all.filter(col("id") < 4)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      Hnsw.search(all, qs, k = 10, Metric.Dot, m = 8, efConstruction = 64,
+        efSearch = 64, nShards = 4, cacheKey = key).count()
+      val src = Files.createTempDirectory(s"idxstream_churn_src").toString
+      val ckpt = Files.createTempDirectory(s"idxstream_churn_ckpt").toString
+      (1 to rounds).foreach { r =>
+        replBatch.write.mode("append").parquet(src) // new files, same rows
+        IndexStream.upsertHnswStream(
+          spark.readStream.schema(all.schema).parquet(src), key,
+          nShards = 4, checkpoint = ckpt, Metric.Dot, m = 8,
+          efConstruction = 64, compactAtDeletedFraction = knob)
+          .awaitTermination()
+        perRound(r.toLong)
+      }
+    }
+
+    // every round replaces 200 of 500 live rows → 200 fresh tombstones,
+    // fraction 200/700 ≈ 0.29 over the default 0.25 knob: the trigger
+    // must compact each batch, so dead slots never accumulate
+    val key = "idxstream_churn_on"
+    churn(key, rounds = 3, knob = 0.25, perRound = r => {
+      assert(Hnsw.deletedCountWarmed(key) == 0,
+        s"round $r: trigger left ${Hnsw.deletedCountWarmed(key)} tombstones")
+      assert(Hnsw.liveCountWarmed(key) == nAll,
+        s"round $r: live count drifted under churn")
+    })
+    // and the post-churn group is CANONICAL: replacing rows with their
+    // own vectors then compacting must serve exactly like the cold build
+    val qs = all.filter(col("id") < 4)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(results(Hnsw.searchWarm(qs, key, nShards = 4, k = 10, Metric.Dot,
+        m = 8, efConstruction = 64, efSearch = 64))
+      == results(Hnsw.search(all, qs, k = 10, Metric.Dot, m = 8,
+        efConstruction = 64, efSearch = 64, nShards = 4)),
+      "churned+compacted group diverged from the cold build")
+    Hnsw.invalidate(key)
+
+    // control: knob disabled (≥1.0) — the same churn accumulates 200
+    // tombstones per round, the unbounded-growth mode the trigger exists
+    // to prevent
+    val keyOff = "idxstream_churn_off"
+    churn(keyOff, rounds = 2, knob = 2.0, perRound = r => {
+      assert(Hnsw.deletedCountWarmed(keyOff) == 200 * r,
+        s"round $r: expected ${200 * r} accumulated tombstones, got " +
+          s"${Hnsw.deletedCountWarmed(keyOff)}")
+    })
+    Hnsw.invalidate(keyOff)
+  }
 }

@@ -507,4 +507,194 @@ class Pq4Spec extends AnyFunSuite {
     assert(pruned == grownRes,
       "pruned refine over the maintained clustered table diverged")
   }
+
+  test("staged append: a planted crash recovers on re-call, commits are " +
+    "idempotent, the old generation stays servable (r17)") {
+    val old = base.filter(col("id") < 350)
+    val fresh = base.filter(col("id") >= 350)
+    val tmp = java.nio.file.Files.createTempDirectory("pq4_staged").toString
+    val coarse = Ivf.train(old, nlist = 8, ntrain = 500)
+    val residOld = Ivf.assign(old, coarse)
+      .withColumn("residual",
+        Pq.centroidResidual(col("vec"), col("cluster_id"), coarse))
+    val frozenBooks = Pq.train(
+      residOld.select(col("id"), col("residual").as("vec")),
+      m = m4, ksub = 16, ntrain = 500)
+    QuantizedTables.writePq4BlockedClustered(
+      residOld.select(col("id"), col("cluster_id"),
+        Pq.pqEncode(col("residual"), frozenBooks).as("codes")),
+      s"$tmp/codes")
+    val idx = Pq.Index(coarse, frozenBooks, s"$tmp/codes")
+    Ivf.writeClustered(Ivf.assign(old, coarse), s"$tmp/flat")
+    val refIdx = Ivf.Index(coarse, s"$tmp/flat")
+    def res() =
+      Pq.searchFastScanIvfRefinedClustered(refIdx, idx, queries,
+        nprobe = 8, k = 10, refineK = 100)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val staleRes = res()
+    // CRASH mid-staging: a task-level failure inside the staged write —
+    // the stage dir is invisible to readers, so the table must keep
+    // serving the OLD generation bit-for-bit, with no manual cleanup
+    val boom = udf((id: Long, v: Seq[Float]) => {
+      if (id == 400L) throw new RuntimeException("planted staging crash")
+      v
+    })
+    val poisoned = fresh.select(col("id"),
+      boom(col("id"), col("vec")).as("vec"))
+    val exC = intercept[Exception](
+      Pq.appendIvf4(idx, poisoned, token = "crash1"))
+    def chain(t: Throwable): String = {
+      val sb = new StringBuilder
+      var x: Throwable = t
+      while (x != null) { sb.append(x.getMessage).append('\n'); x = x.getCause }
+      sb.toString
+    }
+    assert(chain(exC).contains("planted staging crash"), chain(exC))
+    assert(res() == staleRes,
+      "a crashed staging write changed what the table serves")
+    // RECOVERY is a re-call with the same token — the r16 protocol
+    // failed loudly here and demanded a manual two-dir wipe
+    assert(Pq.appendIvf4(idx, fresh, token = "crash1") == fresh.count())
+    assert(Ivf.appendClustered(refIdx, fresh, token = "crash1")
+      == fresh.count())
+    val grownRes = res()
+    assert(grownRes != staleRes, "appended rows not visible after commit")
+    def dataFiles(p: String): Seq[String] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(_.getFileName.toString)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+          .toSeq.sorted
+      } finally st.close()
+    }
+    val filesAfter = dataFiles(s"$tmp/codes")
+    // IDEMPOTENT replay: same token returns the recorded count and the
+    // table does not grow — a re-run of the same batch (the crash-retry
+    // path, or a stream's replayed micro-batch) cannot double-encode
+    assert(Pq.appendIvf4(idx, fresh, token = "crash1") == fresh.count())
+    assert(dataFiles(s"$tmp/codes") == filesAfter,
+      "a replayed committed token grew the table")
+    assert(res() == grownRes)
+    // the grown pair serves exactly like a from-scratch encode of the
+    // union under the same frozen quantizer — the append-equals-rebuild
+    // contract carries over to the staged protocol
+    val residAll = Ivf.assign(base, coarse)
+      .withColumn("residual",
+        Pq.centroidResidual(col("vec"), col("cluster_id"), coarse))
+    QuantizedTables.writePq4BlockedClustered(
+      residAll.select(col("id"), col("cluster_id"),
+        Pq.pqEncode(col("residual"), frozenBooks).as("codes")),
+      s"$tmp/rebuilt")
+    Ivf.writeClustered(Ivf.assign(base, coarse), s"$tmp/rflat")
+    val rebuiltRes = Pq.searchFastScanIvfRefinedClustered(
+      Ivf.Index(coarse, s"$tmp/rflat"),
+      Pq.Index(coarse, frozenBooks, s"$tmp/rebuilt"), queries,
+      nprobe = 8, k = 10, refineK = 100)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(grownRes == rebuiltRes,
+      "staged-appended pair diverged from the from-scratch rebuild")
+  }
+
+  test("staged append: a crash mid-APPLY replays to completion from the " +
+    "committed plan (r17)") {
+    // white-box reconstruction of the post-commit-point crash state: the
+    // plan landed (commit point), ONE of two moves ran, then the JVM
+    // died — the replay must finish the remaining move without
+    // re-invoking the writer, then clean up
+    val tmp = java.nio.file.Files.createTempDirectory("staged_replay")
+    val table = tmp.resolve("t")
+    val part = table.resolve("cluster_id=0")
+    java.nio.file.Files.createDirectories(part)
+    val stage = table.resolve("_append_tok.stage/cluster_id=0")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.writeString(stage.resolve("a.parquet"), "AAA")
+    // b already moved (its staged copy is gone, destination present)
+    java.nio.file.Files.writeString(
+      part.resolve("append-tok-1-b.parquet"), "BBB")
+    java.nio.file.Files.writeString(table.resolve("_append_tok.plan"),
+      "7\ncluster_id=0/a.parquet\tcluster_id=0/append-tok-0-a.parquet\n" +
+        "cluster_id=0/b.parquet\tcluster_id=0/append-tok-1-b.parquet")
+    var writerCalls = 0
+    val n = graft.io.StagedAppend.run(table.toString, "tok",
+      sys.error("nRows must not be consulted on a replay")) { _ =>
+      writerCalls += 1
+    }
+    assert(n == 7L, "replay must return the PLAN's recorded count")
+    assert(writerCalls == 0, "replay re-invoked the staging writer")
+    assert(java.nio.file.Files.readString(
+      part.resolve("append-tok-0-a.parquet")) == "AAA")
+    assert(java.nio.file.Files.isRegularFile(
+      table.resolve("_append_tok.committed")))
+    assert(!java.nio.file.Files.exists(table.resolve("_append_tok.plan")))
+    assert(!java.nio.file.Files.exists(table.resolve("_append_tok.stage")))
+    // a move whose file is NEITHER staged nor applied is corruption — loud
+    val table2 = tmp.resolve("t2")
+    java.nio.file.Files.createDirectories(table2)
+    java.nio.file.Files.writeString(table2.resolve("_append_tok.plan"),
+      "1\ncluster_id=0/ghost.parquet\tcluster_id=0/append-tok-0-ghost.parquet")
+    val ex = intercept[IllegalStateException](
+      graft.io.StagedAppend.run(table2.toString, "tok", 1L)(_ => ()))
+    assert(ex.getMessage.contains("neither staged nor applied"))
+  }
+
+  test("codebook/centroid sidecars are CRC32C-framed: corruption and " +
+    "truncation fail loudly, legacy files stay readable (r17)") {
+    val tmp = java.nio.file.Files.createTempDirectory("books_crc").toString
+    val f = s"$tmp/books.bin"
+    Pq.saveBooks(f, books)
+    val loaded = Pq.loadBooks(f).get
+    assert(loaded.length == books.length)
+    assert(loaded.zip(books).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) }
+    }, "framed books did not round-trip")
+    // single payload bit-flip → loud (the store-v3 argument: a flipped
+    // codebook float silently skews every ADC score it touches)
+    val good = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    val flipped = good.clone()
+    flipped(20) = (flipped(20) ^ 0x01).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(f), flipped)
+    val exF = intercept[IllegalStateException](Pq.loadBooks(f))
+    assert(exF.getMessage.contains("CRC32C mismatch"))
+    // truncation → loud (the declared frame length catches it)
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      good.dropRight(5))
+    val exT = intercept[IllegalStateException](Pq.loadBooks(f))
+    assert(exT.getMessage.contains("truncated"))
+    // legacy unframed file (pre-r17 cache artifacts) parses identically
+    val legacy = s"$tmp/legacy_books.bin"
+    val out = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(legacy))
+    try {
+      out.writeInt(books.length)
+      books.foreach { sub =>
+        out.writeInt(sub.length)
+        out.writeInt(if (sub.isEmpty) 0 else sub(0).length)
+        sub.foreach(_.foreach(out.writeFloat))
+      }
+    } finally out.close()
+    val legacyLoaded = Pq.loadBooks(legacy).get
+    assert(legacyLoaded.zip(books).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) }
+    }, "legacy unframed books no longer readable")
+    // unparseable legacy garbage keeps the rebuild contract (None)
+    java.nio.file.Files.write(java.nio.file.Paths.get(legacy),
+      Array[Byte](0, 0, 0, 2, 0, 0, 0, 1))
+    assert(Pq.loadBooks(legacy).isEmpty)
+    // the centroid matrix sidecar rides the same frame
+    val mfile = s"$tmp/coarse.bin"
+    val mat = Array(Array(1.5f, -2f), Array(0f, 3f))
+    Ivf.saveMatrix(mfile, mat)
+    assert(Ivf.loadMatrix(mfile).get.zip(mat)
+      .forall { case (a, b) => a.sameElements(b) })
+    val mb = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(mfile))
+    mb(15) = (mb(15) ^ 0x10).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(mfile), mb)
+    val exM = intercept[IllegalStateException](Ivf.loadMatrix(mfile))
+    assert(exM.getMessage.contains("CRC32C mismatch"))
+  }
 }
