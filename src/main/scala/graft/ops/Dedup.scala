@@ -306,7 +306,8 @@ object Dedup {
     * pair (measured 100× slower at sf0.1).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, leftFilter: org.apache.spark.sql.Column,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        minJaccard: Double = 0.0): DataFrame = {
     val sets = docs.select(col(idCol),
       VectorFunctions.ngramCodes(col(textCol), n).as("s"))
     val l = sets.filter(leftFilter).select(col(idCol).as("a"), col("s").as("sa"))
@@ -314,7 +315,27 @@ object Dedup {
     // primitive sorted-merge jaccard: cheap even when Catalyst folds the
     // threshold filter into the join condition and re-evaluates it
     val jac = VectorFunctions.jaccardCodes(col("sa"), col("sb"))
-    broadcast(l).crossJoin(r).filter(col("a") < col("b"))
+    // Length filter (r17; the classic size-ratio prefilter of the
+    // similarity-join literature — Arasu et al. VLDB'06 / Xiao et al.
+    // WWW'08): |A∩B| <= min(|A|,|B|), so J(A,B) >= t implies
+    // min(|A|,|B|) >= t * max(|A|,|B|). Two O(1) array-length reads and
+    // one multiply drop a pair BEFORE the O(|A|+|B|) sorted-merge kernel
+    // runs in the join condition; the surviving pairs' jaccard values are
+    // computed exactly as before, so a caller filtering `jaccard >= t`
+    // gets identical rows (the bound is implied, never binding). 0.25 is
+    // exact in binary floating point and all sizes are exact integers,
+    // so the boundary case cannot misround. ONE filter call with `a < b`
+    // FIRST: a separate `.filter` per predicate let CombineFilters nest
+    // the cheap id compare LAST in the join condition, running the
+    // merge kernel on the a >= b half of the pairs it used to skip
+    // (measured 1.15 -> 1.75 s before this ordering fix).
+    val cond =
+      if (minJaccard > 0.0)
+        col("a") < col("b") &&
+          least(size(col("sa")), size(col("sb"))).cast("double") >=
+            lit(minJaccard) * greatest(size(col("sa")), size(col("sb")))
+      else col("a") < col("b")
+    broadcast(l).crossJoin(r).filter(cond)
       .select(col("a"), col("b"), jac.as("jaccard"))
   }
 
@@ -345,6 +366,19 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("x").as("node"))
       .distinct().withColumn("component", col("node")).cache()
+    // Fixpoint witness (r17, guide §1.2 — fewer passes): per node the
+    // label is min(self, neighbors') — monotonically NON-INCREASING over a
+    // fixed node set — so the exact label sum is unchanged iff NO node
+    // changed. One decimal-sum aggregate per iteration both materializes
+    // the cache and answers convergence; the former shape paid two
+    // actions per iteration (count() + a labels⋈next inequality count —
+    // an extra shuffle-join over the full label frame each round).
+    // decimal(38,0): at 1e12 nodes × 1e12 max id a long sum overflows.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    def sumEq(a: java.math.BigDecimal, b: java.math.BigDecimal): Boolean =
+      (a == null && b == null) || (a != null && b != null && a.compareTo(b) == 0)
+    var prevSum = labelSum(labels) // materializes the initial cache
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -360,12 +394,11 @@ object Dedup {
       // graphs (long dup chains) don't blow up analysis time or recovery
       // cost; localCheckpoint materializes and cuts lineage in one pass.
       next = if ((it + 1) % 5 == 0) next.localCheckpoint() else next.cache()
-      next.count()
-      val changed = labels.alias("l").join(next.alias("n"), "node")
-        .filter(col("l.component") =!= col("n.component")).count()
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = sumEq(s, prevSum)
+      prevSum = s
       it += 1
     }
     edges.unpersist()

@@ -74,12 +74,19 @@ object Ingest {
     */
   def chunkByTokens(docs: DataFrame, perChunk: Int = 20,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    carry: Seq[String] = Nil): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
     val nch = ceil(size(toks) / lit(perChunk.toDouble)).cast("int")
     val chunks = transform(sequence(lit(0), nch - 1),
       j => array_join(slice(toks, j * perChunk + 1, lit(perChunk)), " "))
-    docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_index", "chunk")))
+    // `carry`: doc-level metadata columns to ride the explode (r17) — a
+    // post-hoc equi-join back to `docs` for a column that was already on
+    // the row reads the corpus twice and pays a join for nothing
+    // (guide §2.4); every chunk inherits its own doc's values, so the
+    // carried flavor is row-identical to the join (IngestSpec gates it).
+    docs.select(col(idCol) +: carry.map(col) :+
+      posexplode(chunks).as(Seq("chunk_index", "chunk")): _*)
   }
 
   /** Greedy char-budget chunking (the reference's real semantics).

@@ -340,7 +340,25 @@ object Pq {
     * ≤ Q × nprobe × cand candidates — never the corpus.
     */
   def searchFastScanIvf(idx: Index, spark: SparkSession, queries: DataFrame,
-                        nprobe: Int, k: Int, cand: Int = 0): DataFrame = {
+                        nprobe: Int, k: Int, cand: Int = 0): DataFrame =
+    searchFastScanIvfCollected(idx, spark, collectQueryVecs(queries),
+      nprobe, k, cand)
+
+  /** One canonical query-batch collect shared by every fastscan entry
+    * point (r17): the refined-clustered composite used to collect the
+    * query table TWICE per call (once in [[probedCells]], once here) —
+    * two driver jobs where one suffices (guide §1.2: remove redundant
+    * passes before tuning anything).
+    */
+  private[ops] def collectQueryVecs(
+      queries: DataFrame): Array[(Long, Array[Float])] =
+    queries.select(col("qid"), col("qvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
+  private def searchFastScanIvfCollected(idx: Index, spark: SparkSession,
+                                         qArr: Array[(Long, Array[Float])],
+                                         nprobe: Int, k: Int,
+                                         cand: Int = 0): DataFrame = {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import graft.functions.expressions.{CentroidOps, PqOps, Simd}
     import graft.functions.expressions.VectorKernels
@@ -353,8 +371,7 @@ object Pq {
       s"pq4 supports m4 <= 256 (u16 lane-sum bound), got $m4")
     val spMax = m4 / 2
     val coarse = idx.coarse
-    val q = queries.select(col("qid"), col("qvec")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val q = qArr
     val qids = q.map(_._1)
     val nq = q.length
     val np = math.min(nprobe, coarse.length)
@@ -701,12 +718,15 @@ object Pq {
     * is exactly the candidate stage's.
     */
   def probedCells(coarse: Array[Array[Float]], queries: DataFrame,
-                  nprobe: Int): Array[Int] = {
+                  nprobe: Int): Array[Int] =
+    probedCellsOf(coarse, collectQueryVecs(queries).map(_._2), nprobe)
+
+  private def probedCellsOf(coarse: Array[Array[Float]],
+                            qvecs: Array[Array[Float]],
+                            nprobe: Int): Array[Int] = {
     import graft.functions.expressions.CentroidOps
     val np = math.min(nprobe, coarse.length)
-    queries.select(col("qvec")).collect()
-      .flatMap(r => CentroidOps.topNprobeF(r.getSeq[Float](0).toArray, coarse, np))
-      .distinct.sorted
+    qvecs.flatMap(CentroidOps.topNprobeF(_, coarse, np)).distinct.sorted
   }
 
   /** [[searchFastScanIvfRefined]] with the refine FETCH pruned to the
@@ -755,7 +775,10 @@ object Pq {
         "trainer version — the trainer is deterministic, so identical inputs " +
         "give bitwise-identical quantizers.")
     val spark = queries.sparkSession
-    val cells = probedCells(idx.coarse, queries, nprobe)
+    // collect the query batch ONCE for cell pruning AND the probe (r17 —
+    // this path used to run two identical collect jobs per call)
+    val qArr = collectQueryVecs(queries)
+    val cells = probedCellsOf(idx.coarse, qArr.map(_._2), nprobe)
     val clustered = clusteredIdx.clustered(spark)
     // Past ~nlist/2 probed cells (possible at large Q·nprobe) the IN-list
     // predicate degenerates into a giant filter over nearly every
@@ -770,7 +793,7 @@ object Pq {
           .select(col(idCol), col(vecCol))
     refineAdc(fetch, queries, k, refineK,
       withExclusions(spark, excludeIds,
-        kk => searchFastScanIvf(idx, spark, queries, nprobe, kk)),
+        kk => searchFastScanIvfCollected(idx, spark, qArr, nprobe, kk)),
       idCol, vecCol)
   }
 

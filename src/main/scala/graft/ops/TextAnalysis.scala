@@ -155,13 +155,23 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         sum(length(col(textCol)).cast("long")).as("n_chars"))
-    val tot = per.agg(sum(col("n_tokens")).as("__graft_tot_tokens"),
-      count(lit(1)).as("__graft_n_sources"))
-    per.crossJoin(broadcast(tot))
-      .select(col(srcCol), col("n_docs"), col("n_tokens"), col("n_chars"),
-        (col("n_tokens").cast("double") / col("__graft_tot_tokens"))
-          .as("token_share"),
-        ((col("__graft_tot_tokens").cast("double") / col("__graft_n_sources")) /
-          col("n_tokens").cast("double")).as("upsample_factor"))
+    // Grand totals via an empty-partition window over the PER-STRATUM
+    // aggregate (r17): the former `per.agg(...)` + crossJoin(broadcast)
+    // duplicated the `per` subtree in the plan — and the two copies
+    // differed (the join arm carries a pushed IsNotNull filter the total
+    // arm lacks), so exchange reuse never fired and the corpus was
+    // scanned AND token-counted TWICE (guide §2.4: share the pass). The
+    // window's single task holds only #sources rows — stratum
+    // cardinality, the same driver-size class as the broadcast it
+    // replaces. Same long sums, same division order: bit-identical
+    // output (t6 oracle re-gates).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    per.select(col(srcCol), col("n_docs"), col("n_tokens"), col("n_chars"),
+      (col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+        .as("token_share"),
+      ((sum(col("n_tokens")).over(w).cast("double") /
+        count(lit(1)).over(w)) /
+        col("n_tokens").cast("double")).as("upsample_factor"))
   }
 }
